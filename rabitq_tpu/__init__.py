@@ -1,0 +1,27 @@
+"""rabitq_tpu — TPU-native RaBitQ vector search.
+
+A from-scratch JAX/XLA/Pallas rebuild of the RaBitQ 1-bit IVF quantization
+index (reference: kemingy/rabitq, a Rust/AVX implementation). Batched MXU
+matmuls replace per-vector scalar loops; packed-uint32 popcount estimators
+replace AVX popcount kernels; a static-budget batched rerank replaces the
+dynamic pruning heap; pjit/shard_map scale the index across a device mesh.
+"""
+
+from rabitq_tpu import consts
+from rabitq_tpu.index import RaBitQIndex, SearchParams, build_index, search
+from rabitq_tpu.index.search import estimate_candidates
+from rabitq_tpu.metrics import METRICS
+from rabitq_tpu.utils import calculate_recall
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "consts",
+    "RaBitQIndex",
+    "SearchParams",
+    "build_index",
+    "search",
+    "estimate_candidates",
+    "METRICS",
+    "calculate_recall",
+]

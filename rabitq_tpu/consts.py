@@ -1,0 +1,34 @@
+"""Algorithm hyperparameters for RaBitQ.
+
+Parity with the reference implementation (/root/reference/src/consts.rs:1-12).
+These are the constants of the RaBitQ paper's 1-bit quantization scheme with a
+4-bit asymmetrically quantized query.
+"""
+
+# Fallback for <x-c, sign(x-c)>/(|x-c| * sqrt(D)) when the denominator is
+# zero/subnormal (reference: consts.rs:4).
+DEFAULT_X_DOT_PRODUCT: float = 0.8
+
+# Error-bound multiplier (epsilon in the RaBitQ paper; reference: consts.rs:6).
+EPSILON: float = 1.9
+
+# Number of bits used to quantize the query residual (reference: consts.rs:8).
+THETA_LOG_DIM: int = 4
+
+# 1 / (2^THETA_LOG_DIM - 1): the scalar quantization step multiplier
+# (reference: consts.rs:10).
+SCALAR: float = 1.0 / ((1 << THETA_LOG_DIM) - 1)
+
+# Window size for the heuristic re-ranker (reference: consts.rs:12).
+WINDOW_SIZE: int = 12
+
+# Bits per packed code word on device. The reference packs into u64
+# (utils.rs:53); we use u32 because TPU vector lanes are 32-bit and JAX
+# defaults to 32-bit integer types. Serialization converts to/from u64 words.
+WORD_BITS: int = 32
+
+# TPU vector lane count; dimensions are padded to a multiple of this so that
+# arrays tile cleanly onto the VPU/MXU (the reference pads to 64 for u64
+# words, rabitq.rs:168-179; 128 is also a multiple of 64 so indexes we build
+# remain loadable by the reference's on-disk format).
+LANES: int = 128

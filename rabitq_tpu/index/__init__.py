@@ -1,0 +1,5 @@
+from rabitq_tpu.index.index import RaBitQIndex, SearchParams
+from rabitq_tpu.index.build import build_index
+from rabitq_tpu.index.search import search
+
+__all__ = ["RaBitQIndex", "SearchParams", "build_index", "search"]

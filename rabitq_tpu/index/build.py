@@ -1,0 +1,173 @@
+"""Index construction.
+
+TPU-first rebuild of the reference's RaBitQ::from_path
+(/root/reference/src/rabitq.rs:159-265). The reference runs a per-vector
+scalar loop (assign -> residual -> binarize -> factors); here the whole
+build is a batched array program executed in fixed-size chunks:
+
+  1. rotate a chunk of base vectors (one MXU matmul),
+  2. assign to nearest rotated centroid via the pairwise-L2 matmul identity,
+  3. compute exact residual stats + packed sign codes + correction factors,
+     all vectorised on the VPU.
+
+Only the final cluster-sort/permutation runs on host (numpy lexsort) — it is
+O(n log n) pointer shuffling with no FLOPs.
+
+Factor math parity (rabitq.rs:199-229):
+  x_dot        = <r, sign(r)> / (|r| * sqrt(D))  = |r|_1 / (|r| * sqrt(D))
+  error_bound  = 2*EPSILON/sqrt(D-1) * sqrt((|r|/x_dot)^2 - |r|^2)
+  factor_ip    = -2/sqrt(D) * |r|/x_dot
+  factor_ppc   = factor_ip * <1, sign(r)> = factor_ip * (2*popcount - D)
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rabitq_tpu.consts import DEFAULT_X_DOT_PRODUCT, EPSILON, LANES
+from rabitq_tpu.index.index import RaBitQIndex
+from rabitq_tpu.ops import (
+    gen_random_orthogonal,
+    pack_bits_u32,
+    pairwise_l2sq,
+    popcount,
+    rotate,
+)
+from rabitq_tpu.utils import pad_last_dim, round_up
+
+logger = logging.getLogger(__name__)
+
+# Smallest positive normal f32 — the reference guards the x_dot division
+# with f32::is_normal() (rabitq.rs:211).
+_MIN_NORMAL_F32 = np.float32(1.17549435e-38)
+
+
+@functools.partial(jax.jit, static_argnames=("dim",))
+def _build_chunk(x_pad, orthogonal, centroids_rot, dim: int):
+    """Quantize one chunk of padded base vectors.
+
+    x_pad: [C, D] f32. Returns per-vector label, code words, factor quad.
+    """
+    d = jnp.float32(dim)
+    sqrt_d = jnp.sqrt(d)
+
+    x_rot = rotate(x_pad, orthogonal)  # [C, D]
+    dists = pairwise_l2sq(x_rot, centroids_rot)  # [C, K]
+    label = jnp.argmin(dists, axis=-1).astype(jnp.int32)  # [C]
+
+    r = x_rot - centroids_rot[label]  # [C, D]
+    cdsq = jnp.sum(r * r, axis=-1)  # exact, not the matmul identity
+    l1 = jnp.sum(jnp.abs(r), axis=-1)
+    code = pack_bits_u32(r > 0.0)  # [C, W]
+    pop = popcount(code).sum(axis=-1).astype(jnp.float32)  # [C]
+
+    norm = jnp.sqrt(cdsq)
+    denom = norm * sqrt_d
+    x_dot = jnp.where(
+        jnp.isfinite(denom) & (denom >= _MIN_NORMAL_F32),
+        l1 / jnp.maximum(denom, _MIN_NORMAL_F32),
+        jnp.float32(DEFAULT_X_DOT_PRODUCT),
+    )
+
+    x_c_over_ip = norm / x_dot
+    error_base = 2.0 * jnp.float32(EPSILON) / jnp.sqrt(d - 1.0)
+    error_bound = error_base * jnp.sqrt(
+        jnp.maximum(x_c_over_ip * x_c_over_ip - cdsq, 0.0)
+    )
+    factor_ip = -2.0 / sqrt_d * x_c_over_ip
+    sum_signs = 2.0 * pop - d  # <1, sign(r)> with sign(0) = -1
+    factor_ppc = factor_ip * sum_signs
+
+    factors = jnp.stack([factor_ip, factor_ppc, error_bound, cdsq], axis=-1)
+    return label, cdsq, code, factors
+
+
+def build_index(
+    base: np.ndarray,
+    centroids: np.ndarray,
+    *,
+    key: jax.Array | None = None,
+    orthogonal: np.ndarray | None = None,
+    chunk: int = 4096,
+    keep_base: bool = True,
+) -> RaBitQIndex:
+    """Build a RaBitQ index from base vectors and pre-trained centroids.
+
+    base:       [n, d] float32 corpus.
+    centroids:  [k, d] float32 IVF centroids (see rabitq_tpu.kmeans).
+    key:        PRNG key for the rotation + dither (default: key 0).
+    orthogonal: override the rotation (e.g. identity for debugging, like the
+                reference's gen_identity_matrix, utils.rs:25).
+    keep_base:  keep full-precision vectors on device for rerank; set False
+                for the host-store tier.
+    """
+    base = np.asarray(base, dtype=np.float32)
+    centroids = np.asarray(centroids, dtype=np.float32)
+    n, d_orig = base.shape
+    k = centroids.shape[0]
+    assert centroids.shape[1] == d_orig
+
+    dim = round_up(d_orig, LANES)
+    if key is None:
+        key = jax.random.key(0)
+    key_p, key_b = jax.random.split(key)
+
+    if orthogonal is None:
+        p = gen_random_orthogonal(key_p, dim)
+    else:
+        p = jnp.asarray(orthogonal, dtype=jnp.float32)
+        assert p.shape == (dim, dim)
+    rand_bias = jax.random.uniform(key_b, (dim,), dtype=jnp.float32)
+
+    centroids_rot = rotate(jnp.asarray(pad_last_dim(centroids, dim)), p)
+
+    # Chunked device pass.
+    labels = np.empty(n, dtype=np.int32)
+    cdists = np.empty(n, dtype=np.float32)
+    codes = np.empty((n, dim // 32), dtype=np.uint32)
+    factors = np.empty((n, 4), dtype=np.float32)
+    for start in range(0, n, chunk):
+        stop = min(start + chunk, n)
+        x = pad_last_dim(base[start:stop], dim)
+        if stop - start < chunk:  # keep shapes static for the jit cache
+            x = np.pad(x, ((0, chunk - (stop - start)), (0, 0)))
+        lab, cd, co, fa = _build_chunk(jnp.asarray(x), p, centroids_rot, dim)
+        m = stop - start
+        labels[start:stop] = np.asarray(lab)[:m]
+        cdists[start:stop] = np.asarray(cd)[:m]
+        codes[start:stop] = np.asarray(co)[:m]
+        factors[start:stop] = np.asarray(fa)[:m]
+        if start % (chunk * 16) == 0:
+            logger.debug("build: quantized %d / %d", stop, n)
+
+    # Cluster-sort on host: within each cluster order by centroid distance
+    # ascending (rabitq.rs:232-252) so early rerank candidates tighten the
+    # threshold fast and truncated scans drop the farthest vectors first.
+    order = np.lexsort((cdists, labels)).astype(np.int32)
+    sizes = np.bincount(labels, minlength=k).astype(np.int32)
+    offsets = np.zeros(k + 1, dtype=np.int32)
+    np.cumsum(sizes, out=offsets[1:])
+    capacity = max(8, round_up(int(sizes.max(initial=1)), 8))
+
+    base_sorted = None
+    if keep_base:
+        base_sorted = jnp.asarray(pad_last_dim(base[order], dim))
+
+    return RaBitQIndex(
+        codes=jnp.asarray(codes[order]),
+        factors=jnp.asarray(factors[order]),
+        offsets=jnp.asarray(offsets),
+        map_ids=jnp.asarray(order),
+        centroids_rot=centroids_rot,
+        orthogonal=p,
+        rand_bias=rand_bias,
+        base=base_sorted,
+        dim=dim,
+        dim_orig=d_orig,
+        capacity=capacity,
+    )

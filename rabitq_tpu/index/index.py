@@ -1,0 +1,116 @@
+"""The RaBitQ index data model.
+
+Equivalent state to the reference's RaBitQ struct
+(/root/reference/src/rabitq.rs:58-68), redesigned as a pytree of batched
+device arrays:
+
+- ``codes``     [N, W] uint32 — packed 1-bit residual sign codes, rows sorted
+                by (cluster, distance-to-centroid) like the reference's
+                cluster-sort (rabitq.rs:232-252). W = dim // 32.
+- ``factors``   [N, 4] f32 — per-vector correction quad in the reference's
+                Factor order (rabitq.rs:23-32): ip, ppc, error_bound,
+                center_distance_square.
+- ``offsets``   [K + 1] int32 — prefix sums of cluster sizes.
+- ``map_ids``   [N] int32 — sorted-position -> original id.
+- ``centroids_rot`` [K, D] f32 — rotated centroids.
+- ``orthogonal``    [D, D] f32 — the random rotation P.
+- ``rand_bias``     [D] f32 — quantization dither (persisted, unlike the
+                reference which regenerates it on load, rabitq.rs:119).
+- ``base``      [N, D] f32 or None — full-precision vectors (cluster-sorted,
+                padded) for the rerank stage; None when a host-resident
+                VectorStore serves reranks instead (disk tier).
+
+Static metadata (hashable, part of the pytree treedef): padded dim, original
+dim, and the cluster capacity used to give probed-cluster scans a static
+shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rabitq_tpu.consts import WORD_BITS
+
+
+@dataclasses.dataclass(frozen=True)
+class RaBitQIndex:
+    codes: jax.Array
+    factors: jax.Array
+    offsets: jax.Array
+    map_ids: jax.Array
+    centroids_rot: jax.Array
+    orthogonal: jax.Array
+    rand_bias: jax.Array
+    base: Optional[jax.Array]
+    dim: int = dataclasses.field(metadata=dict(static=True), default=0)
+    dim_orig: int = dataclasses.field(metadata=dict(static=True), default=0)
+    capacity: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def n(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.offsets.shape[0] - 1
+
+    @property
+    def words(self) -> int:
+        return self.dim // WORD_BITS
+
+    @property
+    def cluster_sizes(self) -> np.ndarray:
+        off = np.asarray(self.offsets)
+        return off[1:] - off[:-1]
+
+    def nbytes(self) -> int:
+        """Device-resident bytes (codes + factors + metadata + base)."""
+        total = 0
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if hasattr(v, "nbytes"):
+                total += v.nbytes
+        return total
+
+
+jax.tree_util.register_dataclass(
+    RaBitQIndex,
+    data_fields=[
+        "codes",
+        "factors",
+        "offsets",
+        "map_ids",
+        "centroids_rot",
+        "orthogonal",
+        "rand_bias",
+        "base",
+    ],
+    meta_fields=["dim", "dim_orig", "capacity"],
+)
+
+
+class SearchParams(NamedTuple):
+    """Static (hashable) query-pipeline configuration.
+
+    probe:       number of IVF clusters scanned per query (reference CLI
+                 default 100, cli/main.rs:27).
+    topk:        results returned per query.
+    rerank:      static rerank budget R — the number of lowest-lower-bound
+                 candidates whose exact distance is computed. Replaces the
+                 reference's dynamic heap pruning (rerank.rs:81-106), which
+                 is hostile to XLA; R >= ~10x topk recovers its recall.
+    task_chunk:  probed-cluster scan chunk size (memory/parallelism knob).
+    dither:      use the reference's scalar floor+dither quantizer instead
+                 of round-to-nearest.
+    """
+
+    probe: int = 100
+    topk: int = 10
+    rerank: int = 128
+    task_chunk: int = 64
+    dither: bool = False

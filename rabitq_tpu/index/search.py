@@ -1,0 +1,176 @@
+"""Batched query pipeline.
+
+TPU-first rebuild of RaBitQ::query (/root/reference/src/rabitq.rs:268-367).
+The reference walks probed clusters one by one with AVX kernels and a
+dynamically-pruned rerank heap; neither maps to XLA. Here the pipeline is a
+single jitted program over a *batch* of queries with static shapes:
+
+  1. rotate queries (MXU matmul), all-centroid distance scan (MXU matmul),
+     top-probe cluster selection (lax.top_k);
+  2. quantize all [B, probe] query residuals to 4-bit bit-planes at once;
+  3. scan probed clusters in fixed-capacity tiles: gather packed codes +
+     factors, AND+popcount asymmetric dot, 5-term estimator with error-bound
+     lower bound (rabitq.rs:336-367) — chunked with lax.map so the working
+     set stays VMEM-sized;
+  4. select the R lowest-lower-bound candidates (static rerank budget,
+     replacing the reference's data-dependent heap, rerank.rs:81-106);
+  5. gather full-precision rows, exact L2, final top-k.
+
+Variable cluster sizes are handled by padding each probed cluster scan to
+the index's static ``capacity``; padded slots estimate to +inf and never
+survive selection.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rabitq_tpu.consts import THETA_LOG_DIM
+from rabitq_tpu.index.index import RaBitQIndex, SearchParams
+from rabitq_tpu.ops import (
+    pack_query_bitplanes,
+    pairwise_l2sq,
+    popcount,
+    quantize_query_residuals,
+    rotate,
+)
+
+
+class Candidates(NamedTuple):
+    """Rerank candidates: positions are rows of the cluster-sorted arrays."""
+
+    pos: jax.Array          # [B, R] int32
+    lower_bound: jax.Array  # [B, R] f32 rough-distance lower bounds (+inf pad)
+    n_scanned: jax.Array    # [B] int32 estimator evaluations (metrics)
+
+
+def _resolve(index: RaBitQIndex, params: SearchParams):
+    k = index.offsets.shape[0] - 1
+    probe = min(params.probe, k)
+    cap = index.capacity
+    rerank = max(params.topk, min(params.rerank, probe * cap))
+    return probe, cap, rerank
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def estimate_candidates(
+    index: RaBitQIndex, queries: jax.Array, params: SearchParams
+) -> Candidates:
+    """Stages 1-4: rough-distance scan and candidate selection.
+
+    queries: [B, dim_orig] f32. Exposed separately so the host-store (disk)
+    tier can rerank candidates off-device.
+    """
+    probe, cap, rerank = _resolve(index, params)
+    b = queries.shape[0]
+    d = index.dim
+    w = index.words
+
+    q_pad = jnp.pad(queries, ((0, 0), (0, d - queries.shape[1])))
+    y = rotate(q_pad, index.orthogonal)  # [B, D]
+
+    # IVF probe selection (rabitq.rs:285-297): matmul identity only ranks
+    # clusters; the estimator's ||y-c||^2 is recomputed exactly below.
+    cdist = pairwise_l2sq(y, index.centroids_rot)  # [B, K]
+    _, cids = jax.lax.top_k(-cdist, probe)  # [B, probe]
+
+    yr = y[:, None, :] - index.centroids_rot[cids]  # [B, probe, D]
+    ycd = jnp.sum(yr * yr, axis=-1)  # [B, probe] exact
+    qq = quantize_query_residuals(
+        yr, index.rand_bias if params.dither else None
+    )
+    planes = pack_query_bitplanes(qq.quantized)  # [B, probe, 4, W]
+
+    # Flatten (query, probed cluster) pairs into a task list and scan it in
+    # fixed-size chunks.
+    s = b * probe
+    chunk = min(params.task_chunk, s)
+    s_pad = ((s + chunk - 1) // chunk) * chunk
+
+    def flat(a, trailing):
+        a = a.reshape((s,) + trailing)
+        return jnp.pad(a, ((0, s_pad - s),) + ((0, 0),) * len(trailing))
+
+    starts = flat(index.offsets[cids], ())
+    sizes_all = index.offsets[cids + 1] - index.offsets[cids]  # [B, probe]
+    sizes = flat(sizes_all, ())
+    lo = flat(qq.lower, ())
+    delta = flat(qq.delta, ())
+    ssum = flat(qq.code_sum, ())
+    ycd_f = flat(ycd, ())
+    planes_f = flat(planes, (THETA_LOG_DIM, w))
+
+    codes, factors = index.codes, index.factors
+    plane_w = 1 << jnp.arange(THETA_LOG_DIM, dtype=jnp.int32)
+    iota = jnp.arange(cap, dtype=jnp.int32)
+
+    def step(t):
+        t_start, t_size, t_lo, t_delta, t_ssum, t_ycd, t_planes = t
+        pos = t_start[:, None] + iota[None, :]  # [chunk, cap]
+        valid = iota[None, :] < t_size[:, None]
+        pos_safe = jnp.where(valid, pos, 0)
+        cg = codes[pos_safe]  # [chunk, cap, W]
+        fg = factors[pos_safe]  # [chunk, cap, 4]
+        anded = cg[:, None, :, :] & t_planes[:, :, None, :]  # [chunk,4,cap,W]
+        per_plane = popcount(anded).sum(axis=-1)  # [chunk, 4, cap]
+        abdp = (per_plane * plane_w[None, :, None]).sum(axis=1)  # [chunk,cap]
+        # 5-term estimator minus error bound (rabitq.rs:352-363).
+        est = (
+            fg[..., 3]
+            + t_ycd[:, None]
+            + t_lo[:, None] * fg[..., 1]
+            + (2.0 * abdp.astype(jnp.float32) - t_ssum[:, None])
+            * fg[..., 0]
+            * t_delta[:, None]
+            - fg[..., 2] * jnp.sqrt(t_ycd)[:, None]
+        )
+        return jnp.where(valid, est, jnp.inf), pos_safe
+
+    n_chunks = s_pad // chunk
+    tasks = tuple(
+        a.reshape((n_chunks, chunk) + a.shape[1:])
+        for a in (starts, sizes, lo, delta, ssum, ycd_f, planes_f)
+    )
+    rough, pos = jax.lax.map(step, tasks)  # [n_chunks, chunk, cap]
+
+    rough = rough.reshape(s_pad, cap)[:s].reshape(b, probe * cap)
+    pos = pos.reshape(s_pad, cap)[:s].reshape(b, probe * cap)
+
+    neg_lb, flat_idx = jax.lax.top_k(-rough, rerank)
+    cand_pos = jnp.take_along_axis(pos, flat_idx, axis=-1)
+    return Candidates(
+        pos=cand_pos,
+        lower_bound=-neg_lb,
+        n_scanned=sizes_all.sum(axis=-1).astype(jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def search(
+    index: RaBitQIndex, queries: jax.Array, params: SearchParams
+) -> tuple[jax.Array, jax.Array]:
+    """Full device-side search: returns (distances [B, topk], ids [B, topk]).
+
+    Invalid slots (fewer than topk reachable candidates) have distance +inf
+    and id -1. Requires index.base on device; use the store module for
+    host-resident rerank.
+    """
+    assert index.base is not None, "index has no device base; use store tier"
+    cand = estimate_candidates(index, queries, params)
+    d = index.dim
+    q_pad = jnp.pad(queries, ((0, 0), (0, d - queries.shape[1])))
+
+    xb = index.base[cand.pos]  # [B, R, D]
+    diff = xb - q_pad[:, None, :]
+    exact = jnp.sum(diff * diff, axis=-1)  # [B, R]
+    exact = jnp.where(jnp.isfinite(cand.lower_bound), exact, jnp.inf)
+
+    neg_d, ei = jax.lax.top_k(-exact, params.topk)
+    ids = jnp.take_along_axis(index.map_ids[cand.pos], ei, axis=-1)
+    dists = -neg_d
+    ids = jnp.where(jnp.isfinite(dists), ids, -1)
+    return dists, ids

@@ -1,0 +1,17 @@
+from rabitq_tpu.io.vecs import (
+    read_vecs,
+    read_matrix,
+    read_u64_vecs,
+    write_vecs,
+    write_matrix,
+    write_u64_vecs,
+)
+
+__all__ = [
+    "read_vecs",
+    "read_matrix",
+    "read_u64_vecs",
+    "write_vecs",
+    "write_matrix",
+    "write_u64_vecs",
+]

@@ -1,0 +1,127 @@
+"""fvecs/ivecs/u64vecs (de)serialization.
+
+The *vecs* container format (texmex / faiss convention, and the reference's
+on-disk index format, /root/reference/src/utils.rs:280-364): a stream of
+little-endian records ``[u32 count][count x payload]`` where the payload is
+4 bytes for fvecs/ivecs and 8 bytes for u64vecs.
+
+Unlike the reference's element-at-a-time reader, these are vectorised numpy
+implementations: uniform-dimension files (the common case) are parsed with a
+single reshape; ragged files fall back to an offset walk. A mmap-backed
+zero-copy reader is provided for the host-resident vector store.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+__all__ = [
+    "read_vecs",
+    "read_matrix",
+    "read_u64_vecs",
+    "write_vecs",
+    "write_matrix",
+    "write_u64_vecs",
+    "mmap_fvecs_matrix",
+]
+
+
+def _read_records(raw: np.ndarray, payload_words: int) -> list[np.ndarray]:
+    """Walk ragged records over a u32-viewed buffer.
+
+    payload_words: u32 words per payload element (1 for f32/i32, 2 for u64).
+    """
+    out = []
+    pos = 0
+    total = raw.shape[0]
+    while pos < total:
+        dim = int(raw[pos])
+        end = pos + 1 + dim * payload_words
+        if dim < 0 or end > total:
+            raise ValueError(f"corrupt vecs record at word offset {pos}")
+        out.append(raw[pos + 1 : end])
+        pos = end
+    return out
+
+
+def read_vecs(path: str | Path, dtype=np.float32) -> list[np.ndarray]:
+    """Read a 4-byte-payload vecs file into a list of 1-D arrays."""
+    dtype = np.dtype(dtype)
+    assert dtype.itemsize == 4, "use read_u64_vecs for 8-byte payloads"
+    raw = np.fromfile(path, dtype=np.uint32)
+    return [rec.view(dtype) for rec in _read_records(raw, 1)]
+
+
+def read_matrix(path: str | Path, dtype=np.float32) -> np.ndarray:
+    """Read a uniform-dimension vecs file as an (n, dim) matrix (fast path)."""
+    dtype = np.dtype(dtype)
+    assert dtype.itemsize == 4
+    raw = np.fromfile(path, dtype=np.uint32)
+    if raw.size == 0:
+        return np.empty((0, 0), dtype=dtype)
+    dim = int(raw[0])
+    stride = dim + 1
+    if raw.size % stride == 0 and np.all(raw[::stride] == dim):
+        mat = raw.reshape(-1, stride)[:, 1:]
+        return np.ascontiguousarray(mat).view(dtype)
+    # Ragged fallback.
+    rows = read_vecs(path, dtype)
+    return np.stack(rows)
+
+
+def read_u64_vecs(path: str | Path) -> list[np.ndarray]:
+    """Read an 8-byte-payload vecs file (reference utils.rs:309-330)."""
+    raw = np.fromfile(path, dtype=np.uint32)
+    return [np.ascontiguousarray(rec).view(np.uint64) for rec in _read_records(raw, 2)]
+
+
+def write_vecs(path: str | Path, vecs) -> None:
+    """Write 1-D arrays as consecutive 4-byte-payload records."""
+    with open(path, "wb") as f:
+        for v in vecs:
+            v = np.asarray(v)
+            assert v.dtype.itemsize == 4 and v.ndim == 1
+            np.uint32(v.shape[0]).tofile(f)
+            v.tofile(f)
+
+
+def write_matrix(path: str | Path, mat: np.ndarray) -> None:
+    """Write an (n, dim) matrix as n records, vectorised single write."""
+    mat = np.asarray(mat)
+    assert mat.ndim == 2 and mat.dtype.itemsize == 4
+    n, dim = mat.shape
+    out = np.empty((n, dim + 1), dtype=np.uint32)
+    out[:, 0] = dim
+    out[:, 1:] = np.ascontiguousarray(mat).view(np.uint32)
+    out.tofile(path)
+
+
+def write_u64_vecs(path: str | Path, vecs) -> None:
+    """Write 1-D uint64 arrays as consecutive 8-byte-payload records."""
+    with open(path, "wb") as f:
+        for v in vecs:
+            v = np.ascontiguousarray(np.asarray(v, dtype=np.uint64))
+            np.uint32(v.shape[0]).tofile(f)
+            v.tofile(f)
+
+
+def mmap_fvecs_matrix(path: str | Path) -> np.ndarray:
+    """Zero-copy mmap view of a uniform-dim fvecs file as (n, dim) float32.
+
+    Used by the host-resident vector store for rerank: the OS page cache
+    plays the role of the reference's SQLite block cache
+    (/root/reference/crates/disk/src/cache.rs:56-162) for local files.
+    """
+    size = os.path.getsize(path)
+    head = np.fromfile(path, dtype=np.uint32, count=1)
+    if head.size == 0:
+        return np.empty((0, 0), dtype=np.float32)
+    dim = int(head[0])
+    stride = dim + 1
+    assert size % (4 * stride) == 0, "not a uniform fvecs file"
+    n = size // (4 * stride)
+    mm = np.memmap(path, dtype=np.float32, mode="r", shape=(n, stride))
+    return mm[:, 1:]

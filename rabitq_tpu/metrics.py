@@ -1,0 +1,60 @@
+"""Global query-pipeline counters.
+
+Parity with the reference's lock-free atomic counters
+(/root/reference/src/metrics.rs:7-65): ``rough`` (estimator evaluations),
+``precise`` (exact rerank distances), ``query`` (queries served), ``miss``
+(vector-store cache misses). The rough/precise ratio is the
+pruning-effectiveness probe exposed on the service's ``GET /metrics``.
+
+Python threads synchronise through the GIL for single bytecode ops, but we
+use an explicit lock so increments are correct under free-threaded builds
+and obvious to readers.
+"""
+
+from __future__ import annotations
+
+import threading
+
+
+class Metrics:
+    __slots__ = ("_lock", "rough", "precise", "query", "miss")
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.rough = 0
+        self.precise = 0
+        self.query = 0
+        self.miss = 0
+
+    def add_rough_count(self, n: int = 1) -> None:
+        with self._lock:
+            self.rough += int(n)
+
+    def add_precise_count(self, n: int = 1) -> None:
+        with self._lock:
+            self.precise += int(n)
+
+    def add_query_count(self, n: int = 1) -> None:
+        with self._lock:
+            self.query += int(n)
+
+    def add_miss_count(self, n: int = 1) -> None:
+        with self._lock:
+            self.miss += int(n)
+
+    def reset(self) -> None:
+        with self._lock:
+            self.rough = self.precise = self.query = self.miss = 0
+
+    def to_str(self) -> str:
+        # Same content as the reference's Metrics::to_str (metrics.rs:30-41).
+        with self._lock:
+            ratio = (self.rough / self.precise) if self.precise else 0.0
+            return (
+                f"query: {self.query}, "
+                f"rough: {self.rough}, precise: {self.precise}, "
+                f"rough/precise: {ratio:.2f}, miss: {self.miss}"
+            )
+
+
+METRICS = Metrics()

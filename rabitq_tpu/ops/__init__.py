@@ -1,0 +1,23 @@
+from rabitq_tpu.ops.rotation import gen_random_orthogonal, rotate
+from rabitq_tpu.ops.packing import (
+    pack_bits_u32,
+    unpack_bits_u32,
+    pack_query_bitplanes,
+    asymmetric_dot,
+    popcount,
+)
+from rabitq_tpu.ops.quantize import quantize_query_residuals
+from rabitq_tpu.ops.distances import pairwise_l2sq, l2sq
+
+__all__ = [
+    "gen_random_orthogonal",
+    "rotate",
+    "pack_bits_u32",
+    "unpack_bits_u32",
+    "pack_query_bitplanes",
+    "asymmetric_dot",
+    "popcount",
+    "quantize_query_residuals",
+    "pairwise_l2sq",
+    "l2sq",
+]

@@ -1,0 +1,36 @@
+"""Distance computations as MXU matmuls.
+
+The reference computes L2 distances one pair at a time with AVX FMA
+(/root/reference/src/simd.rs:14-73). The TPU-native formulation is the
+batched identity ||x - c||^2 = ||x||^2 - 2<x, c> + ||c||^2, whose inner
+product term is one MXU matmul over the whole batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def l2sq(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Elementwise-broadcast squared L2 over the last axis."""
+    d = x - y
+    return jnp.sum(d * d, axis=-1)
+
+
+def pairwise_l2sq(x: jax.Array, c: jax.Array) -> jax.Array:
+    """All-pairs squared L2: [n, d] x [k, d] -> [n, k].
+
+    Uses the matmul identity so the n*k*d FLOPs land on the MXU. Result is
+    clamped at 0 to guard against cancellation going slightly negative.
+    """
+    xx = jnp.sum(x * x, axis=-1, keepdims=True)  # [n, 1]
+    cc = jnp.sum(c * c, axis=-1)  # [k]
+    # HIGHEST: bf16 matmul passes would misrank near-tied clusters.
+    xc = jnp.matmul(
+        x,
+        c.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [n, k]
+    return jnp.maximum(xx - 2.0 * xc + cc[None, :], 0.0)

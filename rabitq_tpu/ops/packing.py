@@ -1,0 +1,84 @@
+"""Bit packing and asymmetric binary dot products.
+
+The reference packs sign bits into u64 words and computes the asymmetric
+1-bit-code x 4-bit-query inner product as four AVX2 popcount passes
+(/root/reference/src/utils.rs:53-67,90-135; src/simd.rs:83-107,326-384).
+
+On TPU there is no 64-bit lane and no shuffle-LUT popcount, but XLA lowers
+``lax.population_count`` on int32 natively on the VPU — so the TPU-native
+layout is uint32 words, 8x denser than raw bytes, with the whole
+candidates-by-words tile processed as one vectorised AND+popcount+reduce.
+Bit convention matches the reference (bit ``i`` of the vector lands in word
+``i // 32`` at position ``i % 32``), so serialized codes interconvert with
+the reference's u64 words by a plain little-endian view cast.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rabitq_tpu.consts import THETA_LOG_DIM, WORD_BITS
+
+_SHIFTS = None
+
+
+def _shifts() -> jax.Array:
+    return jnp.arange(WORD_BITS, dtype=jnp.uint32)
+
+
+def pack_bits_u32(bits: jax.Array) -> jax.Array:
+    """Pack {0,1} values along the last axis into uint32 words.
+
+    [..., D] -> [..., D // 32]; D must be a multiple of 32.
+    Equivalent to the reference's vector_binarize_u64 (utils.rs:53-61) with
+    32-bit words.
+    """
+    *lead, d = bits.shape
+    assert d % WORD_BITS == 0, f"dim {d} not a multiple of {WORD_BITS}"
+    w = d // WORD_BITS
+    b = bits.reshape(*lead, w, WORD_BITS).astype(jnp.uint32)
+    return (b << _shifts()).sum(axis=-1, dtype=jnp.uint32)
+
+
+def unpack_bits_u32(words: jax.Array, dim: int) -> jax.Array:
+    """Inverse of pack_bits_u32: [..., W] uint32 -> [..., dim] int32 in {0,1}."""
+    *lead, w = words.shape
+    assert w * WORD_BITS == dim
+    bits = (words[..., :, None] >> _shifts()) & jnp.uint32(1)
+    return bits.reshape(*lead, dim).astype(jnp.int32)
+
+
+def popcount(words: jax.Array) -> jax.Array:
+    """Per-word population count, int32."""
+    return jax.lax.population_count(words).astype(jnp.int32)
+
+
+def pack_query_bitplanes(quantized: jax.Array) -> jax.Array:
+    """Transpose 4-bit quantized query values into packed bit-planes.
+
+    [..., D] int32 in [0, 15] -> [..., THETA_LOG_DIM, D // 32] uint32, where
+    plane ``p`` holds bit ``p`` of each value (weight 2**p), matching the
+    reference's scalar layout (utils.rs:90-97).
+    """
+    planes = [
+        pack_bits_u32((quantized >> p) & 1) for p in range(THETA_LOG_DIM)
+    ]
+    return jnp.stack(planes, axis=-2)
+
+
+def asymmetric_dot(codes: jax.Array, planes: jax.Array) -> jax.Array:
+    """Asymmetric binary dot product: sum_i code_bit[i] * quantized[i].
+
+    codes:  [..., W] uint32 packed 1-bit codes (broadcastable against planes
+            without the plane axis).
+    planes: [..., THETA_LOG_DIM, W] uint32 query bit-planes.
+
+    Returns int32 [...]. Equivalent to the reference's
+    asymmetric_binary_dot_product (utils.rs:113-135): the popcount of
+    code AND plane_p, weighted by 2**p, summed over planes and words.
+    """
+    anded = codes[..., None, :] & planes
+    per_plane = popcount(anded).sum(axis=-1)  # [..., THETA_LOG_DIM]
+    weights = (1 << jnp.arange(THETA_LOG_DIM, dtype=jnp.int32))
+    return (per_plane * weights).sum(axis=-1)

@@ -1,0 +1,57 @@
+"""Query-residual scalar quantization.
+
+At query time RaBitQ quantizes the rotated query residual (y - c) to 4 bits
+per dimension with a per-cluster affine scale. The reference fuses
+residual+min/max in one AVX pass and quantizes with either round-to-nearest
+(AVX2 path, simd.rs:185-247) or floor+uniform-dither (scalar path,
+utils.rs:194-209). Here the entire probed set is quantized in one batched
+array program — residuals, bounds, deltas, codes and code-sums for all
+[B, probe] clusters at once.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rabitq_tpu.consts import SCALAR, THETA_LOG_DIM
+
+_QMAX = (1 << THETA_LOG_DIM) - 1
+# Guard against delta == 0 (all residual components equal): any positive
+# delta works because (v - lo) == 0 everywhere in that case.
+_TINY = jnp.float32(1e-30)
+
+
+class QuantizedQueries(NamedTuple):
+    """Per-(query, probed-cluster) quantization state."""
+
+    quantized: jax.Array  # [..., D] int32 in [0, 2^B - 1]
+    lower: jax.Array      # [...] f32 lo bound of the residual
+    delta: jax.Array      # [...] f32 quantization step
+    code_sum: jax.Array   # [...] f32 sum of quantized values
+
+
+def quantize_query_residuals(
+    residuals: jax.Array,
+    rand_bias: jax.Array | None = None,
+) -> QuantizedQueries:
+    """Quantize query residuals to THETA_LOG_DIM bits along the last axis.
+
+    residuals: [..., D] f32 (rotated query minus probed centroid).
+    rand_bias: optional [D] f32 dither in [0, 1); when given, uses the
+        reference's scalar floor+dither scheme (utils.rs:194-209), otherwise
+        round-to-nearest (the reference's AVX2 scheme, simd.rs:214).
+    """
+    lo = residuals.min(axis=-1)
+    hi = residuals.max(axis=-1)
+    delta = jnp.maximum((hi - lo) * jnp.float32(SCALAR), _TINY)
+    scaled = (residuals - lo[..., None]) / delta[..., None]
+    if rand_bias is None:
+        q = jnp.round(scaled)
+    else:
+        q = jnp.floor(scaled + rand_bias)
+    q = jnp.clip(q, 0, _QMAX).astype(jnp.int32)
+    code_sum = q.sum(axis=-1).astype(jnp.float32)
+    return QuantizedQueries(q, lo, delta, code_sum)

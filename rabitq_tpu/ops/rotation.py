@@ -1,0 +1,47 @@
+"""Random orthogonal rotation.
+
+RaBitQ rotates residuals by a random orthogonal matrix P so that the
+1-bit sign quantizer sees an isotropic distribution. The reference draws a
+dim x dim standard-normal matrix and takes the Q of its QR decomposition
+(/root/reference/src/utils.rs:16-20). Here the whole thing is a PRNG-keyed
+pure function: deterministic given the key, reproducible across hosts.
+
+Convention (matching the reference, rabitq.rs:188-189 and utils.rs:237):
+row vectors are rotated as ``v @ P``; the query is projected with the same
+expression since ``y_i = <q, P[:, i]>``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gen_random_orthogonal(key: jax.Array, dim: int) -> jax.Array:
+    """QR-based random orthogonal matrix, float32 [dim, dim].
+
+    QR of a standard normal matrix yields a Haar-ish orthogonal Q (exactly
+    Haar if R's diagonal signs are fixed; we fix them so the distribution is
+    uniform and the result deterministic up to the key).
+    """
+    g = jax.random.normal(key, (dim, dim), dtype=jnp.float32)
+    q, r = jnp.linalg.qr(g)
+    # Sign-fix: make diag(R) positive so Q is Haar-distributed.
+    d = jnp.sign(jnp.diagonal(r))
+    d = jnp.where(d == 0, 1.0, d)
+    return q * d[None, :]
+
+
+def rotate(v: jax.Array, orthogonal: jax.Array) -> jax.Array:
+    """Rotate row vector(s): ``v @ P``. Shapes [..., D] x [D, D] -> [..., D].
+
+    Full-f32 precision: JAX's default matmul precision runs bf16 passes,
+    whose ~8e-3 relative error flips sign bits of near-zero residuals and
+    perturbs distance estimates; HIGHEST forces the f32-accurate MXU path.
+    """
+    return jnp.matmul(
+        v,
+        orthogonal,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )

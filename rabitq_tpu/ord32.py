@@ -1,0 +1,41 @@
+"""Monotone f32 <-> sortable-i32 mapping ("ord32").
+
+The reference implementation (/root/reference/src/ord32.rs:6-44) wraps f32
+distances in a sortable integer so they can live in a binary heap of plain
+ints. On TPU we use the same trick for a different reason: inside Pallas
+kernels there is no 64-bit lane, so a (distance, id) pair cannot be packed
+into one word — but a *sortable int32* distance lets top-k style reductions
+run on integer min/max ops, and lets ties break deterministically.
+
+The mapping: for non-negative floats the IEEE-754 bit pattern is already
+monotone as a signed int; for negative floats we flip all non-sign bits so
+that more-negative sorts lower.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def f32_to_ord32(x):
+    """Map float32 -> int32 such that the int order matches the float order.
+
+    Works on jnp or np arrays. NaNs map above +inf (like total_cmp).
+    """
+    if isinstance(x, np.ndarray) or np.isscalar(x):
+        bits = np.asarray(x, dtype=np.float32).view(np.int32)
+        return np.where(bits >= 0, bits, bits ^ np.int32(0x7FFFFFFF))
+    bits = jnp.asarray(x, dtype=jnp.float32).view(jnp.int32)
+    return jnp.where(bits >= 0, bits, bits ^ jnp.int32(0x7FFFFFFF))
+
+
+def ord32_to_f32(o):
+    """Inverse of :func:`f32_to_ord32`."""
+    if isinstance(o, np.ndarray) or np.isscalar(o):
+        o = np.asarray(o, dtype=np.int32)
+        bits = np.where(o >= 0, o, o ^ np.int32(0x7FFFFFFF))
+        return bits.view(np.float32)
+    o = jnp.asarray(o, dtype=jnp.int32)
+    bits = jnp.where(o >= 0, o, o ^ jnp.int32(0x7FFFFFFF))
+    return bits.view(jnp.float32)

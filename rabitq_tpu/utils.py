@@ -1,0 +1,31 @@
+"""Shared helpers: padding, recall."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_last_dim(a: np.ndarray, dim: int) -> np.ndarray:
+    """Zero-pad the last axis of ``a`` up to ``dim`` (no-op if equal).
+
+    Mirrors the reference's dim padding (rabitq.rs:168-179): vectors are
+    padded with zeros so codes pack into whole words and arrays tile onto
+    TPU lanes.
+    """
+    cur = a.shape[-1]
+    if cur == dim:
+        return a
+    assert cur < dim, f"cannot pad {cur} down to {dim}"
+    pad = [(0, 0)] * (a.ndim - 1) + [(0, dim - cur)]
+    return np.pad(a, pad)
+
+
+def calculate_recall(truth: np.ndarray, result: np.ndarray, topk: int) -> float:
+    """|result ∩ truth[:topk]| / topk (reference utils.rs:367-379)."""
+    t = set(np.asarray(truth)[:topk].tolist())
+    r = np.asarray(result)[:topk]
+    return sum(1 for i in r.tolist() if i in t) / topk

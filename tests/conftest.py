@@ -1,0 +1,44 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Must set platform flags before jax initialises. Multi-chip sharding tests
+use these 8 virtual devices; the real TPU is exercised by bench.py and the
+driver's compile checks.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def make_clustered_dataset(rng, n=2000, dim=48, k=16, spread=0.15):
+    """Gaussian-mixture corpus: realistic IVF clustering structure."""
+    centers = rng.standard_normal((k, dim)).astype(np.float32)
+    labels = rng.integers(0, k, n)
+    x = centers[labels] + spread * rng.standard_normal((n, dim)).astype(
+        np.float32
+    )
+    return x.astype(np.float32), centers
+
+
+def brute_force_topk(base, queries, topk):
+    """Exact ground truth by full scan."""
+    d2 = (
+        (queries**2).sum(1)[:, None]
+        - 2 * queries @ base.T
+        + (base**2).sum(1)[None, :]
+    )
+    idx = np.argsort(d2, axis=1, kind="stable")[:, :topk]
+    return idx.astype(np.int32)

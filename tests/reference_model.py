@@ -1,0 +1,68 @@
+"""Scalar numpy oracle of the RaBitQ math.
+
+A direct transcription of the reference algorithm's *mathematics*
+(/root/reference/src/rabitq.rs:159-367 and src/utils.rs) into plain numpy,
+used as the golden model for parity tests against the batched TPU pipeline.
+This is deliberately naive and loop-free only where trivial.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EPSILON = 1.9
+THETA_LOG_DIM = 4
+SCALAR = 1.0 / ((1 << THETA_LOG_DIM) - 1)
+DEFAULT_X_DOT_PRODUCT = 0.8
+
+
+def ref_build(base_pad, centroids_pad, orthogonal):
+    """Returns (labels, bits, factors dict) for padded f32 inputs."""
+    x = base_pad.astype(np.float64) @ orthogonal.astype(np.float64)
+    c = centroids_pad.astype(np.float64) @ orthogonal.astype(np.float64)
+    n, d = x.shape
+    labels = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        labels[i] = np.argmin(((x[i] - c) ** 2).sum(axis=1))
+    r = x - c[labels]
+    cdsq = (r**2).sum(axis=1)
+    norm = np.sqrt(cdsq)
+    l1 = np.abs(r).sum(axis=1)
+    bits = (r > 0).astype(np.int64)
+    denom = norm * np.sqrt(d)
+    x_dot = np.where(denom > 1e-38, l1 / np.maximum(denom, 1e-300),
+                     DEFAULT_X_DOT_PRODUCT)
+    x_c_over_ip = norm / x_dot
+    error_bound = (2.0 * EPSILON / np.sqrt(d - 1.0)) * np.sqrt(
+        np.maximum(x_c_over_ip**2 - cdsq, 0.0)
+    )
+    factor_ip = -2.0 / np.sqrt(d) * x_c_over_ip
+    sum_signs = 2.0 * bits.sum(axis=1) - d
+    factor_ppc = factor_ip * sum_signs
+    return labels, bits, dict(
+        ip=factor_ip, ppc=factor_ppc, err=error_bound, cdsq=cdsq
+    )
+
+
+def ref_quantize_query_residual(yr, round_mode=True, bias=None):
+    """4-bit scalar quantization of one query residual (utils.rs:194-232)."""
+    lo, hi = yr.min(), yr.max()
+    delta = (hi - lo) * SCALAR
+    if delta <= 0:
+        delta = 1e-30
+    scaled = (yr - lo) / delta
+    q = np.round(scaled) if round_mode else np.floor(scaled + bias)
+    q = np.clip(q, 0, 15).astype(np.int64)
+    return q, lo, delta, q.sum()
+
+
+def ref_rough_distance(bits, q, factors, idx, ycd, lo, delta, ssum):
+    """Rough estimator for one candidate (rabitq.rs:336-367)."""
+    abdp = int(np.dot(bits[idx], q))
+    return (
+        factors["cdsq"][idx]
+        + ycd
+        + lo * factors["ppc"][idx]
+        + (2.0 * abdp - ssum) * factors["ip"][idx] * delta
+        - factors["err"][idx] * np.sqrt(ycd)
+    )

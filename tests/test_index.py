@@ -1,0 +1,116 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import brute_force_topk, make_clustered_dataset
+from rabitq_tpu import SearchParams, build_index, calculate_recall, search
+from rabitq_tpu.index.search import estimate_candidates
+from rabitq_tpu.ops import unpack_bits_u32
+from reference_model import ref_build
+
+
+def test_build_factors_match_reference_model(rng):
+    """Batched build parity against the scalar numpy oracle (identity P)."""
+    base, centers = make_clustered_dataset(rng, n=200, dim=128, k=8)
+    eye = np.eye(128, dtype=np.float32)
+    idx = build_index(base, centers, orthogonal=eye)
+
+    labels, bits, fac = ref_build(base, centers, eye)
+    order = np.asarray(idx.map_ids)
+
+    # Same assignment and sorted-by-(label, dist) layout.
+    sizes = np.bincount(labels, minlength=8)
+    np.testing.assert_array_equal(idx.cluster_sizes, sizes)
+    np.testing.assert_array_equal(labels[order], np.sort(labels))
+
+    # Codes: unpack and compare sign bits.
+    got_bits = np.asarray(unpack_bits_u32(idx.codes, 128))
+    np.testing.assert_array_equal(got_bits, bits[order])
+
+    got_fac = np.asarray(idx.factors)
+    np.testing.assert_allclose(got_fac[:, 0], fac["ip"][order], rtol=2e-4)
+    np.testing.assert_allclose(got_fac[:, 1], fac["ppc"][order], rtol=2e-4)
+    np.testing.assert_allclose(
+        got_fac[:, 2], fac["err"][order], rtol=2e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(got_fac[:, 3], fac["cdsq"][order], rtol=2e-4)
+
+
+def test_exhaustive_search_is_exact(rng):
+    """probe = K and rerank = everything must reproduce brute force."""
+    base, centers = make_clustered_dataset(rng, n=1000, dim=48, k=8)
+    idx = build_index(base, centers, key=jax.random.key(1))
+    queries = base[:20] + 0.01 * rng.standard_normal((20, 48)).astype(
+        np.float32
+    )
+    params = SearchParams(probe=8, topk=10, rerank=1000)
+    dists, ids = search(idx, jnp.asarray(queries), params)
+    ids = np.asarray(ids)
+    truth = brute_force_topk(base, queries, 10)
+    recall = np.mean(
+        [calculate_recall(truth[i], ids[i], 10) for i in range(len(queries))]
+    )
+    assert recall == 1.0
+    # Distances are exact squared L2 of the returned ids.
+    d0 = ((queries[0] - base[ids[0]]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(dists)[0], d0, rtol=1e-3, atol=1e-4)
+
+
+def test_partial_probe_recall(rng):
+    base, centers = make_clustered_dataset(rng, n=4000, dim=64, k=32)
+    idx = build_index(base, centers, key=jax.random.key(2))
+    nq = 30
+    queries = base[rng.choice(4000, nq, replace=False)] + (
+        0.02 * rng.standard_normal((nq, 64)).astype(np.float32)
+    )
+    truth = brute_force_topk(base, queries, 10)
+    params = SearchParams(probe=8, topk=10, rerank=100)
+    _, ids = search(idx, jnp.asarray(queries), params)
+    ids = np.asarray(ids)
+    recall = np.mean(
+        [calculate_recall(truth[i], ids[i], 10) for i in range(nq)]
+    )
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_estimator_lower_bound_mostly_holds(rng):
+    """rough - err*|y-c| is a lower confidence bound on the true distance:
+    violations should be rare (EPSILON=1.9 ~ 1.9 sigma)."""
+    base, centers = make_clustered_dataset(rng, n=500, dim=96, k=4)
+    idx = build_index(base, centers, key=jax.random.key(3))
+    queries = rng.standard_normal((8, 96)).astype(np.float32) * 0.5
+    params = SearchParams(probe=4, topk=10, rerank=500)
+    cand = estimate_candidates(idx, jnp.asarray(queries), params)
+    lb = np.asarray(cand.lower_bound)
+    pos = np.asarray(cand.pos)
+    base_sorted = np.asarray(idx.base)[:, :96]
+    violations = 0
+    total = 0
+    for b in range(8):
+        valid = np.isfinite(lb[b])
+        exact = ((base_sorted[pos[b, valid]] - queries[b]) ** 2).sum(-1)
+        violations += (lb[b, valid] > exact + 1e-4).sum()
+        total += valid.sum()
+    assert total > 0
+    assert violations / total < 0.05, f"{violations}/{total} LB violations"
+
+
+def test_batch_of_one_and_odd_sizes(rng):
+    base, centers = make_clustered_dataset(rng, n=333, dim=40, k=5)
+    idx = build_index(base, centers, key=jax.random.key(4))
+    q = jnp.asarray(base[:1])
+    params = SearchParams(probe=5, topk=3, rerank=50)
+    dists, ids = search(idx, q, params)
+    assert ids.shape == (1, 3)
+    assert int(np.asarray(ids)[0, 0]) == 0  # itself
+    assert float(np.asarray(dists)[0, 0]) < 1e-6
+
+
+def test_probe_larger_than_k_is_clamped(rng):
+    base, centers = make_clustered_dataset(rng, n=200, dim=32, k=4)
+    idx = build_index(base, centers)
+    params = SearchParams(probe=100, topk=5, rerank=200)
+    dists, ids = search(idx, jnp.asarray(base[:2]), params)
+    assert ids.shape == (2, 5)
+    assert np.isfinite(np.asarray(dists)).all()

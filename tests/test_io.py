@@ -1,0 +1,65 @@
+import numpy as np
+import pytest
+
+from rabitq_tpu.io import (
+    read_matrix,
+    read_u64_vecs,
+    read_vecs,
+    write_matrix,
+    write_u64_vecs,
+    write_vecs,
+)
+from rabitq_tpu.io.vecs import mmap_fvecs_matrix
+
+
+def test_fvecs_matrix_roundtrip(tmp_path, rng):
+    mat = rng.standard_normal((17, 33)).astype(np.float32)
+    p = tmp_path / "x.fvecs"
+    write_matrix(p, mat)
+    np.testing.assert_array_equal(read_matrix(p), mat)
+    rows = read_vecs(p)
+    assert len(rows) == 17
+    np.testing.assert_array_equal(np.stack(rows), mat)
+
+
+def test_ivecs_ragged_roundtrip(tmp_path):
+    a = np.arange(5, dtype=np.int32)
+    b = np.arange(9, dtype=np.int32) * 7
+    p = tmp_path / "x.ivecs"
+    write_vecs(p, [a, b])
+    out = read_vecs(p, np.int32)
+    assert len(out) == 2
+    np.testing.assert_array_equal(out[0], a)
+    np.testing.assert_array_equal(out[1], b)
+
+
+def test_u64vecs_roundtrip(tmp_path, rng):
+    v = rng.integers(0, 2**63, size=40, dtype=np.uint64)
+    p = tmp_path / "x.u64vecs"
+    write_u64_vecs(p, [v[:10], v[10:]])
+    out = read_u64_vecs(p)
+    np.testing.assert_array_equal(np.concatenate(out), v)
+
+
+def test_binary_layout_matches_texmex_convention(tmp_path):
+    # One record, dim 2, values [1.0, 2.0]: bytes = u32(2) + 2 f32 LE.
+    p = tmp_path / "x.fvecs"
+    write_matrix(p, np.array([[1.0, 2.0]], dtype=np.float32))
+    raw = p.read_bytes()
+    assert raw[:4] == (2).to_bytes(4, "little")
+    assert np.frombuffer(raw[4:], dtype="<f4").tolist() == [1.0, 2.0]
+
+
+def test_mmap_fvecs(tmp_path, rng):
+    mat = rng.standard_normal((8, 16)).astype(np.float32)
+    p = tmp_path / "x.fvecs"
+    write_matrix(p, mat)
+    mm = mmap_fvecs_matrix(p)
+    np.testing.assert_array_equal(np.asarray(mm), mat)
+
+
+def test_corrupt_record_raises(tmp_path):
+    p = tmp_path / "bad.fvecs"
+    p.write_bytes((100).to_bytes(4, "little") + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        read_vecs(p)

@@ -1,0 +1,97 @@
+import jax.numpy as jnp
+import numpy as np
+
+from rabitq_tpu.ops import (
+    asymmetric_dot,
+    pack_bits_u32,
+    pack_query_bitplanes,
+    pairwise_l2sq,
+    popcount,
+    quantize_query_residuals,
+    unpack_bits_u32,
+)
+
+
+def test_pack_unpack_roundtrip(rng):
+    bits = rng.integers(0, 2, size=(5, 96)).astype(np.int32)
+    words = pack_bits_u32(jnp.asarray(bits))
+    assert words.shape == (5, 3) and words.dtype == jnp.uint32
+    np.testing.assert_array_equal(np.asarray(unpack_bits_u32(words, 96)), bits)
+
+
+def test_pack_bit_convention():
+    # Bit i lands in word i//32 at position i%32 (reference utils.rs:53-61).
+    bits = np.zeros(64, dtype=np.int32)
+    bits[0] = 1
+    bits[33] = 1
+    words = np.asarray(pack_bits_u32(jnp.asarray(bits)))
+    assert words[0] == 1
+    assert words[1] == 1 << 1
+
+
+def test_popcount(rng):
+    w = rng.integers(0, 2**32, size=(4, 7), dtype=np.uint32)
+    expected = np.bitwise_count(w).astype(np.int32)
+    got = np.asarray(popcount(jnp.asarray(w)))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_asymmetric_dot_equals_integer_dot(rng):
+    # The 4-plane weighted popcount must equal the plain integer dot product
+    # of the binary code with the 4-bit quantized query.
+    d = 128
+    bits = rng.integers(0, 2, size=(10, d)).astype(np.int32)
+    q = rng.integers(0, 16, size=(10, d)).astype(np.int32)
+    codes = pack_bits_u32(jnp.asarray(bits))
+    planes = pack_query_bitplanes(jnp.asarray(q))
+    got = np.asarray(asymmetric_dot(codes, planes))
+    expected = (bits * q).sum(axis=-1)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_asymmetric_dot_broadcast(rng):
+    # codes [C, W] against planes [4, W] (one query, many candidates).
+    d = 64
+    bits = rng.integers(0, 2, size=(17, d)).astype(np.int32)
+    q = rng.integers(0, 16, size=d).astype(np.int32)
+    codes = pack_bits_u32(jnp.asarray(bits))
+    planes = pack_query_bitplanes(jnp.asarray(q))
+    got = np.asarray(asymmetric_dot(codes, planes))
+    np.testing.assert_array_equal(got, bits @ q)
+
+
+def test_quantize_round(rng):
+    yr = rng.standard_normal((3, 5, 64)).astype(np.float32)
+    q = quantize_query_residuals(jnp.asarray(yr))
+    qq = np.asarray(q.quantized)
+    assert qq.min() >= 0 and qq.max() <= 15
+    # Dequantized values approximate the residual within delta/2.
+    deq = np.asarray(q.lower)[..., None] + qq * np.asarray(q.delta)[..., None]
+    err = np.abs(deq - yr)
+    assert err.max() <= np.asarray(q.delta).max() * 0.5 + 1e-5
+    np.testing.assert_allclose(
+        np.asarray(q.code_sum), qq.sum(-1).astype(np.float32)
+    )
+
+
+def test_quantize_constant_residual_no_nan():
+    yr = jnp.ones((2, 8), jnp.float32) * 3.0
+    q = quantize_query_residuals(yr)
+    assert np.isfinite(np.asarray(q.quantized)).all()
+    assert np.asarray(q.quantized).max() == 0
+
+
+def test_quantize_dither_mode(rng):
+    yr = rng.standard_normal((4, 32)).astype(np.float32)
+    bias = rng.random(32).astype(np.float32)
+    q = quantize_query_residuals(jnp.asarray(yr), jnp.asarray(bias))
+    qq = np.asarray(q.quantized)
+    assert qq.min() >= 0 and qq.max() <= 15
+
+
+def test_pairwise_l2sq(rng):
+    x = rng.standard_normal((7, 24)).astype(np.float32)
+    c = rng.standard_normal((5, 24)).astype(np.float32)
+    got = np.asarray(pairwise_l2sq(jnp.asarray(x), jnp.asarray(c)))
+    expected = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)

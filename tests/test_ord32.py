@@ -1,0 +1,26 @@
+import numpy as np
+
+from rabitq_tpu.ord32 import f32_to_ord32, ord32_to_f32
+
+
+def test_monotone_and_invertible(rng):
+    x = np.unique(
+        np.concatenate(
+            [
+                rng.standard_normal(500).astype(np.float32) * 1e3,
+                np.array([0.0, 1e-38, -1e-38, np.inf, -np.inf], np.float32),
+            ]
+        )
+    )  # unique returns sorted ascending
+    o = f32_to_ord32(x).astype(np.int64)
+    assert np.all(np.diff(o) > 0), "ord32 must be strictly monotone"
+    np.testing.assert_array_equal(ord32_to_f32(f32_to_ord32(x)), x)
+
+
+def test_jnp_matches_np(rng):
+    import jax.numpy as jnp
+
+    x = rng.standard_normal(256).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(f32_to_ord32(jnp.asarray(x))), f32_to_ord32(x)
+    )
