@@ -1,0 +1,190 @@
+"""Index (de)serialization.
+
+Two formats:
+
+1. **Reference directory format** — byte-compatible with the Rust
+   reference's dump/load (/root/reference/src/rabitq.rs:84-156), so an index
+   built by either implementation loads in the other:
+
+   - ``base.fvecs``          n records x dim f32 (padded, cluster-sorted)
+   - ``orthogonal.fvecs``    dim records x dim f32 (P, row-vector convention)
+   - ``centroids.fvecs``     dim records x k f32 (**rotated**, stored
+                             transposed — the reference dumps its internal
+                             [dim, k] layout, rabitq.rs:133)
+   - ``offsets_ids.ivecs``   2 records: offsets [k+1], map_ids [n]
+   - ``factors.fvecs``       1 record of 4n f32 (ip, ppc, err, cdsq quads)
+   - ``x_binary_vec.u64vecs``1 record of n * dim/64 u64 code words
+
+   The reference does NOT persist rand_bias (it regenerates it on load,
+   rabitq.rs:119 — harmless only for its round-mode AVX2 quantizer). We
+   additionally write ``meta.json`` with rand_bias/dim_orig; when loading a
+   directory without it (i.e. one written by the reference), the bias is
+   regenerated exactly like the reference does.
+
+2. **Native .npz format** — one compressed file, fastest to load, preserves
+   everything.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rabitq_tpu.index.index import RaBitQIndex
+from rabitq_tpu.io import (
+    read_matrix,
+    read_u64_vecs,
+    read_vecs,
+    write_matrix,
+    write_u64_vecs,
+    write_vecs,
+)
+from rabitq_tpu.utils import round_up
+
+_META = "meta.json"
+
+
+def _codes_to_u64(codes_u32: np.ndarray) -> np.ndarray:
+    """[N, W32] uint32 -> flat u64 words, bit-identical little-endian pairs."""
+    n, w = codes_u32.shape
+    assert w % 2 == 0, "dim must be a multiple of 64 for u64 serialization"
+    return np.ascontiguousarray(codes_u32).reshape(-1).view(np.uint64)
+
+
+def _codes_from_u64(words: np.ndarray, n: int, w32: int) -> np.ndarray:
+    return np.ascontiguousarray(words).view(np.uint32).reshape(n, w32)
+
+
+def dump_to_dir(index: RaBitQIndex, path: str | Path) -> None:
+    """Write the reference-compatible directory format (+ meta.json)."""
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    assert index.base is not None, "dump requires full-precision base"
+
+    write_matrix(path / "base.fvecs", np.asarray(index.base))
+    write_matrix(path / "orthogonal.fvecs", np.asarray(index.orthogonal))
+    write_matrix(path / "centroids.fvecs", np.asarray(index.centroids_rot).T)
+    write_vecs(
+        path / "offsets_ids.ivecs",
+        [
+            np.asarray(index.offsets).astype(np.uint32),
+            np.asarray(index.map_ids).astype(np.uint32),
+        ],
+    )
+    write_vecs(
+        path / "factors.fvecs", [np.asarray(index.factors).reshape(-1)]
+    )
+    write_u64_vecs(
+        path / "x_binary_vec.u64vecs", [_codes_to_u64(np.asarray(index.codes))]
+    )
+    (path / _META).write_text(
+        json.dumps(
+            dict(
+                format=1,
+                dim=index.dim,
+                dim_orig=index.dim_orig,
+                capacity=index.capacity,
+                rand_bias=np.asarray(index.rand_bias).tolist(),
+            )
+        )
+    )
+
+
+def load_from_dir(
+    path: str | Path, *, keep_base: bool = True, key: jax.Array | None = None
+) -> RaBitQIndex:
+    """Load the directory format (reference-built dirs load too)."""
+    path = Path(path)
+    orthogonal = read_matrix(path / "orthogonal.fvecs")
+    dim = orthogonal.shape[0]
+    assert dim % 64 == 0, "stored dim must be a multiple of 64"
+    w32 = dim // 32
+
+    centroids_rot = read_matrix(path / "centroids.fvecs").T  # [k, dim]
+    offsets_ids = read_vecs(path / "offsets_ids.ivecs", np.int32)
+    offsets, map_ids = offsets_ids[0], offsets_ids[-1]
+    k = offsets.shape[0] - 1
+    n = map_ids.shape[0]
+    assert centroids_rot.shape == (k, dim)
+
+    factors = np.concatenate(read_vecs(path / "factors.fvecs")).reshape(n, 4)
+    words = np.concatenate(read_u64_vecs(path / "x_binary_vec.u64vecs"))
+    codes = _codes_from_u64(words, n, w32)
+
+    meta_path = path / _META
+    if meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+        rand_bias = jnp.asarray(np.asarray(meta["rand_bias"], np.float32))
+        dim_orig = int(meta["dim_orig"])
+        capacity = int(meta["capacity"])
+    else:
+        # Reference-built dir: regenerate like rabitq.rs:119.
+        rand_bias = jax.random.uniform(
+            key if key is not None else jax.random.key(0),
+            (dim,),
+            dtype=jnp.float32,
+        )
+        dim_orig = dim
+        sizes = offsets[1:] - offsets[:-1]
+        capacity = max(8, round_up(int(sizes.max(initial=1)), 8))
+
+    base = None
+    if keep_base:
+        base = jnp.asarray(read_matrix(path / "base.fvecs"))
+        assert base.shape == (n, dim)
+
+    return RaBitQIndex(
+        codes=jnp.asarray(codes),
+        factors=jnp.asarray(factors),
+        offsets=jnp.asarray(offsets),
+        map_ids=jnp.asarray(map_ids),
+        centroids_rot=jnp.asarray(centroids_rot),
+        orthogonal=jnp.asarray(orthogonal),
+        rand_bias=rand_bias,
+        base=base,
+        dim=dim,
+        dim_orig=dim_orig,
+        capacity=capacity,
+    )
+
+
+def dump_to_npz(index: RaBitQIndex, path: str | Path) -> None:
+    """Native single-file format (preserves everything, loads fastest)."""
+    arrays = dict(
+        codes=np.asarray(index.codes),
+        factors=np.asarray(index.factors),
+        offsets=np.asarray(index.offsets),
+        map_ids=np.asarray(index.map_ids),
+        centroids_rot=np.asarray(index.centroids_rot),
+        orthogonal=np.asarray(index.orthogonal),
+        rand_bias=np.asarray(index.rand_bias),
+        meta=np.asarray([index.dim, index.dim_orig, index.capacity]),
+    )
+    if index.base is not None:
+        arrays["base"] = np.asarray(index.base)
+    np.savez(path, **arrays)
+
+
+def load_from_npz(path: str | Path, *, keep_base: bool = True) -> RaBitQIndex:
+    with np.load(path) as z:
+        dim, dim_orig, capacity = (int(v) for v in z["meta"])
+        base = None
+        if keep_base and "base" in z:
+            base = jnp.asarray(z["base"])
+        return RaBitQIndex(
+            codes=jnp.asarray(z["codes"]),
+            factors=jnp.asarray(z["factors"]),
+            offsets=jnp.asarray(z["offsets"]),
+            map_ids=jnp.asarray(z["map_ids"]),
+            centroids_rot=jnp.asarray(z["centroids_rot"]),
+            orthogonal=jnp.asarray(z["orthogonal"]),
+            rand_bias=jnp.asarray(z["rand_bias"]),
+            base=base,
+            dim=dim,
+            dim_orig=dim_orig,
+            capacity=capacity,
+        )

@@ -1,0 +1,54 @@
+import jax
+import numpy as np
+
+from conftest import make_clustered_dataset
+from rabitq_tpu.kmeans import assign, hierarchical_kmeans, kmeans
+from rabitq_tpu.ops import pairwise_l2sq
+
+
+def _cost(x, c):
+    import jax.numpy as jnp
+
+    d = np.asarray(pairwise_l2sq(jnp.asarray(x), jnp.asarray(c)))
+    return d.min(axis=1).mean()
+
+
+def test_kmeans_recovers_separated_clusters(rng):
+    x, centers = make_clustered_dataset(rng, n=3000, dim=32, k=8, spread=0.05)
+    c = kmeans(x, 8, iters=30, key=jax.random.key(1))
+    assert c.shape == (8, 32)
+    # Every true center has a learned centroid within noise distance.
+    d = ((centers[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    assert d.min(axis=1).max() < 0.1
+
+
+def test_kmeans_cost_beats_random_init(rng):
+    x, _ = make_clustered_dataset(rng, n=2000, dim=16, k=10, spread=0.3)
+    c = kmeans(x, 10, iters=20, key=jax.random.key(2))
+    rand_c = x[rng.choice(2000, 10, replace=False)]
+    assert _cost(x, c) < _cost(x, rand_c) * 0.9
+
+
+def test_kmeans_k_clamped_to_n(rng):
+    x = rng.standard_normal((5, 8)).astype(np.float32)
+    c = kmeans(x, 16)
+    assert c.shape == (5, 8)
+
+
+def test_assign_matches_bruteforce(rng):
+    x, centers = make_clustered_dataset(rng, n=1000, dim=24, k=6)
+    lab = assign(x, centers, chunk=256)
+    d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_array_equal(lab, d.argmin(axis=1))
+
+
+def test_hierarchical_shape_and_quality(rng):
+    x, _ = make_clustered_dataset(rng, n=4000, dim=24, k=12, spread=0.2)
+    c = hierarchical_kmeans(x, t=4, d_sub=3, key=jax.random.key(3))
+    assert c.shape == (12, 24)
+    flat = kmeans(x, 12, key=jax.random.key(4))
+    # Hierarchical trades quality for speed (sub-clusters cannot cross
+    # top-level boundaries) but shouldn't be wildly worse than flat.
+    assert _cost(x, c) < _cost(x, flat) * 3.0
+    # ... and far better than no clustering at all (global variance).
+    assert _cost(x, c) < ((x - x.mean(0)) ** 2).sum(-1).mean() * 0.5

@@ -1,0 +1,107 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conftest import make_clustered_dataset
+from rabitq_tpu import SearchParams, build_index, search
+from rabitq_tpu.index.serialize import (
+    dump_to_dir,
+    dump_to_npz,
+    load_from_dir,
+    load_from_npz,
+)
+
+
+def _assert_same_results(idx_a, idx_b, queries, params):
+    da, ia = search(idx_a, queries, params)
+    db, ib = search(idx_b, queries, params)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+    np.testing.assert_allclose(np.asarray(da), np.asarray(db), rtol=1e-6)
+
+
+def test_dir_roundtrip(tmp_path, rng):
+    base, centers = make_clustered_dataset(rng, n=500, dim=40, k=8)
+    idx = build_index(base, centers, key=jax.random.key(5))
+    dump_to_dir(idx, tmp_path / "idx")
+    idx2 = load_from_dir(tmp_path / "idx")
+
+    assert idx2.dim == idx.dim and idx2.dim_orig == idx.dim_orig
+    assert idx2.capacity == idx.capacity
+    np.testing.assert_array_equal(np.asarray(idx2.codes), np.asarray(idx.codes))
+    np.testing.assert_array_equal(
+        np.asarray(idx2.offsets), np.asarray(idx.offsets)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(idx2.map_ids), np.asarray(idx.map_ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(idx2.factors), np.asarray(idx.factors), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(idx2.rand_bias), np.asarray(idx.rand_bias)
+    )
+    q = jnp.asarray(base[:5])
+    _assert_same_results(idx, idx2, q, SearchParams(probe=8, topk=5, rerank=50))
+
+
+def test_dir_files_match_reference_layout(tmp_path, rng):
+    """Shapes of each file must match the reference's conventions
+    (rabitq.rs:128-156): centroids stored transposed [dim, k], factors and
+    codes as single flat records."""
+    from rabitq_tpu.io import read_matrix, read_u64_vecs, read_vecs
+
+    base, centers = make_clustered_dataset(rng, n=300, dim=64, k=4)
+    idx = build_index(base, centers)
+    d = tmp_path / "idx"
+    dump_to_dir(idx, d)
+
+    assert read_matrix(d / "base.fvecs").shape == (300, idx.dim)
+    assert read_matrix(d / "orthogonal.fvecs").shape == (idx.dim, idx.dim)
+    assert read_matrix(d / "centroids.fvecs").shape == (idx.dim, 4)
+    oi = read_vecs(d / "offsets_ids.ivecs", np.int32)
+    assert len(oi) == 2 and oi[0].shape == (5,) and oi[1].shape == (300,)
+    fa = read_vecs(d / "factors.fvecs")
+    assert len(fa) == 1 and fa[0].shape == (4 * 300,)
+    cw = read_u64_vecs(d / "x_binary_vec.u64vecs")
+    assert len(cw) == 1 and cw[0].shape == (300 * idx.dim // 64,)
+
+
+def test_load_reference_dir_without_meta(tmp_path, rng):
+    """A dir written by the Rust reference has no meta.json; loading must
+    regenerate rand_bias (rabitq.rs:119) and still search correctly."""
+    base, centers = make_clustered_dataset(rng, n=400, dim=48, k=8)
+    idx = build_index(base, centers, key=jax.random.key(6))
+    d = tmp_path / "idx"
+    dump_to_dir(idx, d)
+    (d / "meta.json").unlink()
+    idx2 = load_from_dir(d)
+    assert idx2.dim_orig == idx2.dim  # unknowable without meta
+    params = SearchParams(probe=8, topk=5, rerank=400)
+    _, ids = search(idx2, jnp.asarray(base[:3, :48]), params)
+    assert int(np.asarray(ids)[0, 0]) == 0
+
+
+def test_npz_roundtrip(tmp_path, rng):
+    base, centers = make_clustered_dataset(rng, n=500, dim=40, k=8)
+    idx = build_index(base, centers, key=jax.random.key(7))
+    dump_to_npz(idx, tmp_path / "idx.npz")
+    idx2 = load_from_npz(tmp_path / "idx.npz")
+    q = jnp.asarray(base[:5])
+    _assert_same_results(idx, idx2, q, SearchParams(probe=8, topk=5, rerank=50))
+
+
+def test_u64_bit_convention(rng):
+    """u32 pair -> u64 conversion must match the reference's bit numbering:
+    bit i of the vector is bit i%64 of u64 word i//64."""
+    from rabitq_tpu.index.serialize import _codes_from_u64, _codes_to_u64
+    from rabitq_tpu.ops import pack_bits_u32
+
+    bits = rng.integers(0, 2, size=(3, 128)).astype(np.int32)
+    codes = np.asarray(pack_bits_u32(jnp.asarray(bits)))
+    w64 = _codes_to_u64(codes).reshape(3, 2)
+    for r in range(3):
+        for i in range(128):
+            assert (int(w64[r, i // 64]) >> (i % 64)) & 1 == bits[r, i]
+    np.testing.assert_array_equal(
+        _codes_from_u64(w64.reshape(-1), 3, 4), codes
+    )
