@@ -1,0 +1,204 @@
+"""Command-line interface.
+
+``run`` mirrors the reference CLI's load-or-build + evaluate loop
+(/root/reference/crates/cli/src/main.rs:11-83) with the same short flags
+(-b base, -c centroids, -q query, -t truth, -p probe, -k topk, -s saved)
+plus TPU-pipeline knobs (--batch, --rerank, --rerank-mode). ``train`` runs
+the in-framework k-means (replacing scripts/cluster.py). ``build`` builds
+and saves without evaluating.
+
+Logging via the RABITQ_LOG env var (reference: cli/main.rs:41).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _setup_logging() -> None:
+    level = os.environ.get("RABITQ_LOG", "info").upper()
+    logging.basicConfig(
+        level=getattr(logging, level, logging.INFO),
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+
+
+def _load_or_build(args) -> "object":
+    import jax
+
+    from rabitq_tpu.index.build import build_index
+    from rabitq_tpu.index.serialize import dump_to_dir, load_from_dir
+    from rabitq_tpu.io import read_matrix
+
+    log = logging.getLogger("rabitq_tpu.cli")
+    saved = Path(args.saved)
+    if saved.is_dir():
+        log.info("loading index from %s", saved)
+        return load_from_dir(saved)
+    log.info("building index from %s", args.base)
+    base = read_matrix(args.base)
+    centroids = read_matrix(args.centroids)
+    index = build_index(base, centroids, key=jax.random.key(args.seed))
+    log.info("saving index to %s", saved)
+    dump_to_dir(index, saved)
+    return index
+
+
+def cmd_run(args) -> None:
+    import jax.numpy as jnp
+
+    from rabitq_tpu.index.index import SearchParams
+    from rabitq_tpu.index.search import rough_scan, search
+    from rabitq_tpu.io import read_matrix
+    from rabitq_tpu.metrics import METRICS
+    from rabitq_tpu.rerank import new_re_ranker
+    from rabitq_tpu.utils import calculate_recall
+
+    log = logging.getLogger("rabitq_tpu.cli")
+    index = _load_or_build(args)
+    queries = read_matrix(args.query)
+    truth = read_matrix(args.truth, np.int32)
+    params = SearchParams(
+        probe=args.probe, topk=args.topk, rerank=args.rerank
+    )
+
+    nq, d = queries.shape
+    batch = max(1, args.batch)
+    total_time = 0.0
+    recall = 0.0
+
+    if args.rerank_mode in ("heap", "heuristic"):
+        # Host-reranker parity path: exact reference pruning semantics.
+        base_np = np.asarray(index.base)
+        map_ids = np.asarray(index.map_ids)
+        for i in range(nq):
+            q = queries[i : i + 1]
+            start = time.perf_counter()
+            rough, pos, _ = rough_scan(index, jnp.asarray(q), params)
+            rough = np.asarray(rough)[0]
+            pos = np.asarray(pos)[0]
+            keep = np.isfinite(rough)
+            qpad = np.zeros(index.dim, np.float32)
+            qpad[:d] = q[0]
+
+            def dist_fn(p, _qp=qpad):
+                return float(((base_np[p] - _qp) ** 2).sum())
+
+            rr = new_re_ranker(
+                args.topk, dist_fn, args.rerank_mode == "heuristic"
+            )
+            rr.rank_batch(rough[keep], pos[keep], map_ids)
+            res = rr.get_result()
+            total_time += time.perf_counter() - start
+            ids = np.array([i for _, i in res], dtype=np.int32)
+            recall += calculate_recall(truth[i], ids, args.topk)
+            METRICS.add_query_count(1)
+    else:
+        pad = (-nq) % batch
+        qpadded = np.pad(queries, ((0, pad), (0, 0)))
+        all_ids = np.empty((nq + pad, args.topk), dtype=np.int32)
+        # Warmup compile outside the timed loop.
+        search(index, jnp.asarray(qpadded[:batch]), params)[1].block_until_ready()
+        for s in range(0, nq + pad, batch):
+            start = time.perf_counter()
+            _, ids = search(index, jnp.asarray(qpadded[s : s + batch]), params)
+            ids.block_until_ready()
+            total_time += time.perf_counter() - start
+            all_ids[s : s + batch] = np.asarray(ids)
+            METRICS.add_query_count(batch)
+        for i in range(nq):
+            recall += calculate_recall(truth[i], all_ids[i], args.topk)
+
+    log.info(
+        "QPS: %.1f, recall: %.4f", nq / total_time, recall / nq
+    )
+    log.info("Metrics [%s]", METRICS.to_str())
+
+
+def cmd_build(args) -> None:
+    _load_or_build(args)
+
+
+def cmd_train(args) -> None:
+    import jax
+
+    from rabitq_tpu.io import read_matrix, write_matrix
+    from rabitq_tpu.kmeans import hierarchical_kmeans, kmeans
+
+    log = logging.getLogger("rabitq_tpu.cli")
+    x = read_matrix(args.input)
+    start = time.perf_counter()
+    if args.tree is not None:
+        t, d_sub = args.tree
+        c = hierarchical_kmeans(
+            x, t, d_sub, iters=args.iters, key=jax.random.key(args.seed)
+        )
+    else:
+        c = kmeans(x, args.k, iters=args.iters, key=jax.random.key(args.seed))
+    log.info(
+        "trained %d centroids in %.1fs", c.shape[0], time.perf_counter() - start
+    )
+    write_matrix(args.output, c)
+
+
+def main(argv=None) -> None:
+    _setup_logging()
+    ap = argparse.ArgumentParser(prog="rabitq-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add_index_args(p):
+        p.add_argument("-b", "--base", required=True, help="base fvecs path")
+        p.add_argument("-c", "--centroids", required=True)
+        p.add_argument("-s", "--saved", required=True, help="index dir")
+        p.add_argument("--seed", type=int, default=0)
+
+    p_run = sub.add_parser("run", help="build-or-load index and evaluate")
+    add_index_args(p_run)
+    p_run.add_argument("-q", "--query", required=True)
+    p_run.add_argument("-t", "--truth", required=True)
+    p_run.add_argument("-p", "--probe", type=int, default=100)
+    p_run.add_argument("-k", "--topk", type=int, default=10)
+    p_run.add_argument("--rerank", type=int, default=128)
+    p_run.add_argument("--batch", type=int, default=64)
+    p_run.add_argument(
+        "--rerank-mode",
+        choices=["device", "heap", "heuristic"],
+        default="device",
+        help="device = batched top-R rerank; heap/heuristic = reference "
+        "dynamic-pruning semantics on host (slow, for parity checks)",
+    )
+    p_run.set_defaults(fn=cmd_run)
+
+    p_build = sub.add_parser("build", help="build and save an index")
+    add_index_args(p_build)
+    p_build.set_defaults(fn=cmd_build)
+
+    p_train = sub.add_parser("train", help="train IVF centroids (k-means)")
+    p_train.add_argument("-i", "--input", required=True)
+    p_train.add_argument("-o", "--output", required=True)
+    p_train.add_argument("-k", type=int, help="flat k-means centroid count")
+    p_train.add_argument(
+        "--tree",
+        type=int,
+        nargs=2,
+        metavar=("T", "D"),
+        help="hierarchical: T top clusters x D sub-clusters",
+    )
+    p_train.add_argument("--iters", type=int, default=25)
+    p_train.add_argument("--seed", type=int, default=0)
+    p_train.set_defaults(fn=cmd_train)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "train" and args.k is None and args.tree is None:
+        ap.error("train requires -k or --tree T D")
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,15 +57,18 @@ def _resolve(index: RaBitQIndex, params: SearchParams):
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def estimate_candidates(
+def rough_scan(
     index: RaBitQIndex, queries: jax.Array, params: SearchParams
-) -> Candidates:
-    """Stages 1-4: rough-distance scan and candidate selection.
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Stages 1-3: full rough-distance scan, in cluster-visit order.
 
-    queries: [B, dim_orig] f32. Exposed separately so the host-store (disk)
-    tier can rerank candidates off-device.
+    Returns (rough [B, probe*cap], pos [B, probe*cap], n_scanned [B]) where
+    clusters appear nearest-centroid-first and rows within a cluster in
+    sorted (centroid-distance) order — the reference's visit order
+    (rabitq.rs:297,304), which the host rerankers' dynamic pruning depends
+    on. Padded slots hold +inf.
     """
-    probe, cap, rerank = _resolve(index, params)
+    probe, cap, _ = _resolve(index, params)
     b = queries.shape[0]
     d = index.dim
     w = index.words
@@ -139,13 +142,26 @@ def estimate_candidates(
 
     rough = rough.reshape(s_pad, cap)[:s].reshape(b, probe * cap)
     pos = pos.reshape(s_pad, cap)[:s].reshape(b, probe * cap)
+    return rough, pos, sizes_all.sum(axis=-1).astype(jnp.int32)
 
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def estimate_candidates(
+    index: RaBitQIndex, queries: jax.Array, params: SearchParams
+) -> Candidates:
+    """Stages 1-4: rough-distance scan and rerank-candidate selection.
+
+    queries: [B, dim_orig] f32. Exposed separately so the host-store (disk)
+    tier can rerank candidates off-device.
+    """
+    _, _, rerank = _resolve(index, params)
+    rough, pos, n_scanned = rough_scan(index, queries, params)
     neg_lb, flat_idx = jax.lax.top_k(-rough, rerank)
     cand_pos = jnp.take_along_axis(pos, flat_idx, axis=-1)
     return Candidates(
         pos=cand_pos,
         lower_bound=-neg_lb,
-        n_scanned=sizes_all.sum(axis=-1).astype(jnp.int32),
+        n_scanned=n_scanned,
     )
 
 

@@ -59,6 +59,16 @@ def read_matrix(path: str | Path, dtype=np.float32) -> np.ndarray:
     """Read a uniform-dimension vecs file as an (n, dim) matrix (fast path)."""
     dtype = np.dtype(dtype)
     assert dtype.itemsize == 4
+    try:  # single-pass native parser when the C++ lib is available
+        from rabitq_tpu.native import parse_vecs_matrix
+
+        mat = parse_vecs_matrix(Path(path).read_bytes())
+        return mat.view(dtype) if mat.size else np.empty((0, 0), dtype=dtype)
+    except ValueError:
+        rows = read_vecs(path, dtype)  # ragged file
+        return np.stack(rows)
+    except Exception:
+        pass  # native lib unavailable; numpy fallback below
     raw = np.fromfile(path, dtype=np.uint32)
     if raw.size == 0:
         return np.empty((0, 0), dtype=dtype)

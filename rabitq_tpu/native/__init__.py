@@ -1,0 +1,146 @@
+"""ctypes bindings for the C++ runtime components.
+
+The shared library is built on demand (one g++ invocation) the first time
+it's needed; failures fall back to the pure-Python implementations, so the
+framework never hard-depends on a toolchain at runtime.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).parent
+_LIB_PATH = _DIR / "librabitq_native.so"
+_lib = None
+_lib_lock = threading.Lock()
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> None:
+    subprocess.run(
+        ["make", "-C", str(_DIR), "-s"],
+        check=True,
+        capture_output=True,
+        timeout=120,
+    )
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not _LIB_PATH.exists():
+            if os.environ.get("RABITQ_NATIVE_AUTOBUILD", "1") != "1":
+                raise NativeUnavailable("native lib not built")
+            try:
+                _build()
+            except Exception as e:  # no toolchain / build failure
+                raise NativeUnavailable(f"native build failed: {e}") from e
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.rbq_cache_new.restype = ctypes.c_void_p
+        lib.rbq_cache_new.argtypes = [ctypes.c_size_t]
+        lib.rbq_cache_free.argtypes = [ctypes.c_void_p]
+        lib.rbq_cache_get.restype = ctypes.c_int64
+        lib.rbq_cache_get.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_size_t,
+        ]
+        lib.rbq_cache_put.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_size_t,
+        ]
+        lib.rbq_cache_size.restype = ctypes.c_size_t
+        lib.rbq_cache_size.argtypes = [ctypes.c_void_p]
+        lib.rbq_vecs_parse.restype = ctypes.c_int64
+        lib.rbq_vecs_parse.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        _lib = lib
+        return _lib
+
+
+class NativeBlockCache:
+    """Thread-safe C++ LRU cache of float blocks keyed by block id."""
+
+    def __init__(
+        self, max_blocks: int, floats_per_block: int, row_dim: int
+    ) -> None:
+        self._lib = get_lib()
+        self._handle = self._lib.rbq_cache_new(max_blocks)
+        self._cap = int(floats_per_block)
+        self._cols = int(row_dim)
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.rbq_cache_free(self._handle)
+            self._handle = None
+
+    def get(self, block_id: int) -> np.ndarray | None:
+        out = np.empty(self._cap, dtype=np.float32)
+        n = self._lib.rbq_cache_get(
+            self._handle,
+            block_id,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._cap,
+        )
+        if n < 0:
+            return None
+        return out[:n].reshape(-1, self._cols)
+
+    def put(self, block_id: int, block: np.ndarray) -> None:
+        block = np.ascontiguousarray(block, dtype=np.float32)
+        assert block.ndim == 2 and block.shape[1] == self._cols
+        self._lib.rbq_cache_put(
+            self._handle,
+            block_id,
+            block.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            block.size,
+        )
+
+    def __len__(self) -> int:
+        return self._lib.rbq_cache_size(self._handle)
+
+
+def parse_vecs_matrix(raw: bytes) -> np.ndarray:
+    """Single-pass native parse of a uniform 4-byte-payload vecs buffer.
+
+    Returns a [n, dim] uint32 matrix view (caller casts to f32/i32).
+    Raises NativeUnavailable when the lib is missing and ValueError on
+    corrupt/ragged input.
+    """
+    lib = get_lib()
+    if len(raw) < 4:
+        return np.empty((0, 0), dtype=np.uint32)
+    cap = len(raw) // 4
+    out = np.empty(cap, dtype=np.uint32)
+    dim = ctypes.c_uint32(0)
+    n = lib.rbq_vecs_parse(
+        raw,
+        len(raw),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        cap,
+        ctypes.byref(dim),
+    )
+    if n == -1:
+        raise ValueError("corrupt or ragged vecs buffer")
+    if n < 0:
+        raise NativeUnavailable("output capacity")
+    return out[: n * dim.value].reshape(int(n), dim.value)

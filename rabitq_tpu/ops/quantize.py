@@ -20,8 +20,9 @@ from rabitq_tpu.consts import SCALAR, THETA_LOG_DIM
 
 _QMAX = (1 << THETA_LOG_DIM) - 1
 # Guard against delta == 0 (all residual components equal): any positive
-# delta works because (v - lo) == 0 everywhere in that case.
-_TINY = jnp.float32(1e-30)
+# delta works because (v - lo) == 0 everywhere in that case. Kept as a
+# Python float — a jnp constant here would initialize the backend at import.
+_TINY = 1e-30
 
 
 class QuantizedQueries(NamedTuple):

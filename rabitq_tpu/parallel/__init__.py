@@ -1,0 +1,15 @@
+from rabitq_tpu.parallel.sharding import (
+    make_mesh,
+    shard_index,
+    sharded_search,
+    dp_build_chunk,
+    sharded_lloyd_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_index",
+    "sharded_search",
+    "dp_build_chunk",
+    "sharded_lloyd_step",
+]

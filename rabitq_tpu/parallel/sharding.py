@@ -1,0 +1,244 @@
+"""Multi-chip scaling over a jax.sharding.Mesh.
+
+The reference is single-process (its only concurrency is AVX lanes and a
+tokio request pool — SURVEY.md §2). The TPU-native scale-out story:
+
+- **Index sharding (search)**: IVF clusters are partitioned across devices
+  (greedy size-balanced), so each chip holds 1/S of the codes, factors and
+  full-precision vectors in its own HBM — corpus size scales linearly with
+  chip count. A query is replicated; every chip probes its local clusters,
+  scans and reranks locally, and the per-chip top-k lists are merged with
+  one tiny all-gather riding ICI. This is the classic distributed-IVF
+  design: zero communication until the final [S, B, topk] merge.
+
+- **Data parallelism (build/training)**: k-means iterations and the
+  quantization pass are sharded over corpus rows; Lloyd's sufficient
+  statistics (per-cluster sums/counts) are combined with psum. Centroids
+  stay replicated (they are the "model").
+
+All collectives are XLA collectives (all_gather/psum) laid out on the mesh
+axis — no host round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rabitq_tpu.index.index import RaBitQIndex, SearchParams
+from rabitq_tpu.index.search import search
+from rabitq_tpu.ops import pairwise_l2sq
+from rabitq_tpu.utils import round_up
+
+AXIS = "shard"
+
+# Sentinel coordinate for padded centroid rows: distance to any real query
+# is astronomically large, so padded clusters are never probed.
+_FAR = 1e30
+
+
+def make_mesh(n_devices: int | None = None, axis: str = AXIS) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _greedy_partition(sizes: np.ndarray, s: int) -> list[list[int]]:
+    """Balance clusters across s shards by total row count (LPT greedy)."""
+    order = np.argsort(sizes)[::-1]
+    loads = [0] * s
+    groups: list[list[int]] = [[] for _ in range(s)]
+    for c in order:
+        dst = int(np.argmin(loads))
+        groups[dst].append(int(c))
+        loads[dst] += int(sizes[c])
+    return groups
+
+
+def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
+    """Partition an index across the mesh.
+
+    Returns a RaBitQIndex whose arrays carry a leading shard axis [S, ...]
+    with NamedSharding on it; inside shard_map each device sees its own
+    valid single-shard index (same static metadata, local offsets, global
+    ids in map_ids).
+    """
+    s = mesh.devices.size
+    sizes = index.cluster_sizes
+    k = sizes.shape[0]
+    groups = _greedy_partition(sizes, s)
+
+    offsets = np.asarray(index.offsets)
+    codes = np.asarray(index.codes)
+    factors = np.asarray(index.factors)
+    map_ids = np.asarray(index.map_ids)
+    centroids = np.asarray(index.centroids_rot)
+    base = None if index.base is None else np.asarray(index.base)
+
+    k_max = max(1, max(len(g) for g in groups))
+    rows_max = max(
+        8, round_up(max(int(sizes[g].sum()) if g else 0 for g in groups), 8)
+    )
+
+    sh_codes = np.zeros((s, rows_max, codes.shape[1]), codes.dtype)
+    sh_factors = np.zeros((s, rows_max, 4), np.float32)
+    sh_map_ids = np.full((s, rows_max), -1, np.int32)
+    sh_offsets = np.zeros((s, k_max + 1), np.int32)
+    sh_centroids = np.full((s, k_max, index.dim), _FAR, np.float32)
+    sh_base = (
+        None if base is None else np.zeros((s, rows_max, index.dim), np.float32)
+    )
+
+    for si, group in enumerate(groups):
+        row = 0
+        for li, c in enumerate(group):
+            a, b = offsets[c], offsets[c + 1]
+            m = b - a
+            sh_codes[si, row : row + m] = codes[a:b]
+            sh_factors[si, row : row + m] = factors[a:b]
+            sh_map_ids[si, row : row + m] = map_ids[a:b]
+            if base is not None:
+                sh_base[si, row : row + m] = base[a:b]
+            sh_centroids[si, li] = centroids[c]
+            row += m
+            sh_offsets[si, li + 1] = row
+        sh_offsets[si, len(group) + 1 :] = row
+
+    def put(a, *trailing_none):
+        return jax.device_put(a, NamedSharding(mesh, P(AXIS, *trailing_none)))
+
+    return RaBitQIndex(
+        codes=put(sh_codes, None, None),
+        factors=put(sh_factors, None, None),
+        offsets=put(sh_offsets, None),
+        map_ids=put(sh_map_ids, None),
+        centroids_rot=put(sh_centroids, None, None),
+        orthogonal=put(
+            np.broadcast_to(np.asarray(index.orthogonal), (s,) + index.orthogonal.shape),
+            None,
+            None,
+        ),
+        rand_bias=put(
+            np.broadcast_to(np.asarray(index.rand_bias), (s, index.dim)), None
+        ),
+        base=None if sh_base is None else put(sh_base, None, None),
+        dim=index.dim,
+        dim_orig=index.dim_orig,
+        capacity=index.capacity,
+    )
+
+
+def _local_params(params: SearchParams, s: int, k_local: int) -> SearchParams:
+    """Per-shard budgets: the global top-probe clusters spread across shards
+    roughly evenly, so each shard probes ~probe/S clusters with 2x headroom
+    (and reranks rerank/S with the same headroom)."""
+    probe = min(k_local, max(1, math.ceil(params.probe / s) * 2))
+    rerank = max(params.topk, math.ceil(params.rerank / s) * 2)
+    return params._replace(probe=probe, rerank=rerank)
+
+
+def sharded_search(
+    sindex: RaBitQIndex,
+    queries: jax.Array,
+    params: SearchParams,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array]:
+    """Distributed search over an index produced by shard_index.
+
+    Each device runs the full single-chip pipeline on its local shard; the
+    per-shard top-k lists [S, B, topk] are merged on-device (XLA inserts the
+    all-gather over ICI at the jit boundary).
+    """
+    s = mesh.devices.size
+    k_local = sindex.offsets.shape[1] - 1
+    lp = _local_params(params, s, k_local)
+
+    specs = jax.tree.map(lambda _: P(AXIS), sindex)
+    local_fn = functools.partial(_local_shard_search, params=lp)
+    f = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(specs, P(None, None)),
+        out_specs=(P(AXIS, None, None), P(AXIS, None, None)),
+    )
+
+    @jax.jit
+    def merged(si, q):
+        d_all, i_all = f(si, q)  # [S, B, topk]
+        b = q.shape[0]
+        d_flat = d_all.transpose(1, 0, 2).reshape(b, s * lp.topk)
+        i_flat = i_all.transpose(1, 0, 2).reshape(b, s * lp.topk)
+        neg, sel = jax.lax.top_k(-d_flat, params.topk)
+        ids = jnp.take_along_axis(i_flat, sel, axis=-1)
+        return -neg, jnp.where(jnp.isfinite(-neg), ids, -1)
+
+    return merged(sindex, queries)
+
+
+def _local_shard_search(stacked: RaBitQIndex, q: jax.Array, *, params):
+    local = jax.tree.map(lambda a: a[0], stacked)
+    d, i = search(local, q, params)
+    return d[None], i[None]
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel build / training steps (corpus rows sharded, model
+# replicated). Used by the multi-chip build path and the driver's dry run.
+# ---------------------------------------------------------------------------
+
+
+def dp_build_chunk(
+    x: jax.Array, orthogonal: jax.Array, centroids_rot: jax.Array, mesh: Mesh
+):
+    """Data-parallel quantization pass: rows of x sharded over the mesh.
+
+    Pure data parallelism — GSPMD partitions the rotate/assign/pack pipeline
+    with no communication. Returns (labels, cdsq, codes, factors) sharded
+    like x.
+    """
+    from rabitq_tpu.index.build import _build_chunk
+
+    dim = orthogonal.shape[0]
+    x = jax.device_put(x, NamedSharding(mesh, P(AXIS, None)))
+    orthogonal = jax.device_put(orthogonal, NamedSharding(mesh, P(None, None)))
+    centroids_rot = jax.device_put(
+        centroids_rot, NamedSharding(mesh, P(None, None))
+    )
+    return _build_chunk(x, orthogonal, centroids_rot, dim)
+
+
+def sharded_lloyd_step(x: jax.Array, centroids: jax.Array, mesh: Mesh):
+    """One data-parallel Lloyd iteration: local sufficient statistics,
+    psum over the mesh, replicated centroid update. Returns (new_centroids,
+    cost), replicated."""
+    k = centroids.shape[0]
+
+    def step(x_local, c):
+        dist = pairwise_l2sq(x_local, c)
+        lab = jnp.argmin(dist, axis=-1)
+        mind = jnp.min(dist, axis=-1)
+        sums = jax.ops.segment_sum(x_local, lab, num_segments=k)
+        counts = jax.ops.segment_sum(
+            jnp.ones(x_local.shape[0], jnp.float32), lab, num_segments=k
+        )
+        sums = jax.lax.psum(sums, AXIS)
+        counts = jax.lax.psum(counts, AXIS)
+        cost = jax.lax.psum(mind.sum(), AXIS)
+        new_c = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], c)
+        return new_c, cost
+
+    f = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(AXIS, None), P(None, None)),
+        out_specs=(P(None, None), P()),
+    )
+    x = jax.device_put(x, NamedSharding(mesh, P(AXIS, None)))
+    centroids = jax.device_put(centroids, NamedSharding(mesh, P(None, None)))
+    return jax.jit(f)(x, centroids)

@@ -1,0 +1,97 @@
+"""Host-side rerankers with the reference's dynamic-pruning semantics.
+
+The device pipeline replaces the reference's data-dependent pruning with a
+static top-R rerank budget (XLA needs static shapes). These host rerankers
+reproduce the reference's exact semantics — HeapReRanker's
+kth-distance-threshold pruning (/root/reference/src/rerank.rs:62-114) and
+HeuristicReRanker's 12-candidate-window threshold (rerank.rs:118-177) — as
+a CPU/debug path for parity checks and for workloads where per-candidate
+exact distances come from a host-resident vector store.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Callable
+
+import numpy as np
+
+from rabitq_tpu.consts import WINDOW_SIZE
+from rabitq_tpu.metrics import METRICS
+
+# An accessor returns the exact squared distance between the query and the
+# cluster-sorted row `pos` (device base, host mmap, or block cache).
+DistanceFn = Callable[[int], float]
+
+
+class HeapReRanker:
+    """Max-heap of the current top-k; prune candidates whose rough
+    lower-bound distance is not below the current kth exact distance."""
+
+    def __init__(self, topk: int, distance_fn: DistanceFn):
+        self.topk = topk
+        self.distance_fn = distance_fn
+        self.threshold = np.inf
+        self._heap: list[tuple[float, int]] = []  # (-dist, id) max-heap
+
+    def rank_batch(self, rough: np.ndarray, pos: np.ndarray, map_ids) -> None:
+        precise = 0
+        for r, p in zip(rough.tolist(), pos.tolist()):
+            if r >= self.threshold:
+                continue
+            accurate = float(self.distance_fn(p))
+            precise += 1
+            if accurate < self.threshold:
+                heapq.heappush(self._heap, (-accurate, int(map_ids[p])))
+                if len(self._heap) > self.topk:
+                    heapq.heappop(self._heap)
+                if len(self._heap) == self.topk:
+                    self.threshold = -self._heap[0][0]
+        METRICS.add_precise_count(precise)
+        METRICS.add_rough_count(len(rough))
+
+    def get_result(self) -> list[tuple[float, int]]:
+        return sorted((-d, i) for d, i in self._heap)
+
+
+class HeuristicReRanker:
+    """Unbounded array; threshold = max exact distance within each
+    WINDOW_SIZE-candidate window; final top-k by selection."""
+
+    def __init__(self, topk: int, distance_fn: DistanceFn):
+        self.topk = topk
+        self.distance_fn = distance_fn
+        self.threshold = np.inf
+        self.recent_max = -np.inf
+        self.count = 0
+        self._arr: list[tuple[float, int]] = []
+
+    def rank_batch(self, rough: np.ndarray, pos: np.ndarray, map_ids) -> None:
+        precise = 0
+        for r, p in zip(rough.tolist(), pos.tolist()):
+            if r >= self.threshold:
+                continue
+            accurate = float(self.distance_fn(p))
+            precise += 1
+            if accurate < self.threshold:
+                self._arr.append((accurate, int(map_ids[p])))
+                self.count += 1
+                self.recent_max = max(self.recent_max, accurate)
+                if self.count >= WINDOW_SIZE:
+                    self.threshold = self.recent_max
+                    self.count = 0
+                    self.recent_max = -np.inf
+        METRICS.add_precise_count(precise)
+        METRICS.add_rough_count(len(rough))
+
+    def get_result(self) -> list[tuple[float, int]]:
+        return sorted(self._arr)[: self.topk]
+
+
+def new_re_ranker(topk: int, distance_fn: DistanceFn, heuristic: bool = False):
+    """Factory matching the reference's new_re_ranker (rerank.rs:21-27)."""
+    return (
+        HeuristicReRanker(topk, distance_fn)
+        if heuristic
+        else HeapReRanker(topk, distance_fn)
+    )

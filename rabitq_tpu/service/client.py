@@ -1,0 +1,97 @@
+"""HTTP benchmark client.
+
+Equivalent of the reference's scripts/client.py:50-134: serial or
+thread-pool-concurrent POSTs to /query, reporting mean recall and latency
+percentiles. stdlib-only (urllib).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def query_once(url: str, vec, top_k: int, probe: int):
+    payload = json.dumps(
+        dict(query=np.asarray(vec, dtype=float).tolist(), top_k=top_k, probe=probe)
+    ).encode()
+    req = urllib.request.Request(
+        url + "/query", data=payload, headers={"Content-Type": "application/json"}
+    )
+    t0 = time.perf_counter()
+    with urllib.request.urlopen(req) as resp:
+        body = json.loads(resp.read())
+    return body["ids"], time.perf_counter() - t0
+
+
+def _report(name, recalls, latencies):
+    lat = np.asarray(latencies) * 1e3
+    print(
+        f"{name}: recall={np.mean(recalls):.4f} "
+        f"p50={np.percentile(lat, 50):.2f}ms "
+        f"p99={np.percentile(lat, 99):.2f}ms mean={lat.mean():.2f}ms"
+    )
+
+
+def run_serial(url, queries, truth, top_k, probe):
+    from rabitq_tpu.utils import calculate_recall
+
+    recalls, lats = [], []
+    for i, q in enumerate(queries):
+        ids, dt = query_once(url, q, top_k, probe)
+        recalls.append(calculate_recall(truth[i], np.asarray(ids), top_k))
+        lats.append(dt)
+    _report("serial", recalls, lats)
+    return recalls, lats
+
+
+def run_concurrent(url, queries, truth, top_k, probe, workers=8):
+    from rabitq_tpu.utils import calculate_recall
+
+    def one(i):
+        ids, dt = query_once(url, queries[i], top_k, probe)
+        return calculate_recall(truth[i], np.asarray(ids), top_k), dt
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        results = list(pool.map(one, range(len(queries))))
+    wall = time.perf_counter() - t0
+    recalls = [r for r, _ in results]
+    lats = [d for _, d in results]
+    _report(f"concurrent x{workers}", recalls, lats)
+    print(f"throughput: {len(queries) / wall:.1f} QPS")
+    return recalls, lats
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="rabitq-tpu-client")
+    ap.add_argument("--url", default="http://127.0.0.1:9000")
+    ap.add_argument("-q", "--query", required=True, help="query fvecs")
+    ap.add_argument("-t", "--truth", required=True, help="truth ivecs")
+    ap.add_argument("-k", "--topk", type=int, default=100)
+    ap.add_argument("-p", "--probe", type=int, default=300)
+    ap.add_argument("-n", "--num", type=int, default=None)
+    ap.add_argument("-c", "--concurrency", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from rabitq_tpu.io import read_matrix
+
+    queries = read_matrix(args.query)
+    truth = read_matrix(args.truth, np.int32)
+    if args.num:
+        queries, truth = queries[: args.num], truth[: args.num]
+    if args.concurrency:
+        run_concurrent(
+            args.url, queries, truth, args.topk, args.probe, args.concurrency
+        )
+    else:
+        run_serial(args.url, queries, truth, args.topk, args.probe)
+
+
+if __name__ == "__main__":
+    main()

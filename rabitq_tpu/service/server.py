@@ -1,0 +1,289 @@
+"""HTTP query service.
+
+Equivalent of the reference's axum service
+(/root/reference/crates/service/src/main.rs:68-96): ``GET /``, ``/health``,
+``/metrics`` and ``POST /query`` with JSON ``{query, top_k, probe}`` ->
+``{ids, scores}`` (main.rs:55-66).
+
+TPU-native redesign of its concurrency model: instead of a per-request
+tokio task pool, concurrent requests are **micro-batched** — a dispatcher
+thread drains the request queue every ``window_ms`` (or when ``max_batch``
+is reached), pads the batch to a power-of-two bucket (bounded jit cache),
+and issues ONE device call for the whole batch. Per-request probe/topk are
+grouped so each device call has uniform static params.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import queue
+import signal
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+from rabitq_tpu.index.index import SearchParams
+from rabitq_tpu.metrics import METRICS
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class _Request:
+    query: np.ndarray
+    params: SearchParams
+    done: threading.Event = field(default_factory=threading.Event)
+    ids: np.ndarray | None = None
+    scores: np.ndarray | None = None
+    error: str | None = None
+
+
+class BatchingEngine:
+    """Groups concurrent queries into single batched device calls."""
+
+    def __init__(
+        self,
+        index,
+        store=None,
+        *,
+        max_batch: int = 64,
+        window_ms: float = 2.0,
+        default_rerank: int = 128,
+    ):
+        self.index = index
+        self.store = store
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1e3
+        self.default_rerank = default_rerank
+        self._q: queue.Queue[_Request] = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def submit(self, query, top_k: int, probe: int, timeout_s: float = 120.0):
+        params = SearchParams(
+            probe=probe, topk=top_k, rerank=max(self.default_rerank, top_k)
+        )
+        req = _Request(np.asarray(query, dtype=np.float32), params)
+        self._q.put(req)
+        if not req.done.wait(timeout_s):
+            raise TimeoutError("query timed out")
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.scores, req.ids
+
+    # -- dispatcher ----------------------------------------------------------
+
+    def _drain(self) -> list[_Request]:
+        batch: list[_Request] = []
+        try:
+            batch.append(self._q.get(timeout=0.1))
+        except queue.Empty:
+            return batch
+        deadline = self.window_s
+        import time
+
+        t0 = time.perf_counter()
+        while len(batch) < self.max_batch:
+            remaining = deadline - (time.perf_counter() - t0)
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            batch = self._drain()
+            if not batch:
+                continue
+            groups: dict[SearchParams, list[_Request]] = {}
+            for r in batch:
+                groups.setdefault(r.params, []).append(r)
+            for params, reqs in groups.items():
+                self._run_group(params, reqs)
+
+    def _run_group(self, params: SearchParams, reqs: list[_Request]) -> None:
+        try:
+            import jax.numpy as jnp
+
+            from rabitq_tpu.index.search import search
+            from rabitq_tpu.store import search_with_store
+
+            b = len(reqs)
+            # Always pad to the full batch size: exactly ONE compile per
+            # params set, uniform latency (a padded device call costs the
+            # same few ms as a full one).
+            bucket = self.max_batch
+            q = np.zeros((bucket, reqs[0].query.shape[0]), np.float32)
+            for i, r in enumerate(reqs):
+                q[i] = r.query
+            if self.store is not None:
+                scores, ids = search_with_store(
+                    self.index, q, params, self.store, count_queries=b
+                )
+            else:
+                scores, ids = search(self.index, jnp.asarray(q), params)
+                scores, ids = np.asarray(scores), np.asarray(ids)
+                METRICS.add_query_count(b)
+            for i, r in enumerate(reqs):
+                r.scores = scores[i]
+                r.ids = ids[i]
+                r.done.set()
+        except Exception as e:  # surface errors to all waiters
+            logger.exception("batch failed")
+            for r in reqs:
+                r.error = f"{type(e).__name__}: {e}"
+                r.done.set()
+
+
+def make_handler(engine: BatchingEngine, default_probe: int, default_topk: int):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route to logging, not stderr
+            logger.debug("%s " + fmt, self.address_string(), *args)
+
+        def _send(self, code: int, body: str, ctype="text/plain"):
+            data = body.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/":
+                self._send(200, "rabitq-tpu service")
+            elif self.path == "/health":
+                self._send(200, "OK")
+            elif self.path == "/metrics":
+                self._send(200, METRICS.to_str())
+            else:
+                self._send(404, "not found")
+
+        def do_POST(self):
+            if self.path != "/query":
+                self._send(404, "not found")
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length))
+                if "query" not in payload:
+                    raise ValueError("missing required field 'query'")
+                query = payload["query"]
+                top_k = int(payload.get("top_k", default_topk))
+                probe = int(payload.get("probe", default_probe))
+                scores, ids = engine.submit(query, top_k, probe)
+                keep = ids >= 0
+                self._send(
+                    200,
+                    json.dumps(
+                        dict(
+                            ids=ids[keep].tolist(),
+                            scores=[float(s) for s in scores[keep]],
+                        )
+                    ),
+                    "application/json",
+                )
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._send(400, json.dumps(dict(error=str(e))), "application/json")
+            except Exception as e:
+                self._send(500, json.dumps(dict(error=str(e))), "application/json")
+
+    return Handler
+
+
+def serve(
+    index,
+    *,
+    host="0.0.0.0",
+    port=9000,
+    store=None,
+    max_batch=64,
+    window_ms=2.0,
+    default_probe=100,
+    default_topk=10,
+):
+    engine = BatchingEngine(index, store, max_batch=max_batch, window_ms=window_ms)
+    # Warm the default-params compile before accepting traffic, so the first
+    # requests don't eat the jit latency.
+    logger.info("warming up (first compile)...")
+    engine.submit(
+        np.zeros(index.dim_orig, np.float32), default_topk, default_probe
+    )
+    logger.info("warm")
+    handler = make_handler(engine, default_probe, default_topk)
+    server = ThreadingHTTPServer((host, port), handler)
+
+    def shutdown(*_):
+        logger.info("shutting down")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGINT, shutdown)
+        signal.signal(signal.SIGTERM, shutdown)
+    except ValueError:
+        pass  # not main thread (tests)
+    logger.info("serving on %s:%d", host, port)
+    try:
+        server.serve_forever()
+    finally:
+        engine.close()
+        server.server_close()
+    return server
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser(prog="rabitq-tpu-service")
+    ap.add_argument("-d", "--dir", required=True, help="index directory")
+    ap.add_argument("-p", "--port", type=int, default=9000)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument(
+        "--store",
+        choices=["device", "mmap", "blockcache"],
+        default="device",
+        help="rerank vector source (mmap/blockcache keep base off-device)",
+    )
+    ap.add_argument("--cache-db", default=None, help="sqlite block cache path")
+    ap.add_argument("--max-batch", type=int, default=64)
+    ap.add_argument("--window-ms", type=float, default=2.0)
+    args = ap.parse_args(argv)
+
+    from rabitq_tpu.index.serialize import load_from_dir
+    from rabitq_tpu.store import BlockCachedStore, FileBlockSource, MmapStore
+
+    store = None
+    keep_base = args.store == "device"
+    index = load_from_dir(args.dir, keep_base=keep_base)
+    base_path = Path(args.dir) / "base.fvecs"
+    if args.store == "mmap":
+        store = MmapStore(base_path)
+    elif args.store == "blockcache":
+        store = BlockCachedStore(
+            FileBlockSource(base_path), index.dim, sqlite_path=args.cache_db
+        )
+    serve(
+        index,
+        host=args.host,
+        port=args.port,
+        store=store,
+        max_batch=args.max_batch,
+        window_ms=args.window_ms,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,19 @@
+from rabitq_tpu.store.vector_store import (
+    VectorStore,
+    DeviceStore,
+    MmapStore,
+    BlockCachedStore,
+    FileBlockSource,
+    HttpRangeSource,
+    search_with_store,
+)
+
+__all__ = [
+    "VectorStore",
+    "DeviceStore",
+    "MmapStore",
+    "BlockCachedStore",
+    "FileBlockSource",
+    "HttpRangeSource",
+    "search_with_store",
+]

@@ -1,0 +1,265 @@
+"""Pluggable full-precision vector stores for the rerank stage.
+
+The reference's disk tier keeps quantized state in RAM and raw vectors on
+S3 behind a SQLite block cache (/root/reference/crates/disk/src/cache.rs:
+56-162, disk.rs:78-240). The TPU-native equivalent: codes+factors stay
+HBM-resident and the *estimator* always runs on device; only the rerank
+gather goes to a store:
+
+- DeviceStore      — vectors in HBM (the in-memory tier).
+- MmapStore        — vectors host-resident via mmap; the OS page cache is
+                     the block cache. For corpora larger than HBM.
+- BlockCachedStore — vectors behind a range-read byte source (local file or
+                     HTTP object store) fetched in 512 KiB fvecs blocks and
+                     cached (in-memory LRU via the C++ cache when built,
+                     plus optional SQLite persistence) — the reference's
+                     S3+SQLite design (cache.rs:12,80,115-135).
+
+Stores index rows in *cluster-sorted position* space (the order dump_to_dir
+writes base.fvecs), so estimate_candidates output feeds them directly.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import threading
+from pathlib import Path
+from typing import Protocol
+
+import numpy as np
+
+from rabitq_tpu.metrics import METRICS
+
+# Reference block size: cache.rs:12 (BLOCK_BYTE_LIMIT = 1 << 19).
+BLOCK_BYTE_LIMIT = 1 << 19
+
+
+class VectorStore(Protocol):
+    dim: int  # padded dim of stored rows
+
+    def get_rows(self, pos: np.ndarray) -> np.ndarray:
+        """Gather rows by cluster-sorted position -> [m, dim] float32."""
+        ...
+
+
+class DeviceStore:
+    """Rerank directly against the device-resident base matrix."""
+
+    def __init__(self, base) -> None:
+        self._base = base
+        self.dim = int(base.shape[1])
+
+    def get_rows(self, pos: np.ndarray) -> np.ndarray:
+        return np.asarray(self._base)[pos]
+
+
+class MmapStore:
+    """Host-resident vectors via a zero-copy fvecs mmap."""
+
+    def __init__(self, fvecs_path: str | Path) -> None:
+        from rabitq_tpu.io.vecs import mmap_fvecs_matrix
+
+        self._mat = mmap_fvecs_matrix(fvecs_path)
+        self.dim = int(self._mat.shape[1])
+
+    def get_rows(self, pos: np.ndarray) -> np.ndarray:
+        return np.asarray(self._mat[pos], dtype=np.float32)
+
+
+class FileBlockSource:
+    """Range reads over a local file (stands in for an object store)."""
+
+    def __init__(self, path: str | Path) -> None:
+        self._path = Path(path)
+        self.size = os.path.getsize(path)
+
+    def read_range(self, start: int, length: int) -> bytes:
+        with open(self._path, "rb") as f:
+            f.seek(start)
+            return f.read(length)
+
+
+class HttpRangeSource:
+    """HTTP Range-GET source (S3-compatible presigned URLs / any object
+    store). Mirrors the reference's S3 ranged GETs (cache.rs:115-125)."""
+
+    def __init__(self, url: str, size: int | None = None) -> None:
+        import urllib.request
+
+        self._url = url
+        self._urllib = urllib.request
+        if size is None:
+            req = self._urllib.Request(url, method="HEAD")
+            with self._urllib.urlopen(req) as resp:
+                size = int(resp.headers["Content-Length"])
+        self.size = size
+
+    def read_range(self, start: int, length: int) -> bytes:
+        req = self._urllib.Request(
+            self._url,
+            headers={"Range": f"bytes={start}-{start + length - 1}"},
+        )
+        with self._urllib.urlopen(req) as resp:
+            return resp.read()
+
+
+class BlockCachedStore:
+    """Block-granular cached store over a range-read source.
+
+    The backing object is a uniform fvecs file ([u32 dim][dim f32] records).
+    A miss fetches the enclosing block of ``num_per_block`` records
+    (512 KiB / record size, cache.rs:80), parses every vector in it, and
+    populates the cache — subsequent neighbors (clusters are contiguous in
+    position space) hit. Cache layers: in-process LRU (C++ when available,
+    dict fallback) and optional SQLite persistence across processes.
+    """
+
+    def __init__(
+        self,
+        source,
+        dim: int,
+        *,
+        sqlite_path: str | Path | None = None,
+        max_cached_blocks: int = 1024,
+    ) -> None:
+        self.source = source
+        self.dim = int(dim)
+        self._rec_bytes = 4 * (self.dim + 1)
+        self.num_per_block = max(1, BLOCK_BYTE_LIMIT // self._rec_bytes)
+        self._block_bytes = self.num_per_block * self._rec_bytes
+        self._lock = threading.Lock()
+        self._max_blocks = max_cached_blocks
+        self._lru: dict[int, np.ndarray] = {}  # block_id -> [num, dim]
+        self._native = _try_native_cache(
+            max_cached_blocks, self.num_per_block * self.dim, self.dim
+        )
+        self._sql = None
+        if sqlite_path is not None:
+            self._sql = sqlite3.connect(str(sqlite_path), check_same_thread=False)
+            self._sql.execute(
+                "CREATE TABLE IF NOT EXISTS blocks"
+                " (id INTEGER PRIMARY KEY, data BLOB)"
+            )
+            self._sql.commit()
+
+    # -- block layer -------------------------------------------------------
+
+    def _parse_block(self, raw: bytes, block_id: int) -> np.ndarray:
+        words = np.frombuffer(raw, dtype=np.uint32)
+        n_rec = words.size // (self.dim + 1)
+        mat = words[: n_rec * (self.dim + 1)].reshape(n_rec, self.dim + 1)
+        if not np.all(mat[:, 0] == self.dim):
+            raise ValueError(f"corrupt fvecs block {block_id}")
+        return np.ascontiguousarray(mat[:, 1:]).view(np.float32)
+
+    def _fetch_block(self, block_id: int) -> np.ndarray:
+        start = block_id * self._block_bytes
+        length = min(self._block_bytes, self.source.size - start)
+        raw = self.source.read_range(start, length)
+        METRICS.add_miss_count(1)
+        return self._parse_block(raw, block_id)
+
+    def _get_block(self, block_id: int) -> np.ndarray:
+        with self._lock:
+            if self._native is not None:
+                hit = self._native.get(block_id)
+                if hit is not None:
+                    return hit
+            elif block_id in self._lru:
+                self._lru[block_id] = self._lru.pop(block_id)  # refresh
+                return self._lru[block_id]
+            if self._sql is not None:
+                row = self._sql.execute(
+                    "SELECT data FROM blocks WHERE id = ?", (block_id,)
+                ).fetchone()
+                if row is not None:
+                    blk = (
+                        np.frombuffer(row[0], dtype=np.float32)
+                        .reshape(-1, self.dim)
+                        .copy()
+                    )
+                    self._insert_mem(block_id, blk)
+                    return blk
+        blk = self._fetch_block(block_id)
+        with self._lock:
+            self._insert_mem(block_id, blk)
+            if self._sql is not None:
+                self._sql.execute(
+                    "INSERT OR REPLACE INTO blocks (id, data) VALUES (?, ?)",
+                    (block_id, blk.tobytes()),
+                )
+                self._sql.commit()
+        return blk
+
+    def _insert_mem(self, block_id: int, blk: np.ndarray) -> None:
+        if self._native is not None:
+            self._native.put(block_id, blk)
+            return
+        self._lru[block_id] = blk
+        while len(self._lru) > self._max_blocks:
+            self._lru.pop(next(iter(self._lru)))
+
+    # -- row layer ----------------------------------------------------------
+
+    def get_rows(self, pos: np.ndarray) -> np.ndarray:
+        pos = np.asarray(pos, dtype=np.int64)
+        out = np.empty((pos.shape[0], self.dim), dtype=np.float32)
+        block_ids = pos // self.num_per_block
+        for b in np.unique(block_ids):
+            blk = self._get_block(int(b))
+            sel = block_ids == b
+            out[sel] = blk[pos[sel] - b * self.num_per_block]
+        return out
+
+
+def _try_native_cache(max_blocks: int, floats_per_block: int, dim: int):
+    """Use the C++ LRU block cache when the shared library is built."""
+    try:
+        from rabitq_tpu.native import NativeBlockCache
+
+        return NativeBlockCache(max_blocks, floats_per_block, dim)
+    except Exception:
+        return None
+
+
+def search_with_store(
+    index,
+    queries,
+    params,
+    store: VectorStore,
+    *,
+    count_queries: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Disk-tier search: device estimator + host-store rerank.
+
+    Equivalent of DiskRaBitQ::query (disk.rs:144-206) — the rough scan and
+    candidate selection run on the TPU; exact distances come from the host
+    store in one batched gather per query batch.
+    """
+    import jax.numpy as jnp
+
+    from rabitq_tpu.index.search import estimate_candidates
+    from rabitq_tpu.utils import pad_last_dim
+
+    queries = np.asarray(queries, dtype=np.float32)
+    cand = estimate_candidates(index, jnp.asarray(queries), params)
+    pos = np.asarray(cand.pos)  # [B, R]
+    lb = np.asarray(cand.lower_bound)
+    b, r = pos.shape
+
+    flat = pos.reshape(-1)
+    rows = store.get_rows(flat).reshape(b, r, store.dim)
+    qpad = pad_last_dim(queries, store.dim)
+    exact = ((rows - qpad[:, None, :]) ** 2).sum(-1)
+    exact = np.where(np.isfinite(lb), exact, np.inf)
+    METRICS.add_precise_count(int(np.isfinite(lb).sum()))
+    METRICS.add_rough_count(int(np.asarray(cand.n_scanned).sum()))
+
+    sel = np.argsort(exact, axis=1)[:, : params.topk]
+    dists = np.take_along_axis(exact, sel, axis=1)
+    map_ids = np.asarray(index.map_ids)
+    ids = map_ids[np.take_along_axis(pos, sel, axis=1)]
+    ids = np.where(np.isfinite(dists), ids, -1)
+    METRICS.add_query_count(b if count_queries is None else count_queries)
+    return dists.astype(np.float32), ids.astype(np.int32)

@@ -1,0 +1,110 @@
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from conftest import brute_force_topk, make_clustered_dataset
+from rabitq_tpu import build_index, calculate_recall
+from rabitq_tpu.service.server import BatchingEngine, make_handler
+
+
+@pytest.fixture(scope="module")
+def served():
+    import jax
+
+    rng = np.random.default_rng(11)
+    base, centers = make_clustered_dataset(rng, n=1500, dim=32, k=8)
+    index = build_index(base, centers, key=jax.random.key(12))
+    engine = BatchingEngine(index, max_batch=16, window_ms=5.0)
+    handler = make_handler(engine, default_probe=8, default_topk=10)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_port}"
+    yield url, base
+    server.shutdown()
+    engine.close()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/query",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_and_metrics(served):
+    url, _ = served
+    with urllib.request.urlopen(url + "/health") as r:
+        assert r.read() == b"OK"
+    with urllib.request.urlopen(url + "/metrics") as r:
+        assert b"query:" in r.read()
+    with urllib.request.urlopen(url + "/") as r:
+        assert r.status == 200
+
+
+def test_query_roundtrip(served):
+    url, base = served
+    status, body = _post(
+        url, dict(query=base[7].tolist(), top_k=5, probe=8)
+    )
+    assert status == 200
+    assert body["ids"][0] == 7
+    assert body["scores"][0] < 1e-5
+    assert len(body["ids"]) == 5
+
+
+def test_concurrent_queries_microbatch(served):
+    url, base = served
+    truth = brute_force_topk(base, base[:24], 10)
+    results = {}
+
+    def worker(i):
+        _, body = _post(url, dict(query=base[i].tolist(), top_k=10, probe=8))
+        results[i] = body["ids"]
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(24)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    recall = np.mean(
+        [
+            calculate_recall(truth[i], np.asarray(results[i]), 10)
+            for i in range(24)
+        ]
+    )
+    assert recall > 0.99
+
+
+def test_bad_requests(served):
+    url, _ = served
+    status, body = _post(url, dict(top_k=5))  # missing query
+    assert status == 400 and "error" in body
+    # malformed json
+    req = urllib.request.Request(
+        url + "/query", data=b"not json", headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            status = resp.status
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
+    # unknown path
+    req = urllib.request.Request(url + "/nope", data=b"{}")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            status = resp.status
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 404

@@ -1,0 +1,111 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import brute_force_topk, make_clustered_dataset
+from rabitq_tpu import SearchParams, build_index, calculate_recall, search
+from rabitq_tpu.kmeans import kmeans
+from rabitq_tpu.parallel import (
+    dp_build_chunk,
+    make_mesh,
+    shard_index,
+    sharded_lloyd_step,
+    sharded_search,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def test_shard_index_partitions_everything(rng, mesh):
+    base, centers = make_clustered_dataset(rng, n=2000, dim=48, k=32)
+    idx = build_index(base, centers, key=jax.random.key(1))
+    sidx = shard_index(idx, mesh)
+    assert sidx.codes.shape[0] == 8
+    # Every original row appears exactly once across shards.
+    ids = np.asarray(sidx.map_ids).reshape(-1)
+    real = np.sort(ids[ids >= 0])
+    np.testing.assert_array_equal(real, np.arange(2000))
+    # Row balance: no shard more than 2x the mean.
+    per_shard = (np.asarray(sidx.map_ids) >= 0).sum(axis=1)
+    assert per_shard.max() <= 2 * per_shard.mean()
+
+
+def test_sharded_search_matches_brute_force(rng, mesh):
+    base, centers = make_clustered_dataset(rng, n=3000, dim=64, k=32)
+    idx = build_index(base, centers, key=jax.random.key(2))
+    sidx = shard_index(idx, mesh)
+    nq = 16
+    queries = base[rng.choice(3000, nq, replace=False)] + (
+        0.02 * rng.standard_normal((nq, 64)).astype(np.float32)
+    )
+    truth = brute_force_topk(base, queries, 10)
+    params = SearchParams(probe=32, topk=10, rerank=256)
+    d, ids = sharded_search(sidx, jnp.asarray(queries), params, mesh)
+    ids = np.asarray(ids)
+    recall = np.mean(
+        [calculate_recall(truth[i], ids[i], 10) for i in range(nq)]
+    )
+    assert recall >= 0.95, f"sharded recall {recall}"
+    assert np.all(np.diff(np.asarray(d), axis=1) >= -1e-6)
+
+
+def test_sharded_vs_single_device_close(rng, mesh):
+    base, centers = make_clustered_dataset(rng, n=1500, dim=32, k=16)
+    idx = build_index(base, centers, key=jax.random.key(3))
+    sidx = shard_index(idx, mesh)
+    queries = jnp.asarray(base[:8])
+    params = SearchParams(probe=16, topk=5, rerank=200)
+    _, i_single = search(idx, queries, params)
+    _, i_shard = sharded_search(sidx, queries, params, mesh)
+    # Full probe on both: identical neighbor sets.
+    overlap = np.mean(
+        [
+            len(set(np.asarray(i_single)[b]) & set(np.asarray(i_shard)[b])) / 5
+            for b in range(8)
+        ]
+    )
+    assert overlap >= 0.95
+
+
+def test_dp_build_chunk_matches_single(rng, mesh):
+    from rabitq_tpu.index.build import _build_chunk
+    from rabitq_tpu.ops import gen_random_orthogonal, rotate
+
+    base, centers = make_clustered_dataset(rng, n=256, dim=128, k=8)
+    p = gen_random_orthogonal(jax.random.key(0), 128)
+    c_rot = rotate(jnp.asarray(centers), p)
+    lab_s, cd_s, co_s, fa_s = _build_chunk(jnp.asarray(base), p, c_rot, 128)
+    lab_d, cd_d, co_d, fa_d = dp_build_chunk(jnp.asarray(base), p, c_rot, mesh)
+    np.testing.assert_array_equal(np.asarray(lab_s), np.asarray(lab_d))
+    np.testing.assert_array_equal(np.asarray(co_s), np.asarray(co_d))
+    np.testing.assert_allclose(
+        np.asarray(fa_s), np.asarray(fa_d), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sharded_lloyd_matches_single(rng, mesh):
+    x, _ = make_clustered_dataset(rng, n=1024, dim=16, k=8)
+    init = x[:8].copy()
+    c_sharded, cost_sharded = sharded_lloyd_step(
+        jnp.asarray(x), jnp.asarray(init), mesh
+    )
+    # Single-device equivalent.
+    from rabitq_tpu.ops import pairwise_l2sq
+
+    d = np.asarray(pairwise_l2sq(jnp.asarray(x), jnp.asarray(init)))
+    lab = d.argmin(1)
+    expected = np.stack(
+        [
+            x[lab == j].mean(0) if (lab == j).any() else init[j]
+            for j in range(8)
+        ]
+    )
+    np.testing.assert_allclose(np.asarray(c_sharded), expected, rtol=1e-4)
+    np.testing.assert_allclose(
+        float(cost_sharded), d.min(1).sum(), rtol=1e-5
+    )

@@ -1,0 +1,99 @@
+import numpy as np
+import pytest
+
+from conftest import brute_force_topk, make_clustered_dataset
+from rabitq_tpu import SearchParams, build_index, calculate_recall, search
+from rabitq_tpu.index.serialize import dump_to_dir
+from rabitq_tpu.metrics import METRICS
+from rabitq_tpu.store import (
+    BlockCachedStore,
+    DeviceStore,
+    FileBlockSource,
+    MmapStore,
+    search_with_store,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(7)
+    base, centers = make_clustered_dataset(rng, n=2000, dim=48, k=16)
+    import jax
+
+    idx = build_index(base, centers, key=jax.random.key(9))
+    return base, idx
+
+
+@pytest.fixture(scope="module")
+def index_dir(corpus, tmp_path_factory):
+    _, idx = corpus
+    d = tmp_path_factory.mktemp("idx") / "index"
+    dump_to_dir(idx, d)
+    return d
+
+
+def _check_store(store, base, idx, rerank_tail=True):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    queries = base[rng.choice(2000, 10, replace=False)]
+    truth = brute_force_topk(base, queries, 10)
+    params = SearchParams(probe=16, topk=10, rerank=200)
+    d_dev, i_dev = search(idx, jnp.asarray(queries), params)
+    d_st, i_st = search_with_store(idx, queries, params, store)
+    np.testing.assert_array_equal(np.asarray(i_dev), i_st)
+    np.testing.assert_allclose(np.asarray(d_dev), d_st, rtol=1e-4, atol=1e-5)
+    recall = np.mean(
+        [calculate_recall(truth[i], i_st[i], 10) for i in range(10)]
+    )
+    assert recall == 1.0
+
+
+def test_device_store_matches_device_rerank(corpus):
+    base, idx = corpus
+    _check_store(DeviceStore(idx.base), base, idx)
+
+
+def test_mmap_store(corpus, index_dir):
+    base, idx = corpus
+    _check_store(MmapStore(index_dir / "base.fvecs"), base, idx)
+
+
+def test_block_cached_store_and_miss_counting(corpus, index_dir):
+    base, idx = corpus
+    src = FileBlockSource(index_dir / "base.fvecs")
+    store = BlockCachedStore(src, idx.dim)
+    METRICS.reset()
+    _check_store(store, base, idx)
+    first_misses = METRICS.miss
+    assert first_misses > 0
+    # Second identical run: everything cached, zero new misses.
+    _check_store(store, base, idx)
+    assert METRICS.miss == first_misses
+
+
+def test_block_cached_store_sqlite_persistence(corpus, index_dir, tmp_path):
+    base, idx = corpus
+    db = tmp_path / "cache.db"
+    src = FileBlockSource(index_dir / "base.fvecs")
+    store1 = BlockCachedStore(src, idx.dim, sqlite_path=db)
+    _check_store(store1, base, idx)
+    METRICS.reset()
+    # New store instance, same sqlite file: no source fetches needed.
+    store2 = BlockCachedStore(src, idx.dim, sqlite_path=db)
+    _check_store(store2, base, idx)
+    assert METRICS.miss == 0
+
+
+def test_block_cache_lru_eviction(corpus, index_dir):
+    base, idx = corpus
+    src = FileBlockSource(index_dir / "base.fvecs")
+    store = BlockCachedStore(src, idx.dim, max_cached_blocks=1)
+    n_blocks = -(-2000 // store.num_per_block)
+    if n_blocks < 2:
+        pytest.skip("corpus fits in one block")
+    METRICS.reset()
+    store.get_rows(np.array([0]))
+    store.get_rows(np.array([store.num_per_block]))  # evicts block 0
+    store.get_rows(np.array([0]))  # re-fetch
+    assert METRICS.miss == 3
