@@ -80,9 +80,11 @@ def cmd_run(args) -> None:
         for i in range(nq):
             q = queries[i : i + 1]
             start = time.perf_counter()
-            rough, pos, _ = rough_scan(index, jnp.asarray(q), params)
-            rough = np.asarray(rough)[0]
-            pos = np.asarray(pos)[0]
+            scan = rough_scan(index, jnp.asarray(q), params)
+            rough = np.asarray(scan.rough)[0]
+            starts = np.asarray(scan.starts)[0]
+            span = rough.shape[0] // starts.shape[0]
+            pos = (starts[:, None] + np.arange(span)[None, :]).reshape(-1)
             keep = np.isfinite(rough)
             qpad = np.zeros(index.dim, np.float32)
             qpad[:d] = q[0]

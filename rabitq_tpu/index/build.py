@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rabitq_tpu.consts import DEFAULT_X_DOT_PRODUCT, EPSILON, LANES
-from rabitq_tpu.index.index import RaBitQIndex
+from rabitq_tpu.index.index import RaBitQIndex, make_blob
 from rabitq_tpu.ops import (
     gen_random_orthogonal,
     pack_bits_u32,
@@ -152,15 +152,16 @@ def build_index(
     sizes = np.bincount(labels, minlength=k).astype(np.int32)
     offsets = np.zeros(k + 1, dtype=np.int32)
     np.cumsum(sizes, out=offsets[1:])
-    capacity = max(8, round_up(int(sizes.max(initial=1)), 8))
+    # Capacity rounds to the lane width so every cluster-scan tile is
+    # lane-aligned (128 f32/u32 lanes).
+    capacity = max(LANES, round_up(int(sizes.max(initial=1)), LANES))
 
     base_sorted = None
     if keep_base:
         base_sorted = jnp.asarray(pad_last_dim(base[order], dim))
 
     return RaBitQIndex(
-        codes=jnp.asarray(codes[order]),
-        factors=jnp.asarray(factors[order]),
+        blob=jnp.asarray(make_blob(codes[order], factors[order], capacity)),
         offsets=jnp.asarray(offsets),
         map_ids=jnp.asarray(order),
         centroids_rot=centroids_rot,

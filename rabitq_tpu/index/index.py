@@ -4,12 +4,15 @@ Equivalent state to the reference's RaBitQ struct
 (/root/reference/src/rabitq.rs:58-68), redesigned as a pytree of batched
 device arrays:
 
-- ``codes``     [N, W] uint32 — packed 1-bit residual sign codes, rows sorted
-                by (cluster, distance-to-centroid) like the reference's
-                cluster-sort (rabitq.rs:232-252). W = dim // 32.
-- ``factors``   [N, 4] f32 — per-vector correction quad in the reference's
-                Factor order (rabitq.rs:23-32): ip, ppc, error_bound,
-                center_distance_square.
+- ``blob``      [W + 4, N] uint32 — the scan-time layout: rows 0..W-1 are
+                packed 1-bit residual sign codes (W = dim // 32), rows
+                W..W+3 the per-vector correction quad (reference Factor
+                order, rabitq.rs:23-32: ip, ppc, error_bound,
+                center_distance_square) bitcast to uint32. Columns are
+                vectors, sorted by (cluster, distance-to-centroid) like the
+                reference's cluster-sort (rabitq.rs:232-252). This
+                struct-of-rows layout puts scan candidates on TPU *lanes*
+                and makes one probed cluster a single strided DMA.
 - ``offsets``   [K + 1] int32 — prefix sums of cluster sizes.
 - ``map_ids``   [N] int32 — sorted-position -> original id.
 - ``centroids_rot`` [K, D] f32 — rotated centroids.
@@ -39,8 +42,7 @@ from rabitq_tpu.consts import WORD_BITS
 
 @dataclasses.dataclass(frozen=True)
 class RaBitQIndex:
-    codes: jax.Array
-    factors: jax.Array
+    blob: jax.Array
     offsets: jax.Array
     map_ids: jax.Array
     centroids_rot: jax.Array
@@ -53,7 +55,9 @@ class RaBitQIndex:
 
     @property
     def n(self) -> int:
-        return self.codes.shape[0]
+        # blob columns are padded by `capacity` so the scan kernel's last
+        # cluster DMA stays in bounds; the true row count is map_ids'.
+        return self.map_ids.shape[0]
 
     @property
     def k(self) -> int:
@@ -62,6 +66,18 @@ class RaBitQIndex:
     @property
     def words(self) -> int:
         return self.dim // WORD_BITS
+
+    @property
+    def codes(self) -> jax.Array:
+        """Row-major packed codes [N, W] (serialization/debug view)."""
+        return self.blob[: self.words, : self.n].T
+
+    @property
+    def factors(self) -> jax.Array:
+        """Row-major factor quads [N, 4] (serialization/debug view)."""
+        return jax.lax.bitcast_convert_type(
+            self.blob[self.words :, : self.n].T, jnp.float32
+        )
 
     @property
     def cluster_sizes(self) -> np.ndarray:
@@ -78,11 +94,24 @@ class RaBitQIndex:
         return total
 
 
+def make_blob(
+    codes_rows: np.ndarray, factors_rows: np.ndarray, capacity: int
+) -> np.ndarray:
+    """Assemble the [W+4, N+capacity+128] scan blob from row-major codes and
+    factors. Columns are padded so a scan tile starting at the last cluster
+    (aligned down to the lane group) never reads out of bounds."""
+    w = codes_rows.shape[1]
+    n = codes_rows.shape[0]
+    blob = np.zeros((w + 4, n + capacity + 128), dtype=np.uint32)
+    blob[:w, :n] = codes_rows.T
+    blob[w:, :n] = np.ascontiguousarray(factors_rows.T).view(np.uint32)
+    return blob
+
+
 jax.tree_util.register_dataclass(
     RaBitQIndex,
     data_fields=[
-        "codes",
-        "factors",
+        "blob",
         "offsets",
         "map_ids",
         "centroids_rot",
@@ -104,9 +133,16 @@ class SearchParams(NamedTuple):
                  candidates whose exact distance is computed. Replaces the
                  reference's dynamic heap pruning (rerank.rs:81-106), which
                  is hostile to XLA; R >= ~10x topk recovers its recall.
-    task_chunk:  probed-cluster scan chunk size (memory/parallelism knob).
+    task_chunk:  probed-cluster scan chunk size for the jnp fallback path
+                 (memory/parallelism knob).
     dither:      use the reference's scalar floor+dither quantizer instead
                  of round-to-nearest.
+    approx_select: use jax.lax.approx_max_k for the rerank-candidate
+                 selection instead of exact lax.top_k. Measured *slower*
+                 and less accurate than exact top_k at these widths on
+                 v5e, so off by default.
+    use_kernel:  use the fused Pallas scan kernel on TPU (jnp fallback on
+                 other backends regardless).
     """
 
     probe: int = 100
@@ -114,3 +150,5 @@ class SearchParams(NamedTuple):
     rerank: int = 128
     task_chunk: int = 64
     dither: bool = False
+    approx_select: bool = False
+    use_kernel: bool = True

@@ -6,14 +6,15 @@ dynamically-pruned rerank heap; neither maps to XLA. Here the pipeline is a
 single jitted program over a *batch* of queries with static shapes:
 
   1. rotate queries (MXU matmul), all-centroid distance scan (MXU matmul),
-     top-probe cluster selection (lax.top_k);
+     top-probe cluster selection;
   2. quantize all [B, probe] query residuals to 4-bit bit-planes at once;
-  3. scan probed clusters in fixed-capacity tiles: gather packed codes +
-     factors, AND+popcount asymmetric dot, 5-term estimator with error-bound
-     lower bound (rabitq.rs:336-367) — chunked with lax.map so the working
-     set stays VMEM-sized;
+  3. scan probed clusters in fixed-capacity lane-aligned tiles against the
+     [W+4, N] scan blob — on TPU via the fused double-buffered Pallas
+     kernel (ops/scan_kernel.py), elsewhere via a chunked jnp gather path
+     with identical semantics;
   4. select the R lowest-lower-bound candidates (static rerank budget,
-     replacing the reference's data-dependent heap, rerank.rs:81-106);
+     replacing the reference's data-dependent heap, rerank.rs:81-106) with
+     approx_max_k (TPU-native) or exact top_k;
   5. gather full-precision rows, exact L2, final top-k.
 
 Variable cluster sizes are handled by padding each probed cluster scan to
@@ -38,6 +39,7 @@ from rabitq_tpu.ops import (
     quantize_query_residuals,
     rotate,
 )
+from rabitq_tpu.ops.scan_kernel import pallas_rough_scan
 
 
 class Candidates(NamedTuple):
@@ -48,6 +50,14 @@ class Candidates(NamedTuple):
     n_scanned: jax.Array    # [B] int32 estimator evaluations (metrics)
 
 
+class RoughScan(NamedTuple):
+    """Full rough-distance scan output in cluster-visit order."""
+
+    rough: jax.Array      # [B, probe * cap] f32 (+inf on padded slots)
+    starts: jax.Array     # [B, probe] int32 cluster start positions
+    n_scanned: jax.Array  # [B] int32
+
+
 def _resolve(index: RaBitQIndex, params: SearchParams):
     k = index.offsets.shape[0] - 1
     probe = min(params.probe, k)
@@ -56,17 +66,74 @@ def _resolve(index: RaBitQIndex, params: SearchParams):
     return probe, cap, rerank
 
 
+def _jnp_scan(index, starts, sizes, planes, scal, *, cap, chunk):
+    """Portable scan path: chunked gather + popcount, same semantics as the
+    Pallas kernel (used on CPU and as the parity oracle for it)."""
+    s = starts.shape[0]
+    w = index.words
+    n = index.n
+    chunk = max(1, min(chunk, s))
+    s_pad = ((s + chunk - 1) // chunk) * chunk
+
+    def pad(a):
+        return jnp.pad(a, ((0, s_pad - s),) + ((0, 0),) * (a.ndim - 1))
+
+    starts_p, sizes_p, planes_p, scal_p = (
+        pad(starts),
+        pad(sizes),
+        pad(planes),
+        pad(scal),
+    )
+    blob = index.blob
+    plane_w = 1 << jnp.arange(THETA_LOG_DIM, dtype=jnp.int32)
+    iota = jnp.arange(cap, dtype=jnp.int32)
+
+    def step(t):
+        t_start, t_size, t_planes, t_scal = t
+        pos = t_start[:, None] + iota[None, :]  # [chunk, cap]
+        valid = iota[None, :] < t_size[:, None]
+        pos_safe = jnp.where(valid, pos, 0)
+        bg = blob[:, pos_safe]  # [W+4, chunk, cap]
+        cg = bg[:w]
+        fac = jax.lax.bitcast_convert_type(bg[w:], jnp.float32)
+        # [T, W, chunk, cap] AND -> popcount -> reduce words.
+        anded = cg[None, :, :, :] & jnp.transpose(t_planes, (1, 2, 0))[
+            :, :, :, None
+        ]
+        per_plane = popcount(anded).sum(axis=1)  # [T, chunk, cap]
+        abdp = (per_plane * plane_w[:, None, None]).sum(axis=0)
+        lo = t_scal[:, 0][:, None]
+        delta = t_scal[:, 1][:, None]
+        ssum = t_scal[:, 2][:, None]
+        ycd = t_scal[:, 3][:, None]
+        est = (
+            fac[3]
+            + ycd
+            + lo * fac[1]
+            + (2.0 * abdp.astype(jnp.float32) - ssum) * fac[0] * delta
+            - fac[2] * jnp.sqrt(ycd)
+        )
+        return jnp.where(valid, est, jnp.inf)
+
+    n_chunks = s_pad // chunk
+    tasks = tuple(
+        a.reshape((n_chunks, chunk) + a.shape[1:])
+        for a in (starts_p, sizes_p, planes_p, scal_p)
+    )
+    rough = jax.lax.map(step, tasks)  # [n_chunks, chunk, cap]
+    return rough.reshape(s_pad, cap)[:s]
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def rough_scan(
     index: RaBitQIndex, queries: jax.Array, params: SearchParams
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> RoughScan:
     """Stages 1-3: full rough-distance scan, in cluster-visit order.
 
-    Returns (rough [B, probe*cap], pos [B, probe*cap], n_scanned [B]) where
-    clusters appear nearest-centroid-first and rows within a cluster in
+    Clusters appear nearest-centroid-first and rows within a cluster in
     sorted (centroid-distance) order — the reference's visit order
     (rabitq.rs:297,304), which the host rerankers' dynamic pruning depends
-    on. Padded slots hold +inf.
+    on. Position of slot j of probed cluster i is ``starts[b, i] + j``.
     """
     probe, cap, _ = _resolve(index, params)
     b = queries.shape[0]
@@ -86,63 +153,48 @@ def rough_scan(
     qq = quantize_query_residuals(
         yr, index.rand_bias if params.dither else None
     )
-    planes = pack_query_bitplanes(qq.quantized)  # [B, probe, 4, W]
+    planes = pack_query_bitplanes(qq.quantized)  # [B, probe, T, W]
 
-    # Flatten (query, probed cluster) pairs into a task list and scan it in
-    # fixed-size chunks.
     s = b * probe
-    chunk = min(params.task_chunk, s)
-    s_pad = ((s + chunk - 1) // chunk) * chunk
+    starts = index.offsets[cids]  # [B, probe]
+    sizes_all = index.offsets[cids + 1] - starts
+    scal = jnp.stack(
+        [qq.lower, qq.delta, qq.code_sum, ycd], axis=-1
+    )  # [B, probe, 4]
 
-    def flat(a, trailing):
-        a = a.reshape((s,) + trailing)
-        return jnp.pad(a, ((0, s_pad - s),) + ((0, 0),) * len(trailing))
+    starts_f = starts.reshape(s)
+    sizes_f = sizes_all.reshape(s)
+    planes_f = planes.reshape(s, THETA_LOG_DIM, w)
+    scal_f = scal.reshape(s, 4)
 
-    starts = flat(index.offsets[cids], ())
-    sizes_all = index.offsets[cids + 1] - index.offsets[cids]  # [B, probe]
-    sizes = flat(sizes_all, ())
-    lo = flat(qq.lower, ())
-    delta = flat(qq.delta, ())
-    ssum = flat(qq.code_sum, ())
-    ycd_f = flat(ycd, ())
-    planes_f = flat(planes, (THETA_LOG_DIM, w))
+    if params.use_kernel and jax.default_backend() == "tpu":
+        # The kernel scans a lane-aligned window of span = cap + 128 per
+        # cluster; positions are aligned_start + slot.
+        from rabitq_tpu.consts import LANES
 
-    codes, factors = index.codes, index.factors
-    plane_w = 1 << jnp.arange(THETA_LOG_DIM, dtype=jnp.int32)
-    iota = jnp.arange(cap, dtype=jnp.int32)
-
-    def step(t):
-        t_start, t_size, t_lo, t_delta, t_ssum, t_ycd, t_planes = t
-        pos = t_start[:, None] + iota[None, :]  # [chunk, cap]
-        valid = iota[None, :] < t_size[:, None]
-        pos_safe = jnp.where(valid, pos, 0)
-        cg = codes[pos_safe]  # [chunk, cap, W]
-        fg = factors[pos_safe]  # [chunk, cap, 4]
-        anded = cg[:, None, :, :] & t_planes[:, :, None, :]  # [chunk,4,cap,W]
-        per_plane = popcount(anded).sum(axis=-1)  # [chunk, 4, cap]
-        abdp = (per_plane * plane_w[None, :, None]).sum(axis=1)  # [chunk,cap]
-        # 5-term estimator minus error bound (rabitq.rs:352-363).
-        est = (
-            fg[..., 3]
-            + t_ycd[:, None]
-            + t_lo[:, None] * fg[..., 1]
-            + (2.0 * abdp.astype(jnp.float32) - t_ssum[:, None])
-            * fg[..., 0]
-            * t_delta[:, None]
-            - fg[..., 2] * jnp.sqrt(t_ycd)[:, None]
+        rough, aligned = pallas_rough_scan(
+            index.blob, starts_f, sizes_f, planes_f, scal_f, span=cap + LANES
         )
-        return jnp.where(valid, est, jnp.inf), pos_safe
+        span = cap + LANES
+        pos_base = aligned.reshape(b, probe)
+    else:
+        rough = _jnp_scan(
+            index,
+            starts_f,
+            sizes_f,
+            planes_f,
+            scal_f,
+            cap=cap,
+            chunk=params.task_chunk,
+        )
+        span = cap
+        pos_base = starts
 
-    n_chunks = s_pad // chunk
-    tasks = tuple(
-        a.reshape((n_chunks, chunk) + a.shape[1:])
-        for a in (starts, sizes, lo, delta, ssum, ycd_f, planes_f)
+    return RoughScan(
+        rough=rough.reshape(b, probe * span),
+        starts=pos_base,
+        n_scanned=sizes_all.sum(axis=-1).astype(jnp.int32),
     )
-    rough, pos = jax.lax.map(step, tasks)  # [n_chunks, chunk, cap]
-
-    rough = rough.reshape(s_pad, cap)[:s].reshape(b, probe * cap)
-    pos = pos.reshape(s_pad, cap)[:s].reshape(b, probe * cap)
-    return rough, pos, sizes_all.sum(axis=-1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -154,14 +206,25 @@ def estimate_candidates(
     queries: [B, dim_orig] f32. Exposed separately so the host-store (disk)
     tier can rerank candidates off-device.
     """
-    _, _, rerank = _resolve(index, params)
-    rough, pos, n_scanned = rough_scan(index, queries, params)
-    neg_lb, flat_idx = jax.lax.top_k(-rough, rerank)
-    cand_pos = jnp.take_along_axis(pos, flat_idx, axis=-1)
+    probe, _, rerank = _resolve(index, params)
+    scan = rough_scan(index, queries, params)
+    span = scan.rough.shape[-1] // probe
+
+    if params.approx_select and jax.default_backend() == "tpu":
+        neg_lb, flat_idx = jax.lax.approx_max_k(-scan.rough, rerank)
+    else:
+        neg_lb, flat_idx = jax.lax.top_k(-scan.rough, rerank)
+
+    # Recover cluster-sorted positions from flat (task, slot) indices —
+    # cheaper than materializing a [B, probe*span] position array.
+    task = flat_idx // span  # [B, R] index into probed clusters
+    slot = flat_idx % span
+    pos = jnp.take_along_axis(scan.starts, task, axis=-1) + slot
+    pos = jnp.minimum(pos, index.n - 1)  # invalid slots are +inf anyway
     return Candidates(
-        pos=cand_pos,
+        pos=pos,
         lower_bound=-neg_lb,
-        n_scanned=n_scanned,
+        n_scanned=scan.n_scanned,
     )
 
 

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rabitq_tpu.index.index import RaBitQIndex
+from rabitq_tpu.index.index import RaBitQIndex, make_blob
 from rabitq_tpu.io import (
     read_matrix,
     read_u64_vecs,
@@ -130,7 +130,7 @@ def load_from_dir(
         )
         dim_orig = dim
         sizes = offsets[1:] - offsets[:-1]
-        capacity = max(8, round_up(int(sizes.max(initial=1)), 8))
+        capacity = max(128, round_up(int(sizes.max(initial=1)), 128))
 
     base = None
     if keep_base:
@@ -138,8 +138,7 @@ def load_from_dir(
         assert base.shape == (n, dim)
 
     return RaBitQIndex(
-        codes=jnp.asarray(codes),
-        factors=jnp.asarray(factors),
+        blob=jnp.asarray(make_blob(codes, factors, capacity)),
         offsets=jnp.asarray(offsets),
         map_ids=jnp.asarray(map_ids),
         centroids_rot=jnp.asarray(centroids_rot),
@@ -176,8 +175,7 @@ def load_from_npz(path: str | Path, *, keep_base: bool = True) -> RaBitQIndex:
         if keep_base and "base" in z:
             base = jnp.asarray(z["base"])
         return RaBitQIndex(
-            codes=jnp.asarray(z["codes"]),
-            factors=jnp.asarray(z["factors"]),
+            blob=jnp.asarray(make_blob(z["codes"], z["factors"], capacity)),
             offsets=jnp.asarray(z["offsets"]),
             map_ids=jnp.asarray(z["map_ids"]),
             centroids_rot=jnp.asarray(z["centroids_rot"]),

@@ -1,0 +1,182 @@
+"""Fused Pallas cluster-scan kernel (the hot query-path artifact).
+
+One grid step = one (query, probed-cluster) task. The kernel manually DMAs
+the cluster's blob slice ([W+4, span] uint32: packed codes + bitcast
+factors, candidates on lanes) from HBM, double-buffered across grid steps so
+the next cluster's bytes stream in while the current one computes.
+
+Mosaic requires HBM slice offsets to be lane-aligned, so the copy starts at
+the cluster start rounded *down* to 128 and the window is widened by one
+lane group (span = capacity + 128); slots outside [lo, hi) — the cluster's
+actual extent within the window — are masked to +inf. This trades ~14%
+extra popcounts for a layout that stays byte-compatible with the tight
+serialized format.
+
+Compute per task:
+
+  abdp[c] = sum_p 2^p * popcount(codes[w, c] & plane[p, w])      (VPU)
+  rough[c] = cdsq + ycd + lo*ppc + (2*abdp - ssum)*ip*delta - err*sqrt(ycd)
+
+which is the reference's AVX popcount estimator
+(/root/reference/src/rabitq.rs:336-367, src/simd.rs:326-384) recast as
+lane-parallel uint32 ops over a whole cluster tile at once.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rabitq_tpu.consts import LANES, THETA_LOG_DIM
+
+# DMA pipeline depth (cluster windows in flight).
+_NBUF = 4
+
+
+def _kernel(
+    starts_ref,  # [S] int32 aligned starts (scalar prefetch, SMEM)
+    lo_ref,      # [S] int32 first valid slot (scalar prefetch)
+    hi_ref,      # [S] int32 one-past-last valid slot (scalar prefetch)
+    planes_ref,  # [8, T, W] uint32 (VMEM block, 8 tasks)
+    scal_ref,    # [8, 4] f32 (SMEM block, 8 tasks): lo, delta, ssum, ycd
+    blob_ref,    # [W+4, N_pad] uint32 (HBM, manual DMA)
+    out_ref,     # [8, span] f32 (VMEM block, revisited by 8 grid steps)
+    buf,         # [NBUF, W+4, span] uint32 scratch
+    sems,        # DMA semaphores (NBUF,)
+    *,
+    words: int,
+    span: int,
+):
+    s = pl.program_id(0)
+    n_s = pl.num_programs(0)
+    row = s % 8  # position within the 8-task planes/scal/out blocks
+
+    def dma(slot, task):
+        start = pl.multiple_of(starts_ref[task], LANES)
+        return pltpu.make_async_copy(
+            blob_ref.at[:, pl.ds(start, span)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    # NBUF-deep pipeline: keep NBUF-1 cluster windows in flight so HBM
+    # latency is hidden behind (NBUF-1) tasks of compute.
+    @pl.when(s == 0)
+    def _():
+        # s_pad is a multiple of 8 >= _NBUF, so these are always in range.
+        for j in range(_NBUF - 1):
+            dma(j % _NBUF, j).start()
+
+    @pl.when(s + _NBUF - 1 < n_s)
+    def _():
+        dma((s + _NBUF - 1) % _NBUF, s + _NBUF - 1).start()
+
+    dma(s % _NBUF, s).wait()
+    blk = buf[s % _NBUF]  # [W+4, span] uint32
+
+    codes = blk[:words]  # [W, span]
+    acc = jnp.zeros((1, span), jnp.int32)
+    for p in range(THETA_LOG_DIM):
+        plane_col = planes_ref[row, p, :][:, None]  # [W, 1]
+        anded = codes & plane_col  # [W, span]
+        pop = jax.lax.population_count(anded).astype(jnp.int32)
+        acc = acc + (pop.sum(axis=0, keepdims=True) << p)
+
+    fac = pltpu.bitcast(blk[words:], jnp.float32)  # [4, span]
+    q_lo = scal_ref[row, 0]
+    q_delta = scal_ref[row, 1]
+    q_ssum = scal_ref[row, 2]
+    q_ycd = scal_ref[row, 3]
+
+    est = (
+        fac[3, :][None, :]
+        + q_ycd
+        + q_lo * fac[1, :][None, :]
+        + (2.0 * acc.astype(jnp.float32) - q_ssum)
+        * fac[0, :][None, :]
+        * q_delta
+        - fac[2, :][None, :] * jnp.sqrt(q_ycd)
+    )  # [1, span]
+
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
+    valid = (slot_ids >= lo_ref[s]) & (slot_ids < hi_ref[s])
+    out_ref[row, :] = jnp.where(valid, est, jnp.inf)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("span", "interpret"))
+def pallas_rough_scan(
+    blob: jax.Array,    # [W+4, N_pad] uint32; N_pad >= max aligned start+span
+    starts: jax.Array,  # [S] int32 cluster starts (unaligned)
+    sizes: jax.Array,   # [S] int32 cluster sizes
+    planes: jax.Array,  # [S, T, W] uint32
+    scal: jax.Array,    # [S, 4] f32
+    *,
+    span: int,          # capacity + LANES, multiple of LANES
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (rough [S, span], aligned_starts [S]).
+
+    Position of slot j of task t is aligned_starts[t] + j; slots outside
+    the cluster's extent hold +inf.
+    """
+    assert span % LANES == 0, span
+    s = starts.shape[0]
+    aligned = starts & jnp.int32(~(LANES - 1))
+    lo = starts - aligned
+    hi = lo + sizes
+
+    # Pad the task list to a multiple of 8 so scal/out tile into (8, ...)
+    # blocks (TPU sublane granularity); padded tasks have empty extent.
+    s_pad = ((s + 7) // 8) * 8
+    if s_pad != s:
+        pad = s_pad - s
+        aligned = jnp.pad(aligned, (0, pad))
+        lo = jnp.pad(lo, (0, pad))
+        hi = jnp.pad(hi, (0, pad))
+        planes = jnp.pad(planes, ((0, pad), (0, 0), (0, 0)))
+        scal = jnp.pad(scal, ((0, pad), (0, 0)))
+    w4 = blob.shape[0]
+    words = w4 - 4
+    t = planes.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(s_pad,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, t, words),
+                lambda i, *_: (i // 8, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, 4), lambda i, *_: (i // 8, 0), memory_space=pltpu.SMEM
+            ),
+            # The blob must stay in HBM (it is the whole index; pl.ANY would
+            # let the compiler pull small corpora into VMEM, which both
+            # breaks the tiled-slice alignment rules and caps corpus size).
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, span), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_NBUF, w4, span), jnp.uint32),
+            pltpu.SemaphoreType.DMA((_NBUF,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, words=words, span=span),
+        out_shape=jax.ShapeDtypeStruct((s_pad, span), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=s_pad * span * (THETA_LOG_DIM * words * 2 + 12),
+            bytes_accessed=s_pad * (w4 * span * 4 + span * 4),
+            transcendentals=s_pad,
+        ),
+    )(aligned, lo, hi, planes, scal, blob)
+    return out[:s], aligned[:s]

@@ -86,8 +86,11 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
         8, round_up(max(int(sizes[g].sum()) if g else 0 for g in groups), 8)
     )
 
-    sh_codes = np.zeros((s, rows_max, codes.shape[1]), codes.dtype)
-    sh_factors = np.zeros((s, rows_max, 4), np.float32)
+    from rabitq_tpu.index.index import make_blob
+
+    cap = index.capacity
+    w4 = index.words + 4
+    sh_blob = np.zeros((s, w4, rows_max + cap + 128), np.uint32)
     sh_map_ids = np.full((s, rows_max), -1, np.int32)
     sh_offsets = np.zeros((s, k_max + 1), np.int32)
     sh_centroids = np.full((s, k_max, index.dim), _FAR, np.float32)
@@ -97,11 +100,13 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
 
     for si, group in enumerate(groups):
         row = 0
+        loc_codes = np.zeros((rows_max, codes.shape[1]), codes.dtype)
+        loc_factors = np.zeros((rows_max, 4), np.float32)
         for li, c in enumerate(group):
             a, b = offsets[c], offsets[c + 1]
             m = b - a
-            sh_codes[si, row : row + m] = codes[a:b]
-            sh_factors[si, row : row + m] = factors[a:b]
+            loc_codes[row : row + m] = codes[a:b]
+            loc_factors[row : row + m] = factors[a:b]
             sh_map_ids[si, row : row + m] = map_ids[a:b]
             if base is not None:
                 sh_base[si, row : row + m] = base[a:b]
@@ -109,13 +114,13 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
             row += m
             sh_offsets[si, li + 1] = row
         sh_offsets[si, len(group) + 1 :] = row
+        sh_blob[si] = make_blob(loc_codes, loc_factors, cap)
 
     def put(a, *trailing_none):
         return jax.device_put(a, NamedSharding(mesh, P(AXIS, *trailing_none)))
 
     return RaBitQIndex(
-        codes=put(sh_codes, None, None),
-        factors=put(sh_factors, None, None),
+        blob=put(sh_blob, None, None),
         offsets=put(sh_offsets, None),
         map_ids=put(sh_map_ids, None),
         centroids_rot=put(sh_centroids, None, None),

@@ -1,0 +1,63 @@
+"""Tracing and phase timing.
+
+The reference's observability is env-var logging plus a cargo `perf`
+profile for external profilers (SURVEY.md §5). TPU-native equivalent:
+JAX profiler traces (viewable in Perfetto/TensorBoard) and lightweight
+wall-clock phase timers that the CLI exposes via ``--profile``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import time
+from collections import defaultdict
+
+logger = logging.getLogger(__name__)
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """Capture a JAX profiler trace (XLA ops, DMA, fusion timeline)."""
+    import jax
+
+    with jax.profiler.trace(log_dir):
+        yield
+    logger.info("profiler trace written to %s", log_dir)
+
+
+class PhaseTimer:
+    """Accumulates wall-clock per named phase; thread-safe enough for the
+    service's single dispatcher thread and the CLI loop."""
+
+    def __init__(self) -> None:
+        self.totals: dict[str, float] = defaultdict(float)
+        self.counts: dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.totals[name] += time.perf_counter() - t0
+            self.counts[name] += 1
+
+    def report(self) -> str:
+        lines = []
+        for name, total in sorted(
+            self.totals.items(), key=lambda kv: -kv[1]
+        ):
+            n = self.counts[name]
+            lines.append(
+                f"{name}: {total*1e3:.1f} ms total, {n} calls, "
+                f"{total/n*1e3:.2f} ms/call"
+            )
+        return "\n".join(lines)
+
+    def reset(self) -> None:
+        self.totals.clear()
+        self.counts.clear()
+
+
+TIMER = PhaseTimer()

@@ -1,0 +1,134 @@
+"""Parity tests: Pallas scan kernel (interpret mode) vs direct numpy math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rabitq_tpu.index.index import make_blob
+from rabitq_tpu.ops import pack_bits_u32, pack_query_bitplanes
+from rabitq_tpu.ops.scan_kernel import pallas_rough_scan
+
+
+@pytest.fixture(params=[64, 160])  # W = 2 and W = 5 (odd blob row count)
+def scan_inputs(rng, request):
+    n, d, cap, s = 600, request.param, 128, 10
+    w = d // 32
+    bits = rng.integers(0, 2, size=(n, d)).astype(np.int32)
+    codes = np.asarray(pack_bits_u32(jnp.asarray(bits)))
+    factors = rng.standard_normal((n, 4)).astype(np.float32)
+    factors[:, 3] = np.abs(factors[:, 3])  # cdsq >= 0
+    blob = make_blob(codes, factors, cap)
+
+    starts = rng.integers(0, n - 1, size=s).astype(np.int32)
+    sizes = rng.integers(0, cap + 1, size=s).astype(np.int32)
+    sizes = np.minimum(sizes, n - starts).astype(np.int32)
+    quant = rng.integers(0, 16, size=(s, d)).astype(np.int32)
+    planes = np.asarray(pack_query_bitplanes(jnp.asarray(quant)))
+    scal = rng.standard_normal((s, 4)).astype(np.float32)
+    scal[:, 1] = np.abs(scal[:, 1]) + 0.01  # delta > 0
+    scal[:, 3] = np.abs(scal[:, 3])  # ycd >= 0
+    return bits, factors, blob, starts, sizes, quant, scal, planes, cap
+
+
+def _expected_windowed(bits, factors, starts, sizes, quant, scal, span):
+    """Oracle in the kernel's window coordinates: task t's window starts at
+    its aligned-down start; slot j maps to position aligned + j."""
+    s = starts.shape[0]
+    aligned = starts & ~127
+    out = np.full((s, span), np.inf, np.float32)
+    for t in range(s):
+        lo_s, delta, ssum, ycd = scal[t]
+        first = starts[t] - aligned[t]
+        for c in range(first, first + sizes[t]):
+            i = aligned[t] + c
+            abdp = float(bits[i] @ quant[t])
+            ip, ppc, err, cdsq = factors[i]
+            out[t, c] = (
+                cdsq
+                + ycd
+                + lo_s * ppc
+                + (2.0 * abdp - ssum) * ip * delta
+                - err * np.sqrt(ycd)
+            )
+    return out, aligned
+
+
+def test_kernel_matches_numpy_oracle(scan_inputs):
+    bits, factors, blob, starts, sizes, quant, scal, planes, cap = scan_inputs
+    span = cap + 128
+    got, aligned = pallas_rough_scan(
+        jnp.asarray(blob),
+        jnp.asarray(starts),
+        jnp.asarray(sizes),
+        jnp.asarray(planes),
+        jnp.asarray(scal),
+        span=span,
+        interpret=True,
+    )
+    expected, exp_aligned = _expected_windowed(
+        bits, factors, starts, sizes, quant, scal, span
+    )
+    np.testing.assert_array_equal(np.asarray(aligned), exp_aligned)
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_kernel_matches_jnp_scan_path(rng):
+    """The kernel's rough values must match the portable jnp scan for the
+    same index and queries, position by position."""
+    import importlib
+
+    S = importlib.import_module("rabitq_tpu.index.search")
+    from conftest import make_clustered_dataset
+    from rabitq_tpu import SearchParams, build_index
+    from rabitq_tpu.consts import THETA_LOG_DIM
+    from rabitq_tpu.ops import (
+        pairwise_l2sq,
+        quantize_query_residuals,
+        rotate,
+    )
+
+    base, centers = make_clustered_dataset(rng, n=700, dim=64, k=8)
+    idx = build_index(base, centers, key=jax.random.key(3))
+    q = jnp.asarray(base[:4])
+    params = SearchParams(probe=8, topk=5, rerank=64, use_kernel=False)
+    scan = S.rough_scan(idx, q, params)
+    cap = idx.capacity
+
+    # Rebuild the flattened kernel inputs exactly as rough_scan does.
+    d = idx.dim
+    q_pad = jnp.pad(q, ((0, 0), (0, d - q.shape[1])))
+    y = rotate(q_pad, idx.orthogonal)
+    cdist = pairwise_l2sq(y, idx.centroids_rot)
+    _, cids = jax.lax.top_k(-cdist, 8)
+    yr = y[:, None, :] - idx.centroids_rot[cids]
+    ycd = jnp.sum(yr * yr, axis=-1)
+    qq = quantize_query_residuals(yr)
+    planes = pack_query_bitplanes(qq.quantized)
+    starts = idx.offsets[cids]
+    sizes = idx.offsets[cids + 1] - starts
+    scal = jnp.stack([qq.lower, qq.delta, qq.code_sum, ycd], axis=-1)
+    s = 4 * 8
+    span = cap + 128
+    rough_k, aligned = pallas_rough_scan(
+        idx.blob,
+        starts.reshape(s),
+        sizes.reshape(s),
+        planes.reshape(s, THETA_LOG_DIM, idx.words),
+        scal.reshape(s, 4),
+        span=span,
+        interpret=True,
+    )
+    # Map both outputs to absolute positions and compare finite entries.
+    rough_k = np.asarray(rough_k)
+    aligned = np.asarray(aligned)
+    starts_np = np.asarray(starts).reshape(s)
+    sizes_np = np.asarray(sizes).reshape(s)
+    rough_j = np.asarray(scan.rough).reshape(s, cap)
+    for t in range(s):
+        first = starts_np[t] - aligned[t]
+        k_vals = rough_k[t, first : first + sizes_np[t]]
+        j_vals = rough_j[t, : sizes_np[t]]
+        np.testing.assert_allclose(k_vals, j_vals, rtol=1e-4, atol=1e-4)
+        assert np.isinf(rough_k[t, :first]).all()
+        assert np.isinf(rough_k[t, first + sizes_np[t] :]).all()

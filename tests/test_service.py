@@ -68,15 +68,27 @@ def test_concurrent_queries_microbatch(served):
     truth = brute_force_topk(base, base[:24], 10)
     results = {}
 
+    errors = {}
+
     def worker(i):
-        _, body = _post(url, dict(query=base[i].tolist(), top_k=10, probe=8))
-        results[i] = body["ids"]
+        for _ in range(3):  # retry transient connection hiccups
+            try:
+                status, body = _post(
+                    url, dict(query=base[i].tolist(), top_k=10, probe=8)
+                )
+                if status == 200:
+                    results[i] = body["ids"]
+                    return
+                errors[i] = body
+            except Exception as e:  # pragma: no cover - flaky socket
+                errors[i] = repr(e)
 
     threads = [threading.Thread(target=worker, args=(i,)) for i in range(24)]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
+    assert len(results) == 24, f"missing results; errors: {errors}"
     recall = np.mean(
         [
             calculate_recall(truth[i], np.asarray(results[i]), 10)

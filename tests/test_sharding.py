@@ -25,7 +25,7 @@ def test_shard_index_partitions_everything(rng, mesh):
     base, centers = make_clustered_dataset(rng, n=2000, dim=48, k=32)
     idx = build_index(base, centers, key=jax.random.key(1))
     sidx = shard_index(idx, mesh)
-    assert sidx.codes.shape[0] == 8
+    assert sidx.blob.shape[0] == 8
     # Every original row appears exactly once across shards.
     ids = np.asarray(sidx.map_ids).reshape(-1)
     real = np.sort(ids[ids >= 0])
