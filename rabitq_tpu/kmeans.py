@@ -29,30 +29,39 @@ def _lloyd_iteration(x_chunks, valid, centroids):
 
     x_chunks: [C, chunk, d]; valid: [C, chunk] bool; centroids: [k, d].
     Returns (new_centroids, cost).
+
+    Sufficient statistics are accumulated with a one-hot MXU matmul
+    (onehot^T @ [x | 1] gives per-cluster sums and counts in one GEMM) —
+    scatter-based segment_sum serializes on TPU and is ~100x slower here.
+    Assignment distances use DEFAULT matmul precision: boundary
+    mis-assignments are harmless during training.
     """
     k = centroids.shape[0]
 
     def step(carry, args):
-        sums, counts, cost = carry
+        sums1, cost = carry
         xc, vc = args
-        dist = pairwise_l2sq(xc, centroids)  # [chunk, k]
+        chunk = xc.shape[0]
+        dist = pairwise_l2sq(xc, centroids, jax.lax.Precision.DEFAULT)
         lab = jnp.argmin(dist, axis=-1)
         mind = jnp.min(dist, axis=-1)
-        # Masked-out rows go to segment k and are dropped.
-        lab = jnp.where(vc, lab, k)
-        sums = sums + jax.ops.segment_sum(xc, lab, num_segments=k + 1)[:k]
-        counts = counts + jax.ops.segment_sum(
-            vc.astype(jnp.float32), lab, num_segments=k + 1
-        )[:k]
+        onehot = (
+            (lab[:, None] == jnp.arange(k, dtype=lab.dtype)[None, :])
+            & vc[:, None]
+        ).astype(jnp.float32)  # [chunk, k]
+        x1 = jnp.concatenate(
+            [xc, jnp.ones((chunk, 1), jnp.float32)], axis=-1
+        )  # [chunk, d+1]
+        sums1 = sums1 + jnp.matmul(
+            onehot.T, x1, preferred_element_type=jnp.float32
+        )
         cost = cost + jnp.where(vc, mind, 0.0).sum()
-        return (sums, counts, cost), None
+        return (sums1, cost), None
 
-    init = (
-        jnp.zeros_like(centroids),
-        jnp.zeros((k,), jnp.float32),
-        jnp.float32(0.0),
-    )
-    (sums, counts, cost), _ = jax.lax.scan(step, init, (x_chunks, valid))
+    d = centroids.shape[1]
+    init = (jnp.zeros((k, d + 1), jnp.float32), jnp.float32(0.0))
+    (sums1, cost), _ = jax.lax.scan(step, init, (x_chunks, valid))
+    sums, counts = sums1[:, :d], sums1[:, d]
     new_c = jnp.where(
         counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], centroids
     )
@@ -68,12 +77,15 @@ def _kmeanspp_init(x, k: int, key):
     no host round-trip). O(n*k*d) total — the cost of one Lloyd iteration.
     """
     n = x.shape[0]
-    gumbel = jax.random.gumbel(key, (k, n), dtype=jnp.float32)
 
     def step(j, carry):
         centroids, mind = carry
+        # Per-step Gumbel noise (a [k, n] matrix up front would be GBs).
+        gumbel = jax.random.gumbel(
+            jax.random.fold_in(key, j), (n,), dtype=jnp.float32
+        )
         logits = jnp.where(mind > 0, jnp.log(jnp.maximum(mind, 1e-30)), -jnp.inf)
-        pick = jnp.argmax(logits + gumbel[j])
+        pick = jnp.argmax(logits + gumbel)
         c = x[pick]
         centroids = jax.lax.dynamic_update_index_in_dim(centroids, c, j, 0)
         dist = jnp.sum((x - c) ** 2, axis=-1)
@@ -108,14 +120,19 @@ def kmeans(
     if key is None:
         key = jax.random.key(0)
     key_i, key_s = jax.random.split(key)
+    # Sample indices on host: jax.random.choice(replace=False) lowers to a
+    # full device sort and is catastrophically slow at corpus scale.
+    host_rng = np.random.default_rng(
+        np.asarray(jax.random.key_data(key_s)).ravel()
+    )
 
     if init == "random":
-        sel = jax.random.choice(key_i, n, (k,), replace=False)
-        centroids = jnp.asarray(x)[sel]
+        sel = host_rng.choice(n, size=k, replace=False)
+        centroids = jnp.asarray(x[sel])
     else:
         cap = max(k, min(n, init_sample_cap))
         if cap < n:
-            sub = np.asarray(jax.random.choice(key_s, n, (cap,), replace=False))
+            sub = host_rng.choice(n, size=cap, replace=False)
             x_init = jnp.asarray(x[sub])
         else:
             x_init = jnp.asarray(x)

@@ -18,19 +18,25 @@ def l2sq(x: jax.Array, y: jax.Array) -> jax.Array:
     return jnp.sum(d * d, axis=-1)
 
 
-def pairwise_l2sq(x: jax.Array, c: jax.Array) -> jax.Array:
+def pairwise_l2sq(
+    x: jax.Array,
+    c: jax.Array,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> jax.Array:
     """All-pairs squared L2: [n, d] x [k, d] -> [n, k].
 
     Uses the matmul identity so the n*k*d FLOPs land on the MXU. Result is
     clamped at 0 to guard against cancellation going slightly negative.
+    Default HIGHEST precision (bf16 passes misrank near-tied clusters);
+    k-means training passes DEFAULT for 6x MXU throughput where occasional
+    boundary mis-assignments are harmless.
     """
     xx = jnp.sum(x * x, axis=-1, keepdims=True)  # [n, 1]
     cc = jnp.sum(c * c, axis=-1)  # [k]
-    # HIGHEST: bf16 matmul passes would misrank near-tied clusters.
     xc = jnp.matmul(
         x,
         c.T,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )  # [n, k]
     return jnp.maximum(xx - 2.0 * xc + cc[None, :], 0.0)

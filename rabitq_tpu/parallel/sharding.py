@@ -228,10 +228,15 @@ def sharded_lloyd_step(x: jax.Array, centroids: jax.Array, mesh: Mesh):
         dist = pairwise_l2sq(x_local, c)
         lab = jnp.argmin(dist, axis=-1)
         mind = jnp.min(dist, axis=-1)
-        sums = jax.ops.segment_sum(x_local, lab, num_segments=k)
-        counts = jax.ops.segment_sum(
-            jnp.ones(x_local.shape[0], jnp.float32), lab, num_segments=k
+        # One-hot MXU matmul for sufficient stats (scatter serializes on
+        # TPU); the psum over the mesh rides ICI.
+        onehot = (
+            lab[:, None] == jnp.arange(k, dtype=lab.dtype)[None, :]
+        ).astype(jnp.float32)
+        sums = jnp.matmul(
+            onehot.T, x_local, preferred_element_type=jnp.float32
         )
+        counts = onehot.sum(axis=0)
         sums = jax.lax.psum(sums, AXIS)
         counts = jax.lax.psum(counts, AXIS)
         cost = jax.lax.psum(mind.sum(), AXIS)
