@@ -1,0 +1,27 @@
+# Build/lint/test plumbing (reference parity: Makefile:1-17).
+
+PY ?= python
+
+.PHONY: test lint format bench bench-quick native clean
+
+test:
+	$(PY) -m pytest tests/ -q
+
+lint:
+	$(PY) -m compileall -q rabitq_tpu tests bench.py __graft_entry__.py
+
+format:
+	@echo "no formatter pinned in this image; code follows PEP8 manually"
+
+native:
+	$(MAKE) -C rabitq_tpu/native
+
+bench:
+	$(PY) bench.py
+
+bench-quick:
+	$(PY) bench.py --quick
+
+clean:
+	$(MAKE) -C rabitq_tpu/native clean
+	find . -name __pycache__ -type d -exec rm -rf {} +

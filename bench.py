@@ -23,9 +23,9 @@ import time
 
 import numpy as np
 
-# First measured value on one TPU v5e chip (round 1). Updated only if the
-# benchmark definition changes, so later rounds show real speedups.
-BASELINE_QPS = 1173.2
+# First measured values on one TPU v5e chip (round 1, pre-kernel). Updated
+# only if the benchmark definition changes, so later rounds show speedups.
+BASELINE_QPS = {"sift": 1173.2, "quick": 11702.0, "gist": 987.0}
 
 
 def log(msg: str) -> None:
@@ -82,8 +82,14 @@ def ground_truth(base, queries, topk, chunk=65536):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small fast run")
+    ap.add_argument(
+        "--config",
+        choices=["sift", "gist"],
+        default="sift",
+        help="sift: 1M x 128-d recall@10; gist: 200k x 960-d recall@100",
+    )
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument("--topk", type=int, default=None)
     ap.add_argument("--target-recall", type=float, default=0.95)
     args = ap.parse_args()
 
@@ -97,9 +103,16 @@ def main():
     if args.quick:
         n, dim, k, nq, n_centers = 100_000, 128, 512, 512, 256
         train_cap = 50_000
+        topk = args.topk or 10
+    elif args.config == "gist":
+        n, dim, k, nq, n_centers = 200_000, 960, 1024, 512, 512
+        train_cap = 131_072
+        topk = args.topk or 100
     else:
         n, dim, k, nq, n_centers = 1_000_000, 128, 4096, 1024, 1024
         train_cap = 260_000
+        topk = args.topk or 10
+    args.topk = topk
 
     log(f"dataset: n={n} dim={dim} k={k} nq={nq}")
     t0 = time.time()
@@ -172,13 +185,14 @@ def main():
     qps = nq_pad / min(times)
     log(f"final: probe={probe} recall={recall:.4f} QPS={qps:.0f}")
 
+    cfg = "quick" if args.quick else args.config
     print(
         json.dumps(
             dict(
-                metric=f"qps@recall{args.target_recall}_sift-like-{n//1000}k_top{args.topk}",
+                metric=f"qps@recall{args.target_recall}_{cfg}-like-{n//1000}k-{dim}d_top{args.topk}",
                 value=round(qps, 1),
                 unit="queries/s",
-                vs_baseline=round(qps / BASELINE_QPS, 3),
+                vs_baseline=round(qps / BASELINE_QPS[cfg], 3),
                 detail=dict(
                     probe=probe,
                     recall=round(recall, 4),

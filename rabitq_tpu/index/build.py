@@ -110,6 +110,9 @@ def build_index(
     keep_base:  keep full-precision vectors on device for rerank; set False
                 for the host-store tier.
     """
+    import time as _time
+
+    t_start = _time.perf_counter()
     base = np.asarray(base, dtype=np.float32)
     centroids = np.asarray(centroids, dtype=np.float32)
     n, d_orig = base.shape
@@ -129,29 +132,30 @@ def build_index(
     rand_bias = jax.random.uniform(key_b, (dim,), dtype=jnp.float32)
 
     centroids_rot = rotate(jnp.asarray(pad_last_dim(centroids, dim)), p)
+    jax.block_until_ready(centroids_rot)
+    logger.info("build: setup/QR %.1fs", _time.perf_counter() - t_start)
+    t_phase = _time.perf_counter()
 
-    # Chunked device pass. Dispatch every chunk asynchronously and collect
-    # afterwards so host<->device transfers overlap with compute.
+    # Chunked device pass. Dispatch every chunk asynchronously, concatenate
+    # the per-chunk outputs ON DEVICE, and bring each result back in ONE
+    # device->host transfer — per-chunk transfers round-trip the device
+    # tunnel and dominate build time otherwise.
     pending = []
     for start in range(0, n, chunk):
         stop = min(start + chunk, n)
         x = pad_last_dim(base[start:stop], dim)
         if stop - start < chunk:  # keep shapes static for the jit cache
             x = np.pad(x, ((0, chunk - (stop - start)), (0, 0)))
-        pending.append(
-            (start, stop, _build_chunk(jnp.asarray(x), p, centroids_rot, dim))
-        )
-    labels = np.empty(n, dtype=np.int32)
-    cdists = np.empty(n, dtype=np.float32)
-    codes = np.empty((n, dim // 32), dtype=np.uint32)
-    factors = np.empty((n, 4), dtype=np.float32)
-    for start, stop, (lab, cd, co, fa) in pending:
-        m = stop - start
-        labels[start:stop] = np.asarray(lab)[:m]
-        cdists[start:stop] = np.asarray(cd)[:m]
-        codes[start:stop] = np.asarray(co)[:m]
-        factors[start:stop] = np.asarray(fa)[:m]
-    logger.debug("build: quantized %d rows", n)
+        pending.append(_build_chunk(jnp.asarray(x), p, centroids_rot, dim))
+    labels = np.asarray(jnp.concatenate([o[0] for o in pending]))[:n]
+    cdists = np.asarray(jnp.concatenate([o[1] for o in pending]))[:n]
+    codes = np.asarray(jnp.concatenate([o[2] for o in pending]))[:n]
+    factors = np.asarray(jnp.concatenate([o[3] for o in pending]))[:n]
+    del pending
+    logger.info(
+        "build: quantized %d rows in %.1fs", n, _time.perf_counter() - t_phase
+    )
+    t_phase = _time.perf_counter()
 
     # Cluster-sort on host: within each cluster order by centroid distance
     # ascending (rabitq.rs:232-252) so early rerank candidates tighten the
@@ -167,6 +171,11 @@ def build_index(
     base_sorted = None
     if keep_base:
         base_sorted = jnp.asarray(pad_last_dim(base[order], dim))
+    logger.info(
+        "build: sort+upload %.1fs (total %.1fs)",
+        _time.perf_counter() - t_phase,
+        _time.perf_counter() - t_start,
+    )
 
     return RaBitQIndex(
         blob=jnp.asarray(make_blob(codes[order], factors[order], capacity)),

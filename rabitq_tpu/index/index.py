@@ -97,14 +97,19 @@ class RaBitQIndex:
 def make_blob(
     codes_rows: np.ndarray, factors_rows: np.ndarray, capacity: int
 ) -> np.ndarray:
-    """Assemble the [W+4, N+capacity+128] scan blob from row-major codes and
-    factors. Columns are padded so a scan tile starting at the last cluster
-    (aligned down to the lane group) never reads out of bounds."""
+    """Assemble the scan blob from row-major codes and factors.
+
+    Rows: W code words + 4 factor rows, padded up to a multiple of 8
+    (Mosaic sublane tiling requires 8-aligned DMA row counts). Columns are
+    padded by capacity+128 so a scan tile starting at the last cluster
+    (aligned down to the lane group) never reads out of bounds.
+    """
     w = codes_rows.shape[1]
     n = codes_rows.shape[0]
-    blob = np.zeros((w + 4, n + capacity + 128), dtype=np.uint32)
+    rows = ((w + 4 + 7) // 8) * 8
+    blob = np.zeros((rows, n + capacity + 128), dtype=np.uint32)
     blob[:w, :n] = codes_rows.T
-    blob[w:, :n] = np.ascontiguousarray(factors_rows.T).view(np.uint32)
+    blob[w : w + 4, :n] = np.ascontiguousarray(factors_rows.T).view(np.uint32)
     return blob
 
 

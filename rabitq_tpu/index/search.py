@@ -95,7 +95,7 @@ def _jnp_scan(index, starts, sizes, planes, scal, *, cap, chunk):
         pos_safe = jnp.where(valid, pos, 0)
         bg = blob[:, pos_safe]  # [W+4, chunk, cap]
         cg = bg[:w]
-        fac = jax.lax.bitcast_convert_type(bg[w:], jnp.float32)
+        fac = jax.lax.bitcast_convert_type(bg[w : w + 4], jnp.float32)
         # [T, W, chunk, cap] AND -> popcount -> reduce words.
         anded = cg[None, :, :, :] & jnp.transpose(t_planes, (1, 2, 0))[
             :, :, :, None
@@ -173,7 +173,13 @@ def rough_scan(
         from rabitq_tpu.consts import LANES
 
         rough, aligned = pallas_rough_scan(
-            index.blob, starts_f, sizes_f, planes_f, scal_f, span=cap + LANES
+            index.blob,
+            starts_f,
+            sizes_f,
+            planes_f,
+            scal_f,
+            span=cap + LANES,
+            words=w,
         )
         span = cap + LANES
         pos_base = aligned.reshape(b, probe)

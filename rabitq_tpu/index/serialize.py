@@ -151,6 +151,48 @@ def load_from_dir(
     )
 
 
+def dump_to_json(index: RaBitQIndex, path: str | Path) -> None:
+    """Whole-index JSON dump (reference parity: rabitq.rs:78-81).
+
+    Human-readable and diffable; use npz for anything large.
+    """
+    assert index.base is not None, "dump requires full-precision base"
+    payload = dict(
+        dim=index.dim,
+        dim_orig=index.dim_orig,
+        capacity=index.capacity,
+        base=np.asarray(index.base).tolist(),
+        orthogonal=np.asarray(index.orthogonal).tolist(),
+        centroids_rot=np.asarray(index.centroids_rot).tolist(),
+        rand_bias=np.asarray(index.rand_bias).tolist(),
+        offsets=np.asarray(index.offsets).tolist(),
+        map_ids=np.asarray(index.map_ids).tolist(),
+        codes=np.asarray(index.codes).tolist(),
+        factors=np.asarray(index.factors).tolist(),
+    )
+    Path(path).write_text(json.dumps(payload))
+
+
+def load_from_json(path: str | Path) -> RaBitQIndex:
+    """Load a JSON dump (reference parity: rabitq.rs:72-76)."""
+    z = json.loads(Path(path).read_text())
+    capacity = int(z["capacity"])
+    codes = np.asarray(z["codes"], dtype=np.uint32)
+    factors = np.asarray(z["factors"], dtype=np.float32)
+    return RaBitQIndex(
+        blob=jnp.asarray(make_blob(codes, factors, capacity)),
+        offsets=jnp.asarray(np.asarray(z["offsets"], np.int32)),
+        map_ids=jnp.asarray(np.asarray(z["map_ids"], np.int32)),
+        centroids_rot=jnp.asarray(np.asarray(z["centroids_rot"], np.float32)),
+        orthogonal=jnp.asarray(np.asarray(z["orthogonal"], np.float32)),
+        rand_bias=jnp.asarray(np.asarray(z["rand_bias"], np.float32)),
+        base=jnp.asarray(np.asarray(z["base"], np.float32)),
+        dim=int(z["dim"]),
+        dim_orig=int(z["dim_orig"]),
+        capacity=capacity,
+    )
+
+
 def dump_to_npz(index: RaBitQIndex, path: str | Path) -> None:
     """Native single-file format (preserves everything, loads fastest)."""
     arrays = dict(

@@ -86,7 +86,7 @@ def _kernel(
         pop = jax.lax.population_count(anded).astype(jnp.int32)
         acc = acc + (pop.sum(axis=0, keepdims=True) << p)
 
-    fac = pltpu.bitcast(blk[words:], jnp.float32)  # [4, span]
+    fac = pltpu.bitcast(blk[words : words + 4], jnp.float32)  # [4, span]
     q_lo = scal_ref[row, 0]
     q_delta = scal_ref[row, 1]
     q_ssum = scal_ref[row, 2]
@@ -107,15 +107,16 @@ def _kernel(
     out_ref[row, :] = jnp.where(valid, est, jnp.inf)[0]
 
 
-@functools.partial(jax.jit, static_argnames=("span", "interpret"))
+@functools.partial(jax.jit, static_argnames=("span", "words", "interpret"))
 def pallas_rough_scan(
-    blob: jax.Array,    # [W+4, N_pad] uint32; N_pad >= max aligned start+span
+    blob: jax.Array,    # [rows, N_pad] uint32; rows = 8-aligned >= W+4
     starts: jax.Array,  # [S] int32 cluster starts (unaligned)
     sizes: jax.Array,   # [S] int32 cluster sizes
     planes: jax.Array,  # [S, T, W] uint32
     scal: jax.Array,    # [S, 4] f32
     *,
     span: int,          # capacity + LANES, multiple of LANES
+    words: int,         # W = dim // 32
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (rough [S, span], aligned_starts [S]).
@@ -140,7 +141,7 @@ def pallas_rough_scan(
         planes = jnp.pad(planes, ((0, pad), (0, 0), (0, 0)))
         scal = jnp.pad(scal, ((0, pad), (0, 0)))
     w4 = blob.shape[0]
-    words = w4 - 4
+    assert w4 % 8 == 0 and w4 >= words + 4, (w4, words)
     t = planes.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

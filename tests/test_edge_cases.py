@@ -1,0 +1,68 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rabitq_tpu import SearchParams, build_index, search
+
+
+def test_empty_clusters_are_probed_safely(rng):
+    """Centroids that attract no vectors yield size-0 clusters; probing
+    them must not produce candidates or NaNs."""
+    base = rng.standard_normal((200, 32)).astype(np.float32)
+    # 4 real centroids + 4 far-away ones that stay empty.
+    centers = np.concatenate(
+        [
+            base[:4] + 0.01,
+            np.full((4, 32), 1e3, np.float32),
+        ]
+    )
+    idx = build_index(base, centers, key=jax.random.key(0))
+    assert (idx.cluster_sizes[4:] == 0).all()
+    params = SearchParams(probe=8, topk=5, rerank=200)  # probes all incl. empty
+    d, ids = search(idx, jnp.asarray(base[:3]), params)
+    assert np.isfinite(np.asarray(d)).all()
+    assert (np.asarray(ids)[:, 0] == np.arange(3)).all()
+
+
+def test_duplicate_vectors(rng):
+    """Duplicates (zero residual to their centroid when the centroid IS the
+    point) exercise the x_dot fallback (rabitq.rs:211-215)."""
+    v = rng.standard_normal(32).astype(np.float32)
+    base = np.stack([v] * 50 + [v + 1.0] * 50)
+    centers = np.stack([v, v + 1.0])
+    idx = build_index(base, centers, key=jax.random.key(1), orthogonal=np.eye(128, dtype=np.float32))
+    fac = np.asarray(idx.factors)
+    assert np.isfinite(fac).all()
+    d, ids = search(
+        idx, jnp.asarray(v[None, :]), SearchParams(probe=2, topk=3, rerank=100)
+    )
+    assert float(np.asarray(d)[0, 0]) < 1e-6
+
+
+def test_single_vector_corpus(rng):
+    base = rng.standard_normal((1, 24)).astype(np.float32)
+    idx = build_index(base, base.copy(), key=jax.random.key(2))
+    d, ids = search(
+        idx, jnp.asarray(base), SearchParams(probe=1, topk=3, rerank=10)
+    )
+    ids = np.asarray(ids)[0]
+    assert ids[0] == 0 and (ids[1:] == -1).all()
+
+
+def test_topk_larger_than_corpus(rng):
+    base = rng.standard_normal((5, 16)).astype(np.float32)
+    idx = build_index(base, base[:2].copy(), key=jax.random.key(3))
+    d, ids = search(
+        idx, jnp.asarray(base[:1]), SearchParams(probe=2, topk=8, rerank=16)
+    )
+    ids = np.asarray(ids)[0]
+    assert set(ids[ids >= 0].tolist()) == {0, 1, 2, 3, 4}
+    assert (ids[5:] == -1).all()
+
+
+def test_query_dim_must_match(rng):
+    base = rng.standard_normal((50, 30)).astype(np.float32)
+    idx = build_index(base, base[:4].copy(), key=jax.random.key(4))
+    q = jnp.asarray(rng.standard_normal((1, 30)).astype(np.float32))
+    d, ids = search(idx, q, SearchParams(probe=4, topk=3, rerank=20))
+    assert np.asarray(ids).shape == (1, 3)

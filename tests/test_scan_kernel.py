@@ -64,6 +64,7 @@ def test_kernel_matches_numpy_oracle(scan_inputs):
         jnp.asarray(planes),
         jnp.asarray(scal),
         span=span,
+        words=bits.shape[1] // 32,
         interpret=True,
     )
     expected, exp_aligned = _expected_windowed(
@@ -117,6 +118,7 @@ def test_kernel_matches_jnp_scan_path(rng):
         planes.reshape(s, THETA_LOG_DIM, idx.words),
         scal.reshape(s, 4),
         span=span,
+        words=idx.words,
         interpret=True,
     )
     # Map both outputs to absolute positions and compare finite entries.

@@ -90,6 +90,17 @@ def test_npz_roundtrip(tmp_path, rng):
     _assert_same_results(idx, idx2, q, SearchParams(probe=8, topk=5, rerank=50))
 
 
+def test_json_roundtrip(tmp_path, rng):
+    from rabitq_tpu.index.serialize import dump_to_json, load_from_json
+
+    base, centers = make_clustered_dataset(rng, n=120, dim=32, k=4)
+    idx = build_index(base, centers, key=jax.random.key(8))
+    dump_to_json(idx, tmp_path / "idx.json")
+    idx2 = load_from_json(tmp_path / "idx.json")
+    q = jnp.asarray(base[:3])
+    _assert_same_results(idx, idx2, q, SearchParams(probe=4, topk=5, rerank=30))
+
+
 def test_u64_bit_convention(rng):
     """u32 pair -> u64 conversion must match the reference's bit numbering:
     bit i of the vector is bit i%64 of u64 word i//64."""
