@@ -8,7 +8,15 @@ dynamic pruning heap; pjit/shard_map scale the index across a device mesh.
 """
 
 from rabitq_tpu import consts
-from rabitq_tpu.index import RaBitQIndex, SearchParams, build_index, search
+from rabitq_tpu.index import (
+    RaBitQIndex,
+    SearchParams,
+    build_index,
+    compact,
+    delete,
+    insert,
+    search,
+)
 from rabitq_tpu.index.search import estimate_candidates
 from rabitq_tpu.metrics import METRICS
 from rabitq_tpu.utils import calculate_recall
@@ -21,6 +29,9 @@ __all__ = [
     "SearchParams",
     "build_index",
     "search",
+    "insert",
+    "delete",
+    "compact",
     "estimate_candidates",
     "METRICS",
     "calculate_recall",

@@ -1,5 +1,14 @@
 from rabitq_tpu.index.index import RaBitQIndex, SearchParams
 from rabitq_tpu.index.build import build_index
 from rabitq_tpu.index.search import search
+from rabitq_tpu.index.mutate import compact, delete, insert
 
-__all__ = ["RaBitQIndex", "SearchParams", "build_index", "search"]
+__all__ = [
+    "RaBitQIndex",
+    "SearchParams",
+    "build_index",
+    "search",
+    "insert",
+    "delete",
+    "compact",
+]

@@ -99,6 +99,7 @@ def build_index(
     orthogonal: np.ndarray | None = None,
     chunk: int = 4096,
     keep_base: bool = True,
+    metric: str = "l2",
 ) -> RaBitQIndex:
     """Build a RaBitQ index from base vectors and pre-trained centroids.
 
@@ -109,12 +110,21 @@ def build_index(
                 reference's gen_identity_matrix, utils.rs:25).
     keep_base:  keep full-precision vectors on device for rerank; set False
                 for the host-store tier.
+    metric:     "l2" or "cosine" (vectors + centroids are L2-normalized, so
+                L2 order equals cosine-similarity order; the reference only
+                supports L2 — README.md unchecked item).
     """
     import time as _time
 
+    from rabitq_tpu.utils import normalize_rows
+
+    assert metric in ("l2", "cosine"), metric
     t_start = _time.perf_counter()
     base = np.asarray(base, dtype=np.float32)
     centroids = np.asarray(centroids, dtype=np.float32)
+    if metric == "cosine":
+        base = normalize_rows(base)
+        centroids = normalize_rows(centroids)
     n, d_orig = base.shape
     k = centroids.shape[0]
     assert centroids.shape[1] == d_orig
@@ -188,4 +198,5 @@ def build_index(
         dim=dim,
         dim_orig=d_orig,
         capacity=capacity,
+        metric=metric,
     )

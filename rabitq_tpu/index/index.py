@@ -22,10 +22,16 @@ device arrays:
 - ``base``      [N, D] f32 or None — full-precision vectors (cluster-sorted,
                 padded) for the rerank stage; None when a host-resident
                 VectorStore serves reranks instead (disk tier).
+- ``extra_base``/``extra_ids`` — the insert memtable: vectors added after
+                the build live unquantized in a small buffer that every
+                query scans exactly and merges into the top-k (LSM-style;
+                ``compact`` folds it back into the quantized index). The
+                reference has no insert support (README.md unchecked item).
 
 Static metadata (hashable, part of the pytree treedef): padded dim, original
-dim, and the cluster capacity used to give probed-cluster scans a static
-shape.
+dim, the cluster capacity used to give probed-cluster scans a static shape,
+and the distance metric ("l2" or "cosine" — cosine indexes store normalized
+vectors, another reference README unchecked item).
 """
 
 from __future__ import annotations
@@ -49,9 +55,12 @@ class RaBitQIndex:
     orthogonal: jax.Array
     rand_bias: jax.Array
     base: Optional[jax.Array]
+    extra_base: Optional[jax.Array] = None  # [M, D] memtable vectors
+    extra_ids: Optional[jax.Array] = None  # [M] original ids
     dim: int = dataclasses.field(metadata=dict(static=True), default=0)
     dim_orig: int = dataclasses.field(metadata=dict(static=True), default=0)
     capacity: int = dataclasses.field(metadata=dict(static=True), default=0)
+    metric: str = dataclasses.field(metadata=dict(static=True), default="l2")
 
     @property
     def n(self) -> int:
@@ -123,8 +132,10 @@ jax.tree_util.register_dataclass(
         "orthogonal",
         "rand_bias",
         "base",
+        "extra_base",
+        "extra_ids",
     ],
-    meta_fields=["dim", "dim_orig", "capacity"],
+    meta_fields=["dim", "dim_orig", "capacity", "metric"],
 )
 
 

@@ -1,0 +1,135 @@
+"""Index mutation: insert, delete, compact.
+
+The reference has no insert/update/delete (README.md unchecked items). The
+TPU-native design keeps the quantized index immutable (static shapes are
+what make the scan kernel fast) and layers mutations on top:
+
+- ``insert``  — LSM-style memtable: new vectors live full-precision in a
+  small ``extra_base`` buffer that every query scans exactly and merges
+  into the top-k. O(M) per query; call ``compact`` when M grows large.
+- ``delete``  — tombstones: the victim's correction-factor row in the scan
+  blob is set so the estimator yields +inf (never selected), its memtable
+  slot (if any) is id-masked. O(deleted) one-time cost, zero query cost.
+- ``compact`` — rebuild: folds the memtable in and drops tombstones by
+  reconstructing the corpus (un-rotating stored centroids) and re-running
+  the batched build.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rabitq_tpu.index.build import build_index
+from rabitq_tpu.index.index import RaBitQIndex
+from rabitq_tpu.utils import normalize_rows, pad_last_dim
+
+_INF_BITS = np.uint32(0x7F800000)  # +inf as f32 bits
+
+
+def insert(
+    index: RaBitQIndex, vectors: np.ndarray, ids: np.ndarray | None = None
+) -> RaBitQIndex:
+    """Append vectors to the memtable; returns a new index.
+
+    ids default to consecutive values after the current max id. Note each
+    distinct memtable size compiles a fresh search executable — batch your
+    inserts, and ``compact`` periodically.
+    """
+    vectors = np.asarray(vectors, dtype=np.float32)
+    assert vectors.ndim == 2 and vectors.shape[1] == index.dim_orig
+    if index.metric == "cosine":
+        vectors = normalize_rows(vectors)
+    vectors = pad_last_dim(vectors, index.dim)
+
+    cur_ids = np.asarray(index.map_ids)
+    max_id = int(cur_ids.max(initial=-1))
+    if index.extra_ids is not None and index.extra_ids.shape[0]:
+        max_id = max(max_id, int(np.asarray(index.extra_ids).max(initial=-1)))
+    if ids is None:
+        ids = np.arange(max_id + 1, max_id + 1 + vectors.shape[0])
+    ids = np.asarray(ids, dtype=np.int32)
+    assert ids.shape[0] == vectors.shape[0]
+
+    if index.extra_base is not None and index.extra_base.shape[0]:
+        new_base = jnp.concatenate([index.extra_base, jnp.asarray(vectors)])
+        new_ids = jnp.concatenate([index.extra_ids, jnp.asarray(ids)])
+    else:
+        new_base = jnp.asarray(vectors)
+        new_ids = jnp.asarray(ids)
+    return dataclasses.replace(index, extra_base=new_base, extra_ids=new_ids)
+
+
+def delete(index: RaBitQIndex, ids) -> RaBitQIndex:
+    """Tombstone the given original ids; returns a new index.
+
+    Quantized rows get their center_distance_square factor set to +inf so
+    the rough estimator excludes them; memtable rows are id-masked. Unknown
+    ids are ignored.
+    """
+    ids = np.asarray(ids)
+    map_ids = np.asarray(index.map_ids)
+    victim_pos = np.nonzero(np.isin(map_ids, ids))[0].astype(np.int32)
+
+    blob = index.blob
+    new_map = index.map_ids
+    if victim_pos.size:
+        row = index.words + 3  # cdsq factor row
+        blob = blob.at[row, jnp.asarray(victim_pos)].set(
+            jnp.uint32(_INF_BITS)
+        )
+        new_map = new_map.at[jnp.asarray(victim_pos)].set(-1)
+
+    extra_ids = index.extra_ids
+    if extra_ids is not None and extra_ids.shape[0]:
+        mask = jnp.isin(extra_ids, jnp.asarray(ids))
+        extra_ids = jnp.where(mask, -1, extra_ids)
+
+    return dataclasses.replace(
+        index, blob=blob, map_ids=new_map, extra_ids=extra_ids
+    )
+
+
+def reconstruct_corpus(index: RaBitQIndex) -> tuple[np.ndarray, np.ndarray]:
+    """Recover (vectors [n, dim_orig], ids [n]) of all live rows — the
+    stored base plus the memtable, minus tombstones."""
+    assert index.base is not None, "reconstruction requires the stored base"
+    base = np.asarray(index.base)[:, : index.dim_orig]
+    ids = np.asarray(index.map_ids)
+    live = ids >= 0
+    vecs, out_ids = [base[live]], [ids[live]]
+    if index.extra_base is not None and index.extra_base.shape[0]:
+        ex_ids = np.asarray(index.extra_ids)
+        ex_live = ex_ids >= 0
+        vecs.append(np.asarray(index.extra_base)[ex_live, : index.dim_orig])
+        out_ids.append(ex_ids[ex_live])
+    return np.concatenate(vecs), np.concatenate(out_ids)
+
+
+def compact(
+    index: RaBitQIndex, *, key: jax.Array | None = None
+) -> tuple[RaBitQIndex, np.ndarray]:
+    """Fold the memtable in and drop tombstones by rebuilding.
+
+    Returns (new_index, id_map) where new_index uses dense positions and
+    id_map[new_original_id] = old original id (the rebuilt index numbers
+    vectors 0..n-1 in reconstruction order).
+    """
+    vectors, old_ids = reconstruct_corpus(index)
+    centroids = np.asarray(
+        jnp.matmul(
+            index.centroids_rot,
+            index.orthogonal.T,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    )[:, : index.dim_orig]
+    new_index = build_index(
+        vectors,
+        centroids,
+        key=key if key is not None else jax.random.key(0),
+        metric=index.metric,
+    )
+    return new_index, old_ids

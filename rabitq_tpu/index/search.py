@@ -66,6 +66,15 @@ def _resolve(index: RaBitQIndex, params: SearchParams):
     return probe, cap, rerank
 
 
+def _prep_queries(index: RaBitQIndex, queries: jax.Array) -> jax.Array:
+    """Pad to the index dim; L2-normalize for cosine-metric indexes."""
+    q = jnp.pad(queries, ((0, 0), (0, index.dim - queries.shape[1])))
+    if index.metric == "cosine":
+        norms = jnp.linalg.norm(q, axis=-1, keepdims=True)
+        q = q / jnp.maximum(norms, 1e-30)
+    return q
+
+
 def _jnp_scan(index, starts, sizes, planes, scal, *, cap, chunk):
     """Portable scan path: chunked gather + popcount, same semantics as the
     Pallas kernel (used on CPU and as the parity oracle for it)."""
@@ -137,10 +146,9 @@ def rough_scan(
     """
     probe, cap, _ = _resolve(index, params)
     b = queries.shape[0]
-    d = index.dim
     w = index.words
 
-    q_pad = jnp.pad(queries, ((0, 0), (0, d - queries.shape[1])))
+    q_pad = _prep_queries(index, queries)
     y = rotate(q_pad, index.orthogonal)  # [B, D]
 
     # IVF probe selection (rabitq.rs:285-297): matmul identity only ranks
@@ -246,16 +254,32 @@ def search(
     """
     assert index.base is not None, "index has no device base; use store tier"
     cand = estimate_candidates(index, queries, params)
-    d = index.dim
-    q_pad = jnp.pad(queries, ((0, 0), (0, d - queries.shape[1])))
+    q_pad = _prep_queries(index, queries)
 
     xb = index.base[cand.pos]  # [B, R, D]
     diff = xb - q_pad[:, None, :]
     exact = jnp.sum(diff * diff, axis=-1)  # [B, R]
     exact = jnp.where(jnp.isfinite(cand.lower_bound), exact, jnp.inf)
+    cand_ids = index.map_ids[cand.pos]
+
+    # Merge the insert memtable: exact distances to all buffered vectors.
+    if index.extra_base is not None and index.extra_base.shape[0] > 0:
+        ex_d = pairwise_l2sq(q_pad, index.extra_base)  # [B, M]
+        ex_d = jnp.where(index.extra_ids[None, :] >= 0, ex_d, jnp.inf)
+        exact = jnp.concatenate([exact, ex_d], axis=1)
+        cand_ids = jnp.concatenate(
+            [
+                cand_ids,
+                jnp.broadcast_to(
+                    index.extra_ids[None, :],
+                    (exact.shape[0], index.extra_ids.shape[0]),
+                ),
+            ],
+            axis=1,
+        )
 
     neg_d, ei = jax.lax.top_k(-exact, params.topk)
-    ids = jnp.take_along_axis(index.map_ids[cand.pos], ei, axis=-1)
+    ids = jnp.take_along_axis(cand_ids, ei, axis=-1)
     dists = -neg_d
     ids = jnp.where(jnp.isfinite(dists), ids, -1)
     return dists, ids

@@ -81,6 +81,11 @@ def dump_to_dir(index: RaBitQIndex, path: str | Path) -> None:
     write_u64_vecs(
         path / "x_binary_vec.u64vecs", [_codes_to_u64(np.asarray(index.codes))]
     )
+    if index.extra_base is not None and index.extra_base.shape[0]:
+        write_matrix(path / "extra_base.fvecs", np.asarray(index.extra_base))
+        write_vecs(
+            path / "extra_ids.ivecs", [np.asarray(index.extra_ids)]
+        )
     (path / _META).write_text(
         json.dumps(
             dict(
@@ -88,6 +93,7 @@ def dump_to_dir(index: RaBitQIndex, path: str | Path) -> None:
                 dim=index.dim,
                 dim_orig=index.dim_orig,
                 capacity=index.capacity,
+                metric=index.metric,
                 rand_bias=np.asarray(index.rand_bias).tolist(),
             )
         )
@@ -115,12 +121,14 @@ def load_from_dir(
     words = np.concatenate(read_u64_vecs(path / "x_binary_vec.u64vecs"))
     codes = _codes_from_u64(words, n, w32)
 
+    metric = "l2"
     meta_path = path / _META
     if meta_path.exists():
         meta = json.loads(meta_path.read_text())
         rand_bias = jnp.asarray(np.asarray(meta["rand_bias"], np.float32))
         dim_orig = int(meta["dim_orig"])
         capacity = int(meta["capacity"])
+        metric = meta.get("metric", "l2")
     else:
         # Reference-built dir: regenerate like rabitq.rs:119.
         rand_bias = jax.random.uniform(
@@ -137,6 +145,13 @@ def load_from_dir(
         base = jnp.asarray(read_matrix(path / "base.fvecs"))
         assert base.shape == (n, dim)
 
+    extra_base = extra_ids = None
+    if (path / "extra_base.fvecs").exists():
+        extra_base = jnp.asarray(read_matrix(path / "extra_base.fvecs"))
+        extra_ids = jnp.asarray(
+            read_vecs(path / "extra_ids.ivecs", np.int32)[0]
+        )
+
     return RaBitQIndex(
         blob=jnp.asarray(make_blob(codes, factors, capacity)),
         offsets=jnp.asarray(offsets),
@@ -145,9 +160,12 @@ def load_from_dir(
         orthogonal=jnp.asarray(orthogonal),
         rand_bias=rand_bias,
         base=base,
+        extra_base=extra_base,
+        extra_ids=extra_ids,
         dim=dim,
         dim_orig=dim_orig,
         capacity=capacity,
+        metric=metric,
     )
 
 
@@ -204,9 +222,13 @@ def dump_to_npz(index: RaBitQIndex, path: str | Path) -> None:
         orthogonal=np.asarray(index.orthogonal),
         rand_bias=np.asarray(index.rand_bias),
         meta=np.asarray([index.dim, index.dim_orig, index.capacity]),
+        metric=np.asarray(index.metric),
     )
     if index.base is not None:
         arrays["base"] = np.asarray(index.base)
+    if index.extra_base is not None and index.extra_base.shape[0]:
+        arrays["extra_base"] = np.asarray(index.extra_base)
+        arrays["extra_ids"] = np.asarray(index.extra_ids)
     np.savez(path, **arrays)
 
 
@@ -224,7 +246,14 @@ def load_from_npz(path: str | Path, *, keep_base: bool = True) -> RaBitQIndex:
             orthogonal=jnp.asarray(z["orthogonal"]),
             rand_bias=jnp.asarray(z["rand_bias"]),
             base=base,
+            extra_base=(
+                jnp.asarray(z["extra_base"]) if "extra_base" in z else None
+            ),
+            extra_ids=(
+                jnp.asarray(z["extra_ids"]) if "extra_ids" in z else None
+            ),
             dim=dim,
             dim_orig=dim_orig,
             capacity=capacity,
+            metric=str(z["metric"]) if "metric" in z else "l2",
         )

@@ -119,6 +119,16 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
     def put(a, *trailing_none):
         return jax.device_put(a, NamedSharding(mesh, P(AXIS, *trailing_none)))
 
+    # The insert memtable lives on shard 0 only (other shards carry
+    # same-shape empty slots with id -1, which search masks to +inf).
+    sh_extra_base = sh_extra_ids = None
+    if index.extra_base is not None and index.extra_base.shape[0]:
+        m = index.extra_base.shape[0]
+        sh_extra_base = np.zeros((s, m, index.dim), np.float32)
+        sh_extra_ids = np.full((s, m), -1, np.int32)
+        sh_extra_base[0] = np.asarray(index.extra_base)
+        sh_extra_ids[0] = np.asarray(index.extra_ids)
+
     return RaBitQIndex(
         blob=put(sh_blob, None, None),
         offsets=put(sh_offsets, None),
@@ -133,9 +143,14 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
             np.broadcast_to(np.asarray(index.rand_bias), (s, index.dim)), None
         ),
         base=None if sh_base is None else put(sh_base, None, None),
+        extra_base=(
+            None if sh_extra_base is None else put(sh_extra_base, None, None)
+        ),
+        extra_ids=None if sh_extra_ids is None else put(sh_extra_ids, None),
         dim=index.dim,
         dim_orig=index.dim_orig,
         capacity=index.capacity,
+        metric=index.metric,
     )
 
 

@@ -24,6 +24,14 @@ def pad_last_dim(a: np.ndarray, dim: int) -> np.ndarray:
     return np.pad(a, pad)
 
 
+def normalize_rows(a: np.ndarray) -> np.ndarray:
+    """L2-normalize rows (zero rows stay zero). Cosine-metric indexes store
+    unit vectors so cosine similarity reduces to L2 distance (d^2 = 2-2cos)."""
+    a = np.asarray(a, dtype=np.float32)
+    norms = np.linalg.norm(a, axis=-1, keepdims=True)
+    return a / np.maximum(norms, 1e-30)
+
+
 def calculate_recall(truth: np.ndarray, result: np.ndarray, topk: int) -> float:
     """|result ∩ truth[:topk]| / topk (reference utils.rs:367-379)."""
     t = set(np.asarray(truth)[:topk].tolist())

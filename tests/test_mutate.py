@@ -1,0 +1,115 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conftest import brute_force_topk, make_clustered_dataset
+from rabitq_tpu import (
+    SearchParams,
+    build_index,
+    calculate_recall,
+    compact,
+    delete,
+    insert,
+    search,
+)
+
+
+def _ids(idx, queries, params):
+    _, ids = search(idx, jnp.asarray(queries), params)
+    return np.asarray(ids)
+
+
+def test_insert_appears_in_results(rng):
+    base, centers = make_clustered_dataset(rng, n=500, dim=32, k=8)
+    idx = build_index(base, centers, key=jax.random.key(1))
+    new_vec = base[123] + 1e-4
+    idx2 = insert(idx, new_vec[None, :])
+    params = SearchParams(probe=8, topk=3, rerank=50)
+    ids = _ids(idx2, new_vec[None, :], params)[0]
+    assert 500 in ids.tolist()  # new id = n
+    assert 123 in ids.tolist()
+
+
+def test_delete_removes_from_results(rng):
+    base, centers = make_clustered_dataset(rng, n=400, dim=32, k=8)
+    idx = build_index(base, centers, key=jax.random.key(2))
+    params = SearchParams(probe=8, topk=5, rerank=100)
+    q = base[:4]
+    before = _ids(idx, q, params)
+    assert (before[:, 0] == np.arange(4)).all()
+    idx2 = delete(idx, [0, 1, 2, 3])
+    after = _ids(idx2, q, params)
+    assert not np.isin(after, [0, 1, 2, 3]).any()
+    # Untouched queries unaffected.
+    np.testing.assert_array_equal(
+        _ids(idx, base[10:12], params), _ids(idx2, base[10:12], params)
+    )
+
+
+def test_delete_inserted_vector(rng):
+    base, centers = make_clustered_dataset(rng, n=300, dim=24, k=4)
+    idx = build_index(base, centers, key=jax.random.key(3))
+    v = rng.standard_normal(24).astype(np.float32)
+    idx = insert(idx, v[None, :], ids=[777])
+    params = SearchParams(probe=4, topk=3, rerank=30)
+    assert 777 in _ids(idx, v[None, :], params)[0].tolist()
+    idx = delete(idx, [777])
+    assert 777 not in _ids(idx, v[None, :], params)[0].tolist()
+
+
+def test_compact_folds_memtable_and_tombstones(rng):
+    base, centers = make_clustered_dataset(rng, n=400, dim=32, k=8)
+    idx = build_index(base, centers, key=jax.random.key(4))
+    extra = rng.standard_normal((10, 32)).astype(np.float32)
+    idx = insert(idx, extra)
+    idx = delete(idx, [5, 6, 7])
+    new_idx, old_ids = compact(idx)
+    assert new_idx.extra_base is None
+    assert new_idx.n == 400 + 10 - 3
+    assert not np.isin(old_ids, [5, 6, 7]).any()
+    # Search works and finds the (renumbered) inserted vectors.
+    params = SearchParams(probe=8, topk=3, rerank=50)
+    ids = _ids(new_idx, extra[:1], params)[0]
+    new_pos_of_extra0 = int(np.nonzero(old_ids == 400)[0][0])
+    assert new_pos_of_extra0 in ids.tolist()
+
+
+def test_cosine_metric(rng):
+    base, centers = make_clustered_dataset(rng, n=1000, dim=48, k=8)
+    idx = build_index(base, centers, key=jax.random.key(5), metric="cosine")
+    # Ground truth by cosine similarity.
+    nq = 10
+    queries = base[rng.choice(1000, nq, replace=False)] * rng.uniform(
+        0.5, 2.0, (nq, 1)
+    ).astype(np.float32)  # scaled: cosine must ignore magnitude
+    bn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    truth = np.argsort(-(qn @ bn.T), axis=1)[:, :10]
+    params = SearchParams(probe=8, topk=10, rerank=200)
+    ids = _ids(idx, queries, params)
+    rec = np.mean([calculate_recall(truth[i], ids[i], 10) for i in range(nq)])
+    assert rec >= 0.95, rec
+
+
+def test_mutated_index_serializes(tmp_path, rng):
+    from rabitq_tpu.index.serialize import (
+        dump_to_dir,
+        dump_to_npz,
+        load_from_dir,
+        load_from_npz,
+    )
+
+    base, centers = make_clustered_dataset(rng, n=200, dim=24, k=4)
+    idx = build_index(base, centers, key=jax.random.key(6), metric="cosine")
+    idx = insert(idx, rng.standard_normal((5, 24)).astype(np.float32))
+    idx = delete(idx, [3])
+    params = SearchParams(probe=4, topk=5, rerank=40)
+    want = _ids(idx, base[:3], params)
+
+    dump_to_dir(idx, tmp_path / "d")
+    got_dir = _ids(load_from_dir(tmp_path / "d"), base[:3], params)
+    np.testing.assert_array_equal(want, got_dir)
+
+    dump_to_npz(idx, tmp_path / "i.npz")
+    got_npz = _ids(load_from_npz(tmp_path / "i.npz"), base[:3], params)
+    np.testing.assert_array_equal(want, got_npz)
