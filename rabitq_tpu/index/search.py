@@ -283,3 +283,74 @@ def search(
     dists = -neg_d
     ids = jnp.where(jnp.isfinite(dists), ids, -1)
     return dists, ids
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _search_with_certificate(
+    index: RaBitQIndex, queries: jax.Array, params: SearchParams
+):
+    """search() plus a per-query early-stop certificate.
+
+    ``safe[b]`` is True when no *unprobed* cluster can geometrically contain
+    a vector closer than the current kth result: for cluster c with radius
+    r_c (distance of its farthest member to its centroid — the last row of
+    the cluster, since rows are sorted by centroid distance), every member x
+    satisfies d(q, x) >= max(0, d(q, c) - r_c) by the triangle inequality.
+    """
+    probe, _, _ = _resolve(index, params)
+    dists, ids = search(index, queries, params)
+
+    q_pad = _prep_queries(index, queries)
+    y = rotate(q_pad, index.orthogonal)
+    cd = pairwise_l2sq(y, index.centroids_rot)  # [B, K]
+    _, cids = jax.lax.top_k(-cd, probe)
+
+    k = index.offsets.shape[0] - 1
+    sizes = index.offsets[1:] - index.offsets[:-1]  # [K]
+    last_row = jnp.maximum(index.offsets[1:] - 1, 0)
+    radii_sq = jax.lax.bitcast_convert_type(
+        index.blob[index.words + 3, last_row], jnp.float32
+    )
+    radii = jnp.sqrt(jnp.maximum(radii_sq, 0.0))  # [K]
+
+    bound = jnp.maximum(jnp.sqrt(cd) - radii[None, :], 0.0) ** 2  # [B, K]
+    b = queries.shape[0]
+    probed = (
+        jnp.zeros((b, k), bool)
+        .at[jnp.arange(b)[:, None], cids]
+        .set(True)
+    )
+    bound = jnp.where(probed | (sizes[None, :] == 0), jnp.inf, bound)
+    min_unprobed = bound.min(axis=-1)  # [B]
+    kth = dists[:, -1]
+    all_probed = probe >= k
+    safe = (kth <= min_unprobed) | all_probed
+    return dists, ids, safe
+
+
+def search_adaptive(
+    index: RaBitQIndex,
+    queries: jax.Array,
+    params: SearchParams,
+    *,
+    max_probe: int | None = None,
+):
+    """Early-stopping search: probe geometrically more clusters until every
+    query's result is certified (no unprobed cluster can contain a closer
+    vector) or ``max_probe`` is reached.
+
+    The reference lists early stop as an unchecked TODO (README.md:12-20);
+    its dynamic per-candidate pruning doesn't map to XLA, so this uses a
+    whole-batch host loop over a jitted search+certificate step — each
+    probe level is one device call. ``params.probe`` is the starting probe.
+    Returns (dists, ids, probe_used).
+    """
+    k = index.offsets.shape[0] - 1
+    cap_probe = min(max_probe or k, k)
+    probe = min(params.probe, cap_probe)
+    while True:
+        p = params._replace(probe=probe)
+        dists, ids, safe = _search_with_certificate(index, queries, p)
+        if probe >= cap_probe or bool(safe.all()):
+            return dists, ids, probe
+        probe = min(probe * 2, cap_probe)

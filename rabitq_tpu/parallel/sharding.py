@@ -163,6 +163,36 @@ def _local_params(params: SearchParams, s: int, k_local: int) -> SearchParams:
     return params._replace(probe=probe, rerank=rerank)
 
 
+@functools.lru_cache(maxsize=64)
+def _make_sharded_fn(mesh: Mesh, treedef, lp: SearchParams, topk: int):
+    """Build (and cache) the jitted distributed-search executable for a
+    given mesh / index structure / params — a fresh closure per call would
+    recompile every time."""
+    s = mesh.devices.size
+    specs = jax.tree_util.tree_unflatten(
+        treedef, [P(AXIS)] * treedef.num_leaves
+    )
+    local_fn = functools.partial(_local_shard_search, params=lp)
+    f = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(specs, P(None, None)),
+        out_specs=(P(AXIS, None, None), P(AXIS, None, None)),
+    )
+
+    @jax.jit
+    def merged(si, q):
+        d_all, i_all = f(si, q)  # [S, B, topk_local]
+        b = q.shape[0]
+        d_flat = d_all.transpose(1, 0, 2).reshape(b, s * lp.topk)
+        i_flat = i_all.transpose(1, 0, 2).reshape(b, s * lp.topk)
+        neg, sel = jax.lax.top_k(-d_flat, topk)
+        ids = jnp.take_along_axis(i_flat, sel, axis=-1)
+        return -neg, jnp.where(jnp.isfinite(-neg), ids, -1)
+
+    return merged
+
+
 def sharded_search(
     sindex: RaBitQIndex,
     queries: jax.Array,
@@ -178,26 +208,8 @@ def sharded_search(
     s = mesh.devices.size
     k_local = sindex.offsets.shape[1] - 1
     lp = _local_params(params, s, k_local)
-
-    specs = jax.tree.map(lambda _: P(AXIS), sindex)
-    local_fn = functools.partial(_local_shard_search, params=lp)
-    f = jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(specs, P(None, None)),
-        out_specs=(P(AXIS, None, None), P(AXIS, None, None)),
-    )
-
-    @jax.jit
-    def merged(si, q):
-        d_all, i_all = f(si, q)  # [S, B, topk]
-        b = q.shape[0]
-        d_flat = d_all.transpose(1, 0, 2).reshape(b, s * lp.topk)
-        i_flat = i_all.transpose(1, 0, 2).reshape(b, s * lp.topk)
-        neg, sel = jax.lax.top_k(-d_flat, params.topk)
-        ids = jnp.take_along_axis(i_flat, sel, axis=-1)
-        return -neg, jnp.where(jnp.isfinite(-neg), ids, -1)
-
+    treedef = jax.tree_util.tree_structure(sindex)
+    merged = _make_sharded_fn(mesh, treedef, lp, params.topk)
     return merged(sindex, queries)
 
 

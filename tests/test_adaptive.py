@@ -1,0 +1,52 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conftest import brute_force_topk, make_clustered_dataset
+from rabitq_tpu import SearchParams, build_index, calculate_recall
+from rabitq_tpu.index.search import _search_with_certificate, search_adaptive
+
+
+def test_certificate_is_sound(rng):
+    """Certified queries must have exact recall vs brute force (given a
+    rerank budget that covers the probed candidates)."""
+    base, centers = make_clustered_dataset(rng, n=2000, dim=32, k=16, spread=0.1)
+    idx = build_index(base, centers, key=jax.random.key(1))
+    nq = 16
+    queries = base[rng.choice(2000, nq, replace=False)] + (
+        0.01 * rng.standard_normal((nq, 32)).astype(np.float32)
+    )
+    truth = brute_force_topk(base, queries, 10)
+    params = SearchParams(probe=16, topk=10, rerank=2000)
+    dists, ids, safe = _search_with_certificate(idx, jnp.asarray(queries), params)
+    safe = np.asarray(safe)
+    assert safe.all()  # full probe => always certified
+    ids = np.asarray(ids)
+    rec = np.mean([calculate_recall(truth[i], ids[i], 10) for i in range(nq)])
+    assert rec == 1.0
+
+
+def test_adaptive_stops_early_on_easy_queries(rng):
+    base, centers = make_clustered_dataset(rng, n=3000, dim=48, k=32, spread=0.05)
+    idx = build_index(base, centers, key=jax.random.key(2))
+    # Queries sitting essentially on base points: certified quickly.
+    queries = base[:8] + 1e-5
+    params = SearchParams(probe=2, topk=5, rerank=200)
+    dists, ids, probe_used = search_adaptive(idx, jnp.asarray(queries), params)
+    assert probe_used < 32, f"no early stop (used {probe_used})"
+    assert (np.asarray(ids)[:, 0] == np.arange(8)).all()
+
+
+def test_adaptive_expands_probe_when_needed(rng):
+    base, centers = make_clustered_dataset(rng, n=2000, dim=32, k=16, spread=0.4)
+    idx = build_index(base, centers, key=jax.random.key(3))
+    nq = 8
+    queries = rng.standard_normal((nq, 32)).astype(np.float32)  # off-manifold
+    truth = brute_force_topk(base, queries, 10)
+    params = SearchParams(probe=1, topk=10, rerank=800)
+    dists, ids, probe_used = search_adaptive(idx, jnp.asarray(queries), params)
+    assert probe_used > 1
+    ids = np.asarray(ids)
+    rec = np.mean([calculate_recall(truth[i], ids[i], 10) for i in range(nq)])
+    # Certified or capped at full probe => high recall.
+    assert rec >= 0.95, rec
