@@ -116,7 +116,11 @@ def make_blob(
     w = codes_rows.shape[1]
     n = codes_rows.shape[0]
     rows = ((w + 4 + 7) // 8) * 8
-    blob = np.zeros((rows, n + capacity + 128), dtype=np.uint32)
+    # Column padding covers the widest lane-aligned scan window the kernel
+    # may read: round_up(capacity, 128) + 128, plus one lane group of slack
+    # for the aligned-down start.
+    pad_cols = ((capacity + 127) // 128) * 128 + 256
+    blob = np.zeros((rows, n + pad_cols), dtype=np.uint32)
     blob[:w, :n] = codes_rows.T
     blob[w : w + 4, :n] = np.ascontiguousarray(factors_rows.T).view(np.uint32)
     return blob

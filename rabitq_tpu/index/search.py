@@ -176,20 +176,21 @@ def rough_scan(
     scal_f = scal.reshape(s, 4)
 
     if params.use_kernel and jax.default_backend() == "tpu":
-        # The kernel scans a lane-aligned window of span = cap + 128 per
-        # cluster; positions are aligned_start + slot.
+        # The kernel scans a lane-aligned window per cluster; positions are
+        # aligned_start + slot. span rounds capacity up so indexes built
+        # with legacy non-lane-aligned capacities still work.
         from rabitq_tpu.consts import LANES
 
+        span = ((cap + LANES - 1) // LANES) * LANES + LANES
         rough, aligned = pallas_rough_scan(
             index.blob,
             starts_f,
             sizes_f,
             planes_f,
             scal_f,
-            span=cap + LANES,
+            span=span,
             words=w,
         )
-        span = cap + LANES
         pos_base = aligned.reshape(b, probe)
     else:
         rough = _jnp_scan(

@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rabitq_tpu.consts import LANES, THETA_LOG_DIM
 
-# DMA pipeline depth (cluster windows in flight).
+# Default DMA pipeline depth (cluster windows in flight).
 _NBUF = 4
 
 
@@ -50,6 +50,7 @@ def _kernel(
     *,
     words: int,
     span: int,
+    nbuf: int,
 ):
     s = pl.program_id(0)
     n_s = pl.num_programs(0)
@@ -63,20 +64,20 @@ def _kernel(
             sems.at[slot],
         )
 
-    # NBUF-deep pipeline: keep NBUF-1 cluster windows in flight so HBM
-    # latency is hidden behind (NBUF-1) tasks of compute.
+    # nbuf-deep pipeline: keep nbuf-1 cluster windows in flight so HBM
+    # latency is hidden behind (nbuf-1) tasks of compute.
     @pl.when(s == 0)
     def _():
-        # s_pad is a multiple of 8 >= _NBUF, so these are always in range.
-        for j in range(_NBUF - 1):
-            dma(j % _NBUF, j).start()
+        # s_pad is a multiple of 8 >= nbuf, so these are always in range.
+        for j in range(nbuf - 1):
+            dma(j % nbuf, j).start()
 
-    @pl.when(s + _NBUF - 1 < n_s)
+    @pl.when(s + nbuf - 1 < n_s)
     def _():
-        dma((s + _NBUF - 1) % _NBUF, s + _NBUF - 1).start()
+        dma((s + nbuf - 1) % nbuf, s + nbuf - 1).start()
 
-    dma(s % _NBUF, s).wait()
-    blk = buf[s % _NBUF]  # [W+4, span] uint32
+    dma(s % nbuf, s).wait()
+    blk = buf[s % nbuf]  # [W+4, span] uint32
 
     codes = blk[:words]  # [W, span]
     acc = jnp.zeros((1, span), jnp.int32)
@@ -107,7 +108,9 @@ def _kernel(
     out_ref[row, :] = jnp.where(valid, est, jnp.inf)[0]
 
 
-@functools.partial(jax.jit, static_argnames=("span", "words", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("span", "words", "nbuf", "interpret")
+)
 def pallas_rough_scan(
     blob: jax.Array,    # [rows, N_pad] uint32; rows = 8-aligned >= W+4
     starts: jax.Array,  # [S] int32 cluster starts (unaligned)
@@ -115,8 +118,9 @@ def pallas_rough_scan(
     planes: jax.Array,  # [S, T, W] uint32
     scal: jax.Array,    # [S, 4] f32
     *,
-    span: int,          # capacity + LANES, multiple of LANES
+    span: int,          # lane-aligned scan window, multiple of LANES
     words: int,         # W = dim // 32
+    nbuf: int = _NBUF,  # DMA pipeline depth
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (rough [S, span], aligned_starts [S]).
@@ -165,12 +169,12 @@ def pallas_rough_scan(
             (8, span), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((_NBUF, w4, span), jnp.uint32),
-            pltpu.SemaphoreType.DMA((_NBUF,)),
+            pltpu.VMEM((nbuf, w4, span), jnp.uint32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, words=words, span=span),
+        functools.partial(_kernel, words=words, span=span, nbuf=nbuf),
         out_shape=jax.ShapeDtypeStruct((s_pad, span), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -89,8 +89,7 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
     from rabitq_tpu.index.index import make_blob
 
     cap = index.capacity
-    w4 = index.words + 4
-    sh_blob = np.zeros((s, w4, rows_max + cap + 128), np.uint32)
+    sh_blob = None  # allocated after the first make_blob fixes the shape
     sh_map_ids = np.full((s, rows_max), -1, np.int32)
     sh_offsets = np.zeros((s, k_max + 1), np.int32)
     sh_centroids = np.full((s, k_max, index.dim), _FAR, np.float32)
@@ -114,7 +113,10 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
             row += m
             sh_offsets[si, li + 1] = row
         sh_offsets[si, len(group) + 1 :] = row
-        sh_blob[si] = make_blob(loc_codes, loc_factors, cap)
+        blob_si = make_blob(loc_codes, loc_factors, cap)
+        if sh_blob is None:
+            sh_blob = np.zeros((s,) + blob_si.shape, np.uint32)
+        sh_blob[si] = blob_si
 
     def put(a, *trailing_none):
         return jax.device_put(a, NamedSharding(mesh, P(AXIS, *trailing_none)))
