@@ -54,7 +54,7 @@ def cmd_run(args) -> None:
     import jax.numpy as jnp
 
     from rabitq_tpu.index.index import SearchParams
-    from rabitq_tpu.index.search import rough_scan, search
+    from rabitq_tpu.index.search import rough_scan, search, search_adaptive
     from rabitq_tpu.io import read_matrix
     from rabitq_tpu.metrics import METRICS
     from rabitq_tpu.rerank import new_re_ranker
@@ -105,11 +105,18 @@ def cmd_run(args) -> None:
         pad = (-nq) % batch
         qpadded = np.pad(queries, ((0, pad), (0, 0)))
         all_ids = np.empty((nq + pad, args.topk), dtype=np.int32)
+
+        def run_batch(qb):
+            if args.adaptive:
+                d, i, _ = search_adaptive(index, jnp.asarray(qb), params)
+                return i
+            return search(index, jnp.asarray(qb), params)[1]
+
         # Warmup compile outside the timed loop.
-        search(index, jnp.asarray(qpadded[:batch]), params)[1].block_until_ready()
+        run_batch(qpadded[:batch]).block_until_ready()
         for s in range(0, nq + pad, batch):
             start = time.perf_counter()
-            _, ids = search(index, jnp.asarray(qpadded[s : s + batch]), params)
+            ids = run_batch(qpadded[s : s + batch])
             ids.block_until_ready()
             total_time += time.perf_counter() - start
             all_ids[s : s + batch] = np.asarray(ids)
@@ -174,6 +181,12 @@ def main(argv=None) -> None:
         default="device",
         help="device = batched top-R rerank; heap/heuristic = reference "
         "dynamic-pruning semantics on host (slow, for parity checks)",
+    )
+    p_run.add_argument(
+        "--adaptive",
+        action="store_true",
+        help="early-stop search: double probe until the result is "
+        "geometrically certified (probe flag = starting probe)",
     )
     p_run.set_defaults(fn=cmd_run)
 
