@@ -20,8 +20,6 @@ import jax.numpy as jnp
 
 from rabitq_tpu.consts import THETA_LOG_DIM, WORD_BITS
 
-_SHIFTS = None
-
 
 def _shifts() -> jax.Array:
     return jnp.arange(WORD_BITS, dtype=jnp.uint32)
