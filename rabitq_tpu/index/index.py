@@ -4,15 +4,17 @@ Equivalent state to the reference's RaBitQ struct
 (/root/reference/src/rabitq.rs:58-68), redesigned as a pytree of batched
 device arrays:
 
-- ``blob``      [W + 4, N] uint32 — the scan-time layout: rows 0..W-1 are
-                packed 1-bit residual sign codes (W = dim // 32), rows
-                W..W+3 the per-vector correction quad (reference Factor
-                order, rabitq.rs:23-32: ip, ppc, error_bound,
-                center_distance_square) bitcast to uint32. Columns are
-                vectors, sorted by (cluster, distance-to-centroid) like the
-                reference's cluster-sort (rabitq.rs:232-252). This
-                struct-of-rows layout puts scan candidates on TPU *lanes*
-                and makes one probed cluster a single strided DMA.
+- ``blob``      [n_tiles, R, 128] uint32 — the scan-time layout, tiled by
+                lane groups: tile t, row r, lane l holds word r of vector
+                128*t + l. Rows 0..W-1 are packed 1-bit residual sign codes
+                (W = dim // 32), rows W..W+3 the per-vector correction quad
+                (reference Factor order, rabitq.rs:23-32: ip, ppc,
+                error_bound, center_distance_square) bitcast to uint32;
+                R rounds W+4 up to the sublane multiple of 8. Vectors are
+                sorted by (cluster, distance-to-centroid) like the
+                reference's cluster-sort (rabitq.rs:232-252). The tiling
+                makes one probed cluster's scan window a single CONTIGUOUS
+                HBM DMA with candidates on TPU lanes.
 - ``offsets``   [K + 1] int32 — prefix sums of cluster sizes.
 - ``map_ids``   [N] int32 — sorted-position -> original id.
 - ``centroids_rot`` [K, D] f32 — rotated centroids.
@@ -76,16 +78,22 @@ class RaBitQIndex:
     def words(self) -> int:
         return self.dim // WORD_BITS
 
+    def _untiled(self) -> jax.Array:
+        """[R, n_tiles*128] row-major view of the tiled blob."""
+        t, r, lanes = self.blob.shape
+        return self.blob.transpose(1, 0, 2).reshape(r, t * lanes)
+
     @property
     def codes(self) -> jax.Array:
         """Row-major packed codes [N, W] (serialization/debug view)."""
-        return self.blob[: self.words, : self.n].T
+        return self._untiled()[: self.words, : self.n].T
 
     @property
     def factors(self) -> jax.Array:
         """Row-major factor quads [N, 4] (serialization/debug view)."""
         return jax.lax.bitcast_convert_type(
-            self.blob[self.words :, : self.n].T, jnp.float32
+            self._untiled()[self.words : self.words + 4, : self.n].T,
+            jnp.float32,
         )
 
     @property
@@ -106,24 +114,25 @@ class RaBitQIndex:
 def make_blob(
     codes_rows: np.ndarray, factors_rows: np.ndarray, capacity: int
 ) -> np.ndarray:
-    """Assemble the scan blob from row-major codes and factors.
+    """Assemble the tiled scan blob from row-major codes and factors.
 
-    Rows: W code words + 4 factor rows, padded up to a multiple of 8
-    (Mosaic sublane tiling requires 8-aligned DMA row counts). Columns are
-    padded by capacity+128 so a scan tile starting at the last cluster
-    (aligned down to the lane group) never reads out of bounds.
+    Shape [n_tiles, R, 128]: R = W+4 rounded up to a sublane multiple of 8;
+    tile t, row r, lane l = word r of vector 128*t + l. Tile padding covers
+    the widest scan window the kernel may read (round_up(capacity, 128) +
+    one lane group of slack for the aligned-down start), so a window
+    starting at the last cluster never reads out of bounds.
     """
     w = codes_rows.shape[1]
     n = codes_rows.shape[0]
     rows = ((w + 4 + 7) // 8) * 8
-    # Column padding covers the widest lane-aligned scan window the kernel
-    # may read: round_up(capacity, 128) + 128, plus one lane group of slack
-    # for the aligned-down start.
     pad_cols = ((capacity + 127) // 128) * 128 + 256
-    blob = np.zeros((rows, n + pad_cols), dtype=np.uint32)
-    blob[:w, :n] = codes_rows.T
-    blob[w : w + 4, :n] = np.ascontiguousarray(factors_rows.T).view(np.uint32)
-    return blob
+    n_tiles = (n + pad_cols + 127) // 128
+    flat = np.zeros((rows, n_tiles * 128), dtype=np.uint32)
+    flat[:w, :n] = codes_rows.T
+    flat[w : w + 4, :n] = np.ascontiguousarray(factors_rows.T).view(np.uint32)
+    return np.ascontiguousarray(
+        flat.reshape(rows, n_tiles, 128).transpose(1, 0, 2)
+    )
 
 
 jax.tree_util.register_dataclass(

@@ -78,10 +78,9 @@ def delete(index: RaBitQIndex, ids) -> RaBitQIndex:
     new_map = index.map_ids
     if victim_pos.size:
         row = index.words + 3  # cdsq factor row
-        blob = blob.at[row, jnp.asarray(victim_pos)].set(
-            jnp.uint32(_INF_BITS)
-        )
-        new_map = new_map.at[jnp.asarray(victim_pos)].set(-1)
+        vp = jnp.asarray(victim_pos)
+        blob = blob.at[vp // 128, row, vp % 128].set(jnp.uint32(_INF_BITS))
+        new_map = new_map.at[vp].set(-1)
 
     extra_ids = index.extra_ids
     if extra_ids is not None and extra_ids.shape[0]:

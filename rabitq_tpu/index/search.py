@@ -102,25 +102,25 @@ def _jnp_scan(index, starts, sizes, planes, scal, *, cap, chunk):
         pos = t_start[:, None] + iota[None, :]  # [chunk, cap]
         valid = iota[None, :] < t_size[:, None]
         pos_safe = jnp.where(valid, pos, 0)
-        bg = blob[:, pos_safe]  # [W+4, chunk, cap]
-        cg = bg[:w]
-        fac = jax.lax.bitcast_convert_type(bg[w : w + 4], jnp.float32)
-        # [T, W, chunk, cap] AND -> popcount -> reduce words.
-        anded = cg[None, :, :, :] & jnp.transpose(t_planes, (1, 2, 0))[
-            :, :, :, None
-        ]
-        per_plane = popcount(anded).sum(axis=1)  # [T, chunk, cap]
-        abdp = (per_plane * plane_w[:, None, None]).sum(axis=0)
+        # Tiled blob: [n_tiles, R, 128]; row r of vector p lives at
+        # [p // 128, r, p % 128].
+        bg = blob[pos_safe // 128, :, pos_safe % 128]  # [chunk, cap, R]
+        cg = bg[..., :w]  # [chunk, cap, W]
+        fac = jax.lax.bitcast_convert_type(bg[..., w : w + 4], jnp.float32)
+        # [chunk, cap, T, W] AND -> popcount -> reduce words.
+        anded = cg[:, :, None, :] & t_planes[:, None, :, :]
+        per_plane = popcount(anded).sum(axis=-1)  # [chunk, cap, T]
+        abdp = (per_plane * plane_w[None, None, :]).sum(axis=-1)
         lo = t_scal[:, 0][:, None]
         delta = t_scal[:, 1][:, None]
         ssum = t_scal[:, 2][:, None]
         ycd = t_scal[:, 3][:, None]
         est = (
-            fac[3]
+            fac[..., 3]
             + ycd
-            + lo * fac[1]
-            + (2.0 * abdp.astype(jnp.float32) - ssum) * fac[0] * delta
-            - fac[2] * jnp.sqrt(ycd)
+            + lo * fac[..., 1]
+            + (2.0 * abdp.astype(jnp.float32) - ssum) * fac[..., 0] * delta
+            - fac[..., 2] * jnp.sqrt(ycd)
         )
         return jnp.where(valid, est, jnp.inf)
 
@@ -310,7 +310,8 @@ def _search_with_certificate(
     sizes = index.offsets[1:] - index.offsets[:-1]  # [K]
     last_row = jnp.maximum(index.offsets[1:] - 1, 0)
     radii_sq = jax.lax.bitcast_convert_type(
-        index.blob[index.words + 3, last_row], jnp.float32
+        index.blob[last_row // 128, index.words + 3, last_row % 128],
+        jnp.float32,
     )
     radii = jnp.sqrt(jnp.maximum(radii_sq, 0.0))  # [K]
 

@@ -1,25 +1,23 @@
 """Fused Pallas cluster-scan kernel (the hot query-path artifact).
 
-One grid step = one (query, probed-cluster) task. The kernel manually DMAs
-the cluster's blob slice ([W+4, span] uint32: packed codes + bitcast
-factors, candidates on lanes) from HBM, double-buffered across grid steps so
-the next cluster's bytes stream in while the current one computes.
+One grid step = one (query, probed-cluster) task. The index blob is tiled
+[n_tiles, R, 128] (lane groups of 128 vectors x R = W+4 rounded-up rows of
+code words + bitcast factors), so a task's scan window — ``tiles`` whole
+lane groups covering the cluster — is ONE CONTIGUOUS HBM DMA. Windows are
+pipelined ``nbuf`` deep across grid steps so HBM latency hides behind
+compute. Tile-granular window starts are aligned by construction (the
+pre-tiled-layout kernel needed lane-aligned column slices and paid 8
+strided row descriptors per task; contiguous tiles measured ~4x faster).
 
-Mosaic requires HBM slice offsets to be lane-aligned, so the copy starts at
-the cluster start rounded *down* to 128 and the window is widened by one
-lane group (span = capacity + 128); slots outside [lo, hi) — the cluster's
-actual extent within the window — are masked to +inf. This trades ~14%
-extra popcounts for a layout that stays byte-compatible with the tight
-serialized format.
+Slots outside [lo, hi) — the cluster's extent within the window — mask to
++inf. Compute per task (all lane-parallel VPU ops on [tiles, ..., 128]):
 
-Compute per task:
-
-  abdp[c] = sum_p 2^p * popcount(codes[w, c] & plane[p, w])      (VPU)
+  abdp[c] = sum_p 2^p * popcount(codes[w, c] & plane[p, w])
   rough[c] = cdsq + ycd + lo*ppc + (2*abdp - ssum)*ip*delta - err*sqrt(ycd)
 
 which is the reference's AVX popcount estimator
-(/root/reference/src/rabitq.rs:336-367, src/simd.rs:326-384) recast as
-lane-parallel uint32 ops over a whole cluster tile at once.
+(/root/reference/src/rabitq.rs:336-367, src/simd.rs:326-384) recast over a
+whole cluster tile at once.
 """
 
 from __future__ import annotations
@@ -33,104 +31,121 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rabitq_tpu.consts import LANES, THETA_LOG_DIM
 
-# Default DMA pipeline depth (cluster windows in flight).
-_NBUF = 4
+# Default DMA pipeline depth in task GROUPS (nbuf * GROUP windows between
+# issue and wait).
+_NBUF = 3
+
+
+# Tasks per grid step: amortizes per-step bookkeeping over a whole group
+# (also the natural sublane block size for the planes/scal/out operands).
+_GROUP = 8
 
 
 def _kernel(
-    starts_ref,  # [S] int32 aligned starts (scalar prefetch, SMEM)
+    tile0_ref,   # [S] int32 first tile of each window (scalar prefetch)
     lo_ref,      # [S] int32 first valid slot (scalar prefetch)
     hi_ref,      # [S] int32 one-past-last valid slot (scalar prefetch)
-    planes_ref,  # [8, T, W] uint32 (VMEM block, 8 tasks)
-    scal_ref,    # [8, 4] f32 (SMEM block, 8 tasks): lo, delta, ssum, ycd
-    blob_ref,    # [W+4, N_pad] uint32 (HBM, manual DMA)
-    out_ref,     # [8, span] f32 (VMEM block, revisited by 8 grid steps)
-    buf,         # [NBUF, W+4, span] uint32 scratch
-    sems,        # DMA semaphores (NBUF,)
+    planes_ref,  # [GROUP, T, W] uint32 (VMEM block, one task group)
+    scal_ref,    # [GROUP, 4] f32 (SMEM block): lo, delta, ssum, ycd
+    blob_ref,    # [n_tiles, R, 128] uint32 (HBM, manual DMA)
+    out_ref,     # [GROUP, tiles, 128] f32 (VMEM block)
+    buf,         # [nbuf, GROUP, tiles, R, 128] uint32 scratch
+    sems,        # DMA semaphores (nbuf, GROUP)
     *,
     words: int,
-    span: int,
+    tiles: int,
     nbuf: int,
 ):
-    s = pl.program_id(0)
-    n_s = pl.num_programs(0)
-    row = s % 8  # position within the 8-task planes/scal/out blocks
+    g = pl.program_id(0)
+    n_g = pl.num_programs(0)
 
-    def dma(slot, task):
-        start = pl.multiple_of(starts_ref[task], LANES)
+    def dma(slot, group, j):
         return pltpu.make_async_copy(
-            blob_ref.at[:, pl.ds(start, span)],
-            buf.at[slot],
-            sems.at[slot],
+            blob_ref.at[pl.ds(tile0_ref[group * _GROUP + j], tiles)],
+            buf.at[slot, j],
+            sems.at[slot, j],
         )
 
-    # nbuf-deep pipeline: keep nbuf-1 cluster windows in flight so HBM
-    # latency is hidden behind (nbuf-1) tasks of compute.
-    @pl.when(s == 0)
+    def start_group(slot, group):
+        for j in range(_GROUP):
+            dma(slot, group, j).start()
+
+    # nbuf-deep group pipeline. n_g is static, so the warm-up range can be
+    # clamped in Python.
+    @pl.when(g == 0)
     def _():
-        # s_pad is a multiple of 8 >= nbuf, so these are always in range.
-        for j in range(nbuf - 1):
-            dma(j % nbuf, j).start()
+        for a in range(min(nbuf - 1, n_g)):
+            start_group(a % nbuf, a)
 
-    @pl.when(s + nbuf - 1 < n_s)
+    @pl.when(g + nbuf - 1 < n_g)
     def _():
-        dma((s + nbuf - 1) % nbuf, s + nbuf - 1).start()
+        start_group((g + nbuf - 1) % nbuf, g + nbuf - 1)
 
-    dma(s % nbuf, s).wait()
-    blk = buf[s % nbuf]  # [W+4, span] uint32
+    slot = g % nbuf
+    slot_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (tiles, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (tiles, LANES), 1)
+    )
+    for j in range(_GROUP):
+        dma(slot, g, j).wait()
+        blk = buf[slot, j]  # [tiles, R, 128] uint32
 
-    codes = blk[:words]  # [W, span]
-    acc = jnp.zeros((1, span), jnp.int32)
-    for p in range(THETA_LOG_DIM):
-        plane_col = planes_ref[row, p, :][:, None]  # [W, 1]
-        anded = codes & plane_col  # [W, span]
-        pop = jax.lax.population_count(anded).astype(jnp.int32)
-        acc = acc + (pop.sum(axis=0, keepdims=True) << p)
+        codes = blk[:, :words, :]  # [tiles, W, 128]
+        acc = jnp.zeros((tiles, LANES), jnp.int32)
+        for p in range(THETA_LOG_DIM):
+            plane_col = planes_ref[j, p, :][None, :, None]  # [1, W, 1]
+            anded = codes & plane_col  # [tiles, W, 128]
+            pop = jax.lax.population_count(anded).astype(jnp.int32)
+            acc = acc + (pop.sum(axis=1) << p)  # [tiles, 128]
 
-    fac = pltpu.bitcast(blk[words : words + 4], jnp.float32)  # [4, span]
-    q_lo = scal_ref[row, 0]
-    q_delta = scal_ref[row, 1]
-    q_ssum = scal_ref[row, 2]
-    q_ycd = scal_ref[row, 3]
+        fac = pltpu.bitcast(
+            blk[:, words : words + 4, :], jnp.float32
+        )  # [tiles, 4, 128]
+        q_lo = scal_ref[j, 0]
+        q_delta = scal_ref[j, 1]
+        q_ssum = scal_ref[j, 2]
+        q_ycd = scal_ref[j, 3]
 
-    est = (
-        fac[3, :][None, :]
-        + q_ycd
-        + q_lo * fac[1, :][None, :]
-        + (2.0 * acc.astype(jnp.float32) - q_ssum)
-        * fac[0, :][None, :]
-        * q_delta
-        - fac[2, :][None, :] * jnp.sqrt(q_ycd)
-    )  # [1, span]
+        est = (
+            fac[:, 3, :]
+            + q_ycd
+            + q_lo * fac[:, 1, :]
+            + (2.0 * acc.astype(jnp.float32) - q_ssum)
+            * fac[:, 0, :]
+            * q_delta
+            - fac[:, 2, :] * jnp.sqrt(q_ycd)
+        )  # [tiles, 128]
 
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
-    valid = (slot_ids >= lo_ref[s]) & (slot_ids < hi_ref[s])
-    out_ref[row, :] = jnp.where(valid, est, jnp.inf)[0]
+        task = g * _GROUP + j
+        valid = (slot_ids >= lo_ref[task]) & (slot_ids < hi_ref[task])
+        out_ref[j] = jnp.where(valid, est, jnp.inf)
 
 
 @functools.partial(
     jax.jit, static_argnames=("span", "words", "nbuf", "interpret")
 )
 def pallas_rough_scan(
-    blob: jax.Array,    # [rows, N_pad] uint32; rows = 8-aligned >= W+4
-    starts: jax.Array,  # [S] int32 cluster starts (unaligned)
+    blob: jax.Array,    # [n_tiles, R, 128] uint32 tiled scan blob
+    starts: jax.Array,  # [S] int32 cluster starts (positions, unaligned)
     sizes: jax.Array,   # [S] int32 cluster sizes
     planes: jax.Array,  # [S, T, W] uint32
     scal: jax.Array,    # [S, 4] f32
     *,
-    span: int,          # lane-aligned scan window, multiple of LANES
+    span: int,          # scan window in positions, multiple of 128
     words: int,         # W = dim // 32
     nbuf: int = _NBUF,  # DMA pipeline depth
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns (rough [S, span], aligned_starts [S]).
+    """Returns (rough [S, span], window_starts [S]).
 
-    Position of slot j of task t is aligned_starts[t] + j; slots outside
+    Position of slot j of task t is window_starts[t] + j; slots outside
     the cluster's extent hold +inf.
     """
     assert span % LANES == 0, span
+    tiles = span // LANES
     s = starts.shape[0]
-    aligned = starts & jnp.int32(~(LANES - 1))
+    tile0 = starts // LANES
+    aligned = tile0 * LANES
     lo = starts - aligned
     hi = lo + sizes
 
@@ -139,49 +154,51 @@ def pallas_rough_scan(
     s_pad = ((s + 7) // 8) * 8
     if s_pad != s:
         pad = s_pad - s
-        aligned = jnp.pad(aligned, (0, pad))
+        tile0 = jnp.pad(tile0, (0, pad))
         lo = jnp.pad(lo, (0, pad))
         hi = jnp.pad(hi, (0, pad))
         planes = jnp.pad(planes, ((0, pad), (0, 0), (0, 0)))
         scal = jnp.pad(scal, ((0, pad), (0, 0)))
-    w4 = blob.shape[0]
-    assert w4 % 8 == 0 and w4 >= words + 4, (w4, words)
+    n_tiles, r, lanes = blob.shape
+    assert r % 8 == 0 and r >= words + 4 and lanes == LANES, blob.shape
     t = planes.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(s_pad,),
+        grid=(s_pad // _GROUP,),
         in_specs=[
             pl.BlockSpec(
-                (8, t, words),
-                lambda i, *_: (i // 8, 0, 0),
+                (_GROUP, t, words),
+                lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (8, 4), lambda i, *_: (i // 8, 0), memory_space=pltpu.SMEM
+                (_GROUP, 4), lambda i, *_: (i, 0), memory_space=pltpu.SMEM
             ),
             # The blob must stay in HBM (it is the whole index; pl.ANY would
             # let the compiler pull small corpora into VMEM, which both
-            # breaks the tiled-slice alignment rules and caps corpus size).
+            # breaks slice alignment rules and caps corpus size).
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (8, span), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM
+            (_GROUP, tiles, LANES),
+            lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, w4, span), jnp.uint32),
-            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.VMEM((nbuf, _GROUP, tiles, r, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((nbuf, _GROUP)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, words=words, span=span, nbuf=nbuf),
-        out_shape=jax.ShapeDtypeStruct((s_pad, span), jnp.float32),
+        functools.partial(_kernel, words=words, tiles=tiles, nbuf=nbuf),
+        out_shape=jax.ShapeDtypeStruct((s_pad, tiles, LANES), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=s_pad * span * (THETA_LOG_DIM * words * 2 + 12),
-            bytes_accessed=s_pad * (w4 * span * 4 + span * 4),
+            bytes_accessed=s_pad * (r * span * 4 + span * 4),
             transcendentals=s_pad,
         ),
-    )(aligned, lo, hi, planes, scal, blob)
-    return out[:s], aligned[:s]
+    )(tile0, lo, hi, planes, scal, blob)
+    return out.reshape(s_pad, span)[:s], aligned[:s]
