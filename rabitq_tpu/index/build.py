@@ -157,6 +157,11 @@ def build_index(
         if stop - start < chunk:  # keep shapes static for the jit cache
             x = np.pad(x, ((0, chunk - (stop - start)), (0, 0)))
         pending.append(_build_chunk(jnp.asarray(x), p, centroids_rot, dim))
+        if len(pending) % 64 == 0:
+            # Backpressure: async dispatch keeps every queued chunk's input
+            # alive on device; at 10M-scale that's GBs. Syncing on an old
+            # chunk bounds the in-flight window.
+            jax.block_until_ready(pending[-64][0])
     labels = np.asarray(jnp.concatenate([o[0] for o in pending]))[:n]
     cdists = np.asarray(jnp.concatenate([o[1] for o in pending]))[:n]
     codes = np.asarray(jnp.concatenate([o[2] for o in pending]))[:n]
