@@ -47,22 +47,32 @@ logger = logging.getLogger(__name__)
 _MIN_NORMAL_F32 = np.float32(1.17549435e-38)
 
 
-@functools.partial(jax.jit, static_argnames=("dim",))
-def _build_chunk(x_pad, orthogonal, centroids_rot, dim: int):
-    """Quantize one chunk of padded base vectors.
+@functools.partial(jax.jit, static_argnames=("dim", "top"))
+def _assign_chunk(x_pad, orthogonal, centroids_rot, dim: int, top: int):
+    """Rank the `top` nearest centroids for one chunk of padded vectors.
 
-    x_pad: [C, D] f32. Returns per-vector label, code words, factor quad.
+    Assignment only *ranks* centroids — DEFAULT (bf16-pass) precision is 6x
+    faster on the MXU and a boundary mis-assignment is harmless (residuals
+    and factors are computed exactly against the chosen centroid, so the
+    estimator stays internally consistent). Returns (labels [C, top],
+    dists [C, top]) best-first.
+    """
+    x_rot = rotate(x_pad, orthogonal)
+    dists = pairwise_l2sq(x_rot, centroids_rot, jax.lax.Precision.DEFAULT)
+    neg, labels = jax.lax.top_k(-dists, min(top, dists.shape[-1]))
+    return labels.astype(jnp.int32), -neg
+
+
+@functools.partial(jax.jit, static_argnames=("dim",))
+def _build_chunk(x_pad, label, orthogonal, centroids_rot, dim: int):
+    """Quantize one chunk of padded base vectors against assigned centroids.
+
+    x_pad: [C, D] f32; label: [C] int32. Returns code words + factor quad.
     """
     d = jnp.float32(dim)
     sqrt_d = jnp.sqrt(d)
 
     x_rot = rotate(x_pad, orthogonal)  # [C, D] (exact f32: code signs)
-    # Assignment only *ranks* centroids — DEFAULT (bf16-pass) precision is
-    # 6x faster on the MXU and a boundary mis-assignment is harmless (the
-    # residual/factors below are computed exactly against the chosen
-    # centroid, so the estimator stays internally consistent).
-    dists = pairwise_l2sq(x_rot, centroids_rot, jax.lax.Precision.DEFAULT)
-    label = jnp.argmin(dists, axis=-1).astype(jnp.int32)  # [C]
 
     r = x_rot - centroids_rot[label]  # [C, D]
     cdsq = jnp.sum(r * r, axis=-1)  # exact, not the matmul identity
@@ -88,7 +98,56 @@ def _build_chunk(x_pad, orthogonal, centroids_rot, dim: int):
     factor_ppc = factor_ip * sum_signs
 
     factors = jnp.stack([factor_ip, factor_ppc, error_bound, cdsq], axis=-1)
+    return cdsq, code, factors
+
+
+@functools.partial(jax.jit, static_argnames=("dim",))
+def assign_and_quantize_chunk(x_pad, orthogonal, centroids_rot, dim: int):
+    """Fused nearest-centroid assignment + quantization for one chunk (the
+    data-parallel build step; the host build uses the two-pass variant so
+    it can balance assignments in between)."""
+    labels, _ = _assign_chunk(x_pad, orthogonal, centroids_rot, dim, 1)
+    label = labels[:, 0]
+    cdsq, code, factors = _build_chunk(
+        x_pad, label, orthogonal, centroids_rot, dim
+    )
     return label, cdsq, code, factors
+
+
+def balance_assignments(
+    labels: np.ndarray,
+    dists: np.ndarray,
+    k: int,
+    cap: int,
+    rounds: int = 4,
+) -> np.ndarray:
+    """Capacity-capped assignment by vectorized eviction rounds.
+
+    labels/dists: [n, top] candidate centroids per vector, best-first. Each
+    round keeps the `cap` closest members of every over-full cluster and
+    moves the rest to their next-best candidate. Bounds the max cluster
+    size (which sets the scan kernel's window span, i.e. per-probe cost) at
+    ~cap; vectors that run out of candidates stay put, so heavy outliers
+    can still exceed cap slightly.
+    """
+    n, top = labels.shape
+    choice = np.zeros(n, dtype=np.int32)
+    cur = labels[:, 0].copy()
+    cur_d = dists[:, 0].copy()
+    for _ in range(rounds):
+        order = np.lexsort((cur_d, cur))
+        sorted_lab = cur[order]
+        # Rank of each vector within its (current) cluster, distance order.
+        starts = np.searchsorted(sorted_lab, np.arange(k))
+        ranks = np.arange(n) - starts[sorted_lab]
+        evict_sorted = (ranks >= cap) & (choice[order] < top - 1)
+        if not evict_sorted.any():
+            break
+        evict = order[evict_sorted]
+        choice[evict] += 1
+        cur[evict] = labels[evict, choice[evict]]
+        cur_d[evict] = dists[evict, choice[evict]]
+    return cur
 
 
 def build_index(
@@ -100,6 +159,7 @@ def build_index(
     chunk: int = 4096,
     keep_base: bool = True,
     metric: str = "l2",
+    balance: float | None = 2.0,
 ) -> RaBitQIndex:
     """Build a RaBitQ index from base vectors and pre-trained centroids.
 
@@ -113,6 +173,11 @@ def build_index(
     metric:     "l2" or "cosine" (vectors + centroids are L2-normalized, so
                 L2 order equals cosine-similarity order; the reference only
                 supports L2 — README.md unchecked item).
+    balance:    cap cluster sizes at ``balance * n / k`` by moving the
+                farthest overflow members to their next-nearest centroid
+                (the max cluster size sets the scan window span, i.e. the
+                per-probed-cluster cost). None disables balancing (pure
+                nearest-centroid assignment like the reference).
     """
     import time as _time
 
@@ -146,26 +211,53 @@ def build_index(
     logger.info("build: setup/QR %.1fs", _time.perf_counter() - t_start)
     t_phase = _time.perf_counter()
 
-    # Chunked device pass. Dispatch every chunk asynchronously, concatenate
-    # the per-chunk outputs ON DEVICE, and bring each result back in ONE
-    # device->host transfer — per-chunk transfers round-trip the device
-    # tunnel and dominate build time otherwise.
+    # Chunked device passes. Chunks are dispatched asynchronously (with a
+    # bounded in-flight window — queued inputs live in device memory),
+    # per-chunk outputs are concatenated ON DEVICE, and each result comes
+    # back in ONE device->host transfer — per-chunk transfers round-trip
+    # the device tunnel and dominate build time otherwise.
+    def chunk_iter():
+        for start in range(0, n, chunk):
+            stop = min(start + chunk, n)
+            x = pad_last_dim(base[start:stop], dim)
+            if stop - start < chunk:  # keep shapes static for the jit cache
+                x = np.pad(x, ((0, chunk - (stop - start)), (0, 0)))
+            yield start, stop, jnp.asarray(x)
+
+    # Pass 1: candidate assignment (top-M nearest centroids per vector).
+    top = 4 if balance else 1
     pending = []
-    for start in range(0, n, chunk):
-        stop = min(start + chunk, n)
-        x = pad_last_dim(base[start:stop], dim)
-        if stop - start < chunk:  # keep shapes static for the jit cache
-            x = np.pad(x, ((0, chunk - (stop - start)), (0, 0)))
-        pending.append(_build_chunk(jnp.asarray(x), p, centroids_rot, dim))
+    for _, _, xd in chunk_iter():
+        pending.append(_assign_chunk(xd, p, centroids_rot, dim, top))
         if len(pending) % 64 == 0:
-            # Backpressure: async dispatch keeps every queued chunk's input
-            # alive on device; at 10M-scale that's GBs. Syncing on an old
-            # chunk bounds the in-flight window.
             jax.block_until_ready(pending[-64][0])
-    labels = np.asarray(jnp.concatenate([o[0] for o in pending]))[:n]
-    cdists = np.asarray(jnp.concatenate([o[1] for o in pending]))[:n]
-    codes = np.asarray(jnp.concatenate([o[2] for o in pending]))[:n]
-    factors = np.asarray(jnp.concatenate([o[3] for o in pending]))[:n]
+    cand_labels = np.asarray(jnp.concatenate([o[0] for o in pending]))[:n]
+    cand_dists = np.asarray(jnp.concatenate([o[1] for o in pending]))[:n]
+    del pending
+    if balance:
+        cap = max(1, int(np.ceil(balance * n / k)))
+        labels = balance_assignments(cand_labels, cand_dists, k, cap)
+    else:
+        labels = cand_labels[:, 0].copy()
+    logger.info(
+        "build: assigned %d rows in %.1fs (max cluster %d)",
+        n,
+        _time.perf_counter() - t_phase,
+        int(np.bincount(labels, minlength=k).max(initial=0)),
+    )
+    t_phase = _time.perf_counter()
+
+    # Pass 2: quantize against the final assignment.
+    pending = []
+    labels_pad = np.pad(labels, (0, (-n) % chunk))
+    for start, stop, xd in chunk_iter():
+        lab = jnp.asarray(labels_pad[start : start + chunk])
+        pending.append(_build_chunk(xd, lab, p, centroids_rot, dim))
+        if len(pending) % 64 == 0:
+            jax.block_until_ready(pending[-64][0])
+    cdists = np.asarray(jnp.concatenate([o[0] for o in pending]))[:n]
+    codes = np.asarray(jnp.concatenate([o[1] for o in pending]))[:n]
+    factors = np.asarray(jnp.concatenate([o[2] for o in pending]))[:n]
     del pending
     logger.info(
         "build: quantized %d rows in %.1fs", n, _time.perf_counter() - t_phase

@@ -236,7 +236,7 @@ def dp_build_chunk(
     with no communication. Returns (labels, cdsq, codes, factors) sharded
     like x.
     """
-    from rabitq_tpu.index.build import _build_chunk
+    from rabitq_tpu.index.build import assign_and_quantize_chunk
 
     dim = orthogonal.shape[0]
     x = jax.device_put(x, NamedSharding(mesh, P(AXIS, None)))
@@ -244,7 +244,7 @@ def dp_build_chunk(
     centroids_rot = jax.device_put(
         centroids_rot, NamedSharding(mesh, P(None, None))
     )
-    return _build_chunk(x, orthogonal, centroids_rot, dim)
+    return assign_and_quantize_chunk(x, orthogonal, centroids_rot, dim)
 
 
 def sharded_lloyd_step(x: jax.Array, centroids: jax.Array, mesh: Mesh):

@@ -73,13 +73,13 @@ def test_sharded_vs_single_device_close(rng, mesh):
 
 
 def test_dp_build_chunk_matches_single(rng, mesh):
-    from rabitq_tpu.index.build import _build_chunk
+    from rabitq_tpu.index.build import assign_and_quantize_chunk
     from rabitq_tpu.ops import gen_random_orthogonal, rotate
 
     base, centers = make_clustered_dataset(rng, n=256, dim=128, k=8)
     p = gen_random_orthogonal(jax.random.key(0), 128)
     c_rot = rotate(jnp.asarray(centers), p)
-    lab_s, cd_s, co_s, fa_s = _build_chunk(jnp.asarray(base), p, c_rot, 128)
+    lab_s, cd_s, co_s, fa_s = assign_and_quantize_chunk(jnp.asarray(base), p, c_rot, 128)
     lab_d, cd_d, co_d, fa_d = dp_build_chunk(jnp.asarray(base), p, c_rot, mesh)
     np.testing.assert_array_equal(np.asarray(lab_s), np.asarray(lab_d))
     np.testing.assert_array_equal(np.asarray(co_s), np.asarray(co_d))
