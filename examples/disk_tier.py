@@ -1,0 +1,36 @@
+"""Disk/host tier: quantized state on device, raw vectors behind a store.
+
+The estimator scan runs on the TPU; only the rerank gather touches the
+host store (mmap here; BlockCachedStore for object-store backends).
+"""
+
+import tempfile
+from pathlib import Path
+
+import jax
+import numpy as np
+
+import rabitq_tpu as rq
+from rabitq_tpu.index.serialize import dump_to_dir, load_from_dir
+from rabitq_tpu.kmeans import kmeans
+from rabitq_tpu.store import BlockCachedStore, FileBlockSource, MmapStore, search_with_store
+
+rng = np.random.default_rng(0)
+base = rng.standard_normal((100_000, 64)).astype(np.float32)
+centroids = kmeans(base, 512, key=jax.random.key(0))
+index = rq.build_index(base, centroids, key=jax.random.key(1))
+
+workdir = Path(tempfile.mkdtemp())
+dump_to_dir(index, workdir / "index")
+
+# Reload without the full-precision vectors on device.
+index_lean = load_from_dir(workdir / "index", keep_base=False)
+store = MmapStore(workdir / "index" / "base.fvecs")
+# or: BlockCachedStore(FileBlockSource(...), index_lean.dim, sqlite_path=...)
+
+queries = base[:4]
+dists, ids = search_with_store(
+    index_lean, queries, rq.SearchParams(probe=16, topk=5, rerank=100), store
+)
+print("ids:", ids)
+print("metrics:", rq.METRICS.to_str())

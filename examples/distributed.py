@@ -1,0 +1,32 @@
+"""Multi-chip distributed search over a device mesh.
+
+Runs on any device count — try it on CPU with:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python examples/distributed.py
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import rabitq_tpu as rq
+from rabitq_tpu.kmeans import kmeans
+from rabitq_tpu.parallel import make_mesh, shard_index, sharded_search
+
+rng = np.random.default_rng(0)
+base = rng.standard_normal((20_000, 64)).astype(np.float32)
+centroids = kmeans(base, 128, key=jax.random.key(0))
+index = rq.build_index(base, centroids, key=jax.random.key(1))
+
+mesh = make_mesh()  # all visible devices
+sharded = shard_index(index, mesh)
+print(f"index sharded over {mesh.devices.size} device(s)")
+
+queries = base[:4]
+dists, ids = sharded_search(
+    sharded,
+    jnp.asarray(queries),
+    rq.SearchParams(probe=16, topk=5, rerank=100),
+    mesh,
+)
+print("ids:", np.asarray(ids))

@@ -1,0 +1,28 @@
+"""Insert / delete / compact and the cosine metric."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import rabitq_tpu as rq
+from rabitq_tpu.kmeans import kmeans
+
+rng = np.random.default_rng(0)
+base = rng.standard_normal((30_000, 64)).astype(np.float32)
+centroids = kmeans(base, 128, key=jax.random.key(0))
+index = rq.build_index(
+    base, centroids, key=jax.random.key(1), metric="cosine"
+)
+params = rq.SearchParams(probe=16, topk=5, rerank=100)
+
+new_vec = rng.standard_normal((1, 64)).astype(np.float32)
+index = rq.insert(index, new_vec, ids=[123456])
+_, ids = rq.search(index, jnp.asarray(new_vec), params)
+assert 123456 in np.asarray(ids)[0], "inserted vector should be found"
+
+index = rq.delete(index, [123456, 0, 1])
+_, ids = rq.search(index, jnp.asarray(new_vec), params)
+assert 123456 not in np.asarray(ids)[0]
+
+index, old_ids = rq.compact(index)  # fold memtable + drop tombstones
+print("compacted to", index.n, "vectors; id map shape", old_ids.shape)

@@ -1,0 +1,32 @@
+"""Build an index and search it — minimal end-to-end example."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import rabitq_tpu as rq
+from rabitq_tpu.kmeans import kmeans
+
+rng = np.random.default_rng(0)
+base = rng.standard_normal((50_000, 128)).astype(np.float32)
+
+centroids = kmeans(base, 256, key=jax.random.key(0))
+index = rq.build_index(base, centroids, key=jax.random.key(1))
+
+queries = base[:8] + 0.01 * rng.standard_normal((8, 128)).astype(np.float32)
+dists, ids = rq.search(
+    index,
+    jnp.asarray(queries),
+    rq.SearchParams(probe=16, topk=5, rerank=100),
+)
+print("ids:\n", np.asarray(ids))
+print("dists:\n", np.asarray(dists))
+
+# Early-stop variant: probes more clusters only until each query's result
+# is geometrically certified.
+from rabitq_tpu.index.search import search_adaptive
+
+dists, ids, probe_used = search_adaptive(
+    index, jnp.asarray(queries), rq.SearchParams(probe=4, topk=5, rerank=100)
+)
+print("adaptive probe used:", probe_used)

@@ -180,6 +180,10 @@ def _make_sharded_fn(mesh: Mesh, treedef, lp: SearchParams, topk: int):
         mesh=mesh,
         in_specs=(specs, P(None, None)),
         out_specs=(P(AXIS, None, None), P(AXIS, None, None)),
+        # The Pallas scan kernel's out_shape carries no varying-mesh-axes
+        # annotation; skip the vma check (outputs are explicitly sharded on
+        # AXIS via out_specs).
+        check_vma=False,
     )
 
     @jax.jit

@@ -1,0 +1,64 @@
+"""Randomized consistency checks over shapes/metrics/params.
+
+For every random configuration: exhaustive probing + full rerank budget
+must reproduce brute force exactly; partial probing is sound (returned
+distances are true distances, ids valid).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import brute_force_topk
+from rabitq_tpu import SearchParams, build_index, calculate_recall, search
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_fuzz_exhaustive_matches_bruteforce(seed):
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(50, 1200))
+    dim = int(rng.integers(3, 200))
+    k = int(rng.integers(1, max(2, n // 10)))
+    topk = int(rng.integers(1, 12))
+    metric = ["l2", "cosine"][seed % 2]
+    balance = [None, 2.0][(seed // 2) % 2]
+
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    centroids = base[rng.choice(n, k, replace=False)]
+    idx = build_index(
+        base, centroids, key=jax.random.key(seed), metric=metric,
+        balance=balance,
+    )
+    nq = 5
+    queries = rng.standard_normal((nq, dim)).astype(np.float32)
+
+    if metric == "cosine":
+        bn = base / np.maximum(
+            np.linalg.norm(base, axis=1, keepdims=True), 1e-30
+        )
+        qn = queries / np.maximum(
+            np.linalg.norm(queries, axis=1, keepdims=True), 1e-30
+        )
+        truth = brute_force_topk(bn, qn, topk)
+    else:
+        truth = brute_force_topk(base, queries, topk)
+
+    params = SearchParams(probe=k, topk=topk, rerank=n)
+    dists, ids = search(idx, jnp.asarray(queries), params)
+    ids = np.asarray(ids)
+    dists = np.asarray(dists)
+
+    recall = np.mean(
+        [calculate_recall(truth[i], ids[i], topk) for i in range(nq)]
+    )
+    assert recall == 1.0, (
+        f"seed={seed} n={n} dim={dim} k={k} metric={metric} "
+        f"balance={balance}: recall {recall}"
+    )
+    # Distances are sorted and non-negative.
+    valid = np.isfinite(dists)
+    assert (dists[valid] >= -1e-5).all()
+    for row in dists:
+        r = row[np.isfinite(row)]
+        assert (np.diff(r) >= -1e-6).all()
