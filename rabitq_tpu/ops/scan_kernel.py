@@ -42,11 +42,12 @@ _GROUP = 8
 
 
 def _kernel(
-    tile0_ref,   # [S] int32 first tile of each window (scalar prefetch)
-    lo_ref,      # [S] int32 first valid slot (scalar prefetch)
-    hi_ref,      # [S] int32 one-past-last valid slot (scalar prefetch)
+    tile0_ref,   # [S] int32 first tile of each window (scalar prefetch:
+                 # read ahead of the current group for pipelined DMA, so it
+                 # must be the whole array; everything else is blocked)
     planes_ref,  # [GROUP, T, W] uint32 (VMEM block, one task group)
     scal_ref,    # [GROUP, 4] f32 (SMEM block): lo, delta, ssum, ycd
+    lohi_ref,    # [GROUP, 2] int32 (SMEM block): valid slot range [lo, hi)
     blob_ref,    # [n_tiles, R, 128] uint32 (HBM, manual DMA)
     out_ref,     # [GROUP, tiles, 128] f32 (VMEM block)
     buf,         # [nbuf, GROUP, tiles, R, 128] uint32 scratch
@@ -116,8 +117,7 @@ def _kernel(
             - fac[:, 2, :] * jnp.sqrt(q_ycd)
         )  # [tiles, 128]
 
-        task = g * _GROUP + j
-        valid = (slot_ids >= lo_ref[task]) & (slot_ids < hi_ref[task])
+        valid = (slot_ids >= lohi_ref[j, 0]) & (slot_ids < lohi_ref[j, 1])
         out_ref[j] = jnp.where(valid, est, jnp.inf)
 
 
@@ -142,12 +142,38 @@ def pallas_rough_scan(
     the cluster's extent hold +inf.
     """
     assert span % LANES == 0, span
-    tiles = span // LANES
     s = starts.shape[0]
+    # The tile0 prefetch array lives in SMEM (~1MB total); cap the tasks
+    # per kernel invocation and loop for very large batch x probe products.
+    max_tasks = 65536
+    if s > max_tasks:
+        outs = []
+        for a in range(0, s, max_tasks):
+            b = min(a + max_tasks, s)
+            outs.append(
+                pallas_rough_scan(
+                    blob,
+                    starts[a:b],
+                    sizes[a:b],
+                    planes[a:b],
+                    scal[a:b],
+                    span=span,
+                    words=words,
+                    nbuf=nbuf,
+                    interpret=interpret,
+                )
+            )
+        return (
+            jnp.concatenate([o[0] for o in outs]),
+            jnp.concatenate([o[1] for o in outs]),
+        )
+
+    tiles = span // LANES
     tile0 = starts // LANES
     aligned = tile0 * LANES
     lo = starts - aligned
     hi = lo + sizes
+    lohi = jnp.stack([lo, hi], axis=-1)  # [S, 2] int32
 
     # Pad the task list to a multiple of 8 so scal/out tile into (8, ...)
     # blocks (TPU sublane granularity); padded tasks have empty extent.
@@ -155,8 +181,7 @@ def pallas_rough_scan(
     if s_pad != s:
         pad = s_pad - s
         tile0 = jnp.pad(tile0, (0, pad))
-        lo = jnp.pad(lo, (0, pad))
-        hi = jnp.pad(hi, (0, pad))
+        lohi = jnp.pad(lohi, ((0, pad), (0, 0)))
         planes = jnp.pad(planes, ((0, pad), (0, 0), (0, 0)))
         scal = jnp.pad(scal, ((0, pad), (0, 0)))
     n_tiles, r, lanes = blob.shape
@@ -164,7 +189,7 @@ def pallas_rough_scan(
     t = planes.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(s_pad // _GROUP,),
         in_specs=[
             pl.BlockSpec(
@@ -174,6 +199,9 @@ def pallas_rough_scan(
             ),
             pl.BlockSpec(
                 (_GROUP, 4), lambda i, *_: (i, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (_GROUP, 2), lambda i, *_: (i, 0), memory_space=pltpu.SMEM
             ),
             # The blob must stay in HBM (it is the whole index; pl.ANY would
             # let the compiler pull small corpora into VMEM, which both
@@ -200,5 +228,5 @@ def pallas_rough_scan(
             bytes_accessed=s_pad * (r * span * 4 + span * 4),
             transcendentals=s_pad,
         ),
-    )(tile0, lo, hi, planes, scal, blob)
+    )(tile0, planes, scal, lohi, blob)
     return out.reshape(s_pad, span)[:s], aligned[:s]
