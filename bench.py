@@ -234,7 +234,7 @@ def main():
         "service: HTTP tier p50/p99 latency under concurrency; "
         "deep10m: 10M x 96-d disk tier (codes in HBM, vectors host-mmap)",
     )
-    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--topk", type=int, default=None)
     ap.add_argument("--target-recall", type=float, default=0.95)
     args = ap.parse_args()
@@ -262,7 +262,7 @@ def main():
         train_cap = 131_072
         topk = args.topk or 100
     else:
-        n, dim, k, nq, n_centers = 1_000_000, 128, 4096, 1024, 1024
+        n, dim, k, nq, n_centers = 1_000_000, 128, 4096, 2048, 1024
         train_cap = 260_000
         topk = args.topk or 10
     args.topk = topk
