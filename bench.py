@@ -144,7 +144,6 @@ def bench_deep10m(args):
     import jax
 
     from rabitq_tpu import SearchParams, build_index, calculate_recall
-    from rabitq_tpu.index.search import estimate_candidates  # noqa: F401
     from rabitq_tpu.io import write_matrix
     from rabitq_tpu.kmeans import kmeans
     from rabitq_tpu.store import MmapStore, search_with_store

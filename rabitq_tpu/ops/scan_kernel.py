@@ -35,6 +35,10 @@ from rabitq_tpu.consts import LANES, THETA_LOG_DIM
 # issue and wait).
 _NBUF = 3
 
+# Tasks per kernel invocation: the tile0 scalar-prefetch array must fit in
+# SMEM (~1MB) alongside the blocked operands; larger task lists loop.
+_MAX_TASKS = 65536
+
 
 # Tasks per grid step: amortizes per-step bookkeeping over a whole group
 # (also the natural sublane block size for the planes/scal/out operands).
@@ -145,7 +149,7 @@ def pallas_rough_scan(
     s = starts.shape[0]
     # The tile0 prefetch array lives in SMEM (~1MB total); cap the tasks
     # per kernel invocation and loop for very large batch x probe products.
-    max_tasks = 65536
+    max_tasks = _MAX_TASKS
     if s > max_tasks:
         outs = []
         for a in range(0, s, max_tasks):

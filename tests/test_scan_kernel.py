@@ -134,3 +134,40 @@ def test_kernel_matches_jnp_scan_path(rng):
         np.testing.assert_allclose(k_vals, j_vals, rtol=1e-4, atol=1e-4)
         assert np.isinf(rough_k[t, :first]).all()
         assert np.isinf(rough_k[t, first + sizes_np[t] :]).all()
+
+
+def test_chunked_task_list_matches_single_call(rng, monkeypatch):
+    """When the task list exceeds the per-invocation cap, the chunked loop
+    must produce identical output."""
+    import rabitq_tpu.ops.scan_kernel as sk
+
+    n, d, cap, s = 400, 64, 128, 40
+    w = d // 32
+    bits = rng.integers(0, 2, size=(n, d)).astype(np.int32)
+    codes = np.asarray(pack_bits_u32(jnp.asarray(bits)))
+    factors = np.abs(rng.standard_normal((n, 4))).astype(np.float32)
+    blob = jnp.asarray(make_blob(codes, factors, cap))
+    starts = jnp.asarray(rng.integers(0, n - 1, size=s).astype(np.int32))
+    sizes = jnp.asarray(
+        np.minimum(
+            rng.integers(0, cap, size=s), n - np.asarray(starts)
+        ).astype(np.int32)
+    )
+    quant = rng.integers(0, 16, size=(s, d)).astype(np.int32)
+    planes = jnp.asarray(np.asarray(pack_query_bitplanes(jnp.asarray(quant))))
+    scal = jnp.asarray(
+        np.abs(rng.standard_normal((s, 4))).astype(np.float32) + 0.01
+    )
+    span = cap + 128
+
+    full, a_full = sk.pallas_rough_scan(
+        blob, starts, sizes, planes, scal, span=span, words=w, interpret=True
+    )
+    monkeypatch.setattr(sk, "_MAX_TASKS", 16)
+    chunked, a_chunk = sk.pallas_rough_scan(
+        blob, starts, sizes, planes, scal, span=span, words=w, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(a_full), np.asarray(a_chunk))
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(chunked), rtol=1e-6
+    )
