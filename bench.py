@@ -110,7 +110,7 @@ def bench_service(args):
     try:
         t0 = time.time()
         recalls, lats = run_concurrent(
-            url, queries, truth, topk, probe, workers=workers
+            url, queries, truth, topk, probe, workers=workers, binary=True
         )
         wall = time.time() - t0
     finally:

@@ -16,6 +16,28 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 
+def query_once_bin(url: str, vec, top_k: int, probe: int):
+    """Binary-protocol query (see server._query_bin): ~10x less host CPU
+    than JSON for encode/decode."""
+    vec = np.asarray(vec, dtype=np.float32)
+    body = (
+        np.array([top_k, probe, vec.shape[0]], np.uint32).tobytes()
+        + vec.tobytes()
+    )
+    req = urllib.request.Request(
+        url + "/query_bin",
+        data=body,
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    t0 = time.perf_counter()
+    with urllib.request.urlopen(req) as resp:
+        raw = np.frombuffer(resp.read(), np.uint32)
+    n = int(raw[0])
+    ids = raw[1 : 1 + 2 * n : 2].astype(np.int64)
+    scores = raw[2 : 2 + 2 * n : 2].view(np.float32)
+    return ids, scores, time.perf_counter() - t0
+
+
 def query_once(url: str, vec, top_k: int, probe: int):
     payload = json.dumps(
         dict(query=np.asarray(vec, dtype=float).tolist(), top_k=top_k, probe=probe)
@@ -50,12 +72,21 @@ def run_serial(url, queries, truth, top_k, probe):
     return recalls, lats
 
 
-def run_concurrent(url, queries, truth, top_k, probe, workers=8):
+def run_concurrent(url, queries, truth, top_k, probe, workers=8, binary=False):
     from rabitq_tpu.utils import calculate_recall
 
     def one(i):
-        ids, dt = query_once(url, queries[i], top_k, probe)
-        return calculate_recall(truth[i], np.asarray(ids), top_k), dt
+        last = None
+        for _ in range(3):  # the stdlib threaded server drops connections
+            try:                   # occasionally under heavy concurrency
+                if binary:
+                    ids, _, dt = query_once_bin(url, queries[i], top_k, probe)
+                else:
+                    ids, dt = query_once(url, queries[i], top_k, probe)
+                return calculate_recall(truth[i], np.asarray(ids), top_k), dt
+            except (ConnectionError, OSError) as e:
+                last = e
+        raise last
 
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=workers) as pool:
@@ -77,6 +108,9 @@ def main(argv=None):
     ap.add_argument("-p", "--probe", type=int, default=300)
     ap.add_argument("-n", "--num", type=int, default=None)
     ap.add_argument("-c", "--concurrency", type=int, default=0)
+    ap.add_argument(
+        "--binary", action="store_true", help="use the binary /query_bin protocol"
+    )
     args = ap.parse_args(argv)
 
     from rabitq_tpu.io import read_matrix
@@ -87,7 +121,13 @@ def main(argv=None):
         queries, truth = queries[: args.num], truth[: args.num]
     if args.concurrency:
         run_concurrent(
-            args.url, queries, truth, args.topk, args.probe, args.concurrency
+            args.url,
+            queries,
+            truth,
+            args.topk,
+            args.probe,
+            args.concurrency,
+            binary=args.binary,
         )
     else:
         run_serial(args.url, queries, truth, args.topk, args.probe)

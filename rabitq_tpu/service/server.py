@@ -148,6 +148,11 @@ class BatchingEngine:
                 r.done.set()
 
 
+# Reject bodies beyond this size (64k dims of f32 is far above any real
+# embedding; a missing bound lets one request exhaust host memory).
+MAX_BODY_BYTES = 1 << 20
+
+
 def make_handler(engine: BatchingEngine, default_probe: int, default_topk: int):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -174,11 +179,18 @@ def make_handler(engine: BatchingEngine, default_probe: int, default_topk: int):
                 self._send(404, "not found")
 
         def do_POST(self):
+            if self.path == "/query_bin":
+                self._query_bin()
+                return
             if self.path != "/query":
                 self._send(404, "not found")
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > MAX_BODY_BYTES:
+                    self._send(413, json.dumps(dict(error="body too large")),
+                               "application/json")
+                    return
                 payload = json.loads(self.rfile.read(length))
                 if "query" not in payload:
                     raise ValueError("missing required field 'query'")
@@ -201,6 +213,37 @@ def make_handler(engine: BatchingEngine, default_probe: int, default_topk: int):
                 self._send(400, json.dumps(dict(error=str(e))), "application/json")
             except Exception as e:
                 self._send(500, json.dumps(dict(error=str(e))), "application/json")
+
+        def _query_bin(self):
+            """Binary protocol (low-overhead path for high-throughput
+            clients): request body = u32 top_k, u32 probe, u32 dim,
+            dim x f32 query (little-endian); response = u32 count, then
+            count x (u32 id, f32 score)."""
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if length > MAX_BODY_BYTES or length < 12:
+                    self._send(413 if length > MAX_BODY_BYTES else 400, "bad size")
+                    return
+                raw = self.rfile.read(length)
+                top_k, probe, dim = np.frombuffer(raw[:12], np.uint32)
+                if len(raw) != 12 + 4 * int(dim):
+                    self._send(400, "length mismatch")
+                    return
+                query = np.frombuffer(raw[12:], np.float32)
+                scores, ids = engine.submit(query, int(top_k), int(probe))
+                keep = ids >= 0
+                out = np.empty(1 + 2 * int(keep.sum()), np.uint32)
+                out[0] = keep.sum()
+                out[1::2] = ids[keep].astype(np.uint32)
+                out[2::2] = scores[keep].astype(np.float32).view(np.uint32)
+                data = out.tobytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            except Exception as e:
+                self._send(500, str(e))
 
     return Handler
 

@@ -98,6 +98,32 @@ def test_concurrent_queries_microbatch(served):
     assert recall > 0.99
 
 
+def test_binary_protocol(served):
+    from rabitq_tpu.service.client import query_once_bin
+
+    url, base = served
+    ids, scores, _ = query_once_bin(url, base[5], top_k=5, probe=8)
+    assert ids[0] == 5 and scores[0] < 1e-5
+    assert len(ids) == 5
+    # Results agree with the JSON endpoint.
+    _, body = _post(url, dict(query=base[5].tolist(), top_k=5, probe=8))
+    assert body["ids"] == ids.tolist()
+
+
+def test_binary_protocol_bad_sizes(served):
+    import urllib.request
+
+    url, _ = served
+    for body in (b"", b"\x00" * 11, b"\x00" * 2048):
+        req = urllib.request.Request(url + "/query_bin", data=body)
+        try:
+            with urllib.request.urlopen(req) as resp:
+                status = resp.status
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status in (400, 413), (len(body), status)
+
+
 def test_bad_requests(served):
     url, _ = served
     status, body = _post(url, dict(top_k=5))  # missing query
