@@ -124,6 +124,39 @@ def test_binary_protocol_bad_sizes(served):
         assert status in (400, 413), (len(body), status)
 
 
+def test_store_backed_service(tmp_path):
+    """The disk-tier configuration over HTTP: estimator on device, rerank
+    from a host store."""
+    import jax
+
+    from rabitq_tpu.index.serialize import dump_to_dir, load_from_dir
+    from rabitq_tpu.store import MmapStore
+
+    rng = np.random.default_rng(21)
+    base, centers = make_clustered_dataset(rng, n=800, dim=24, k=8)
+    idx = build_index(base, centers, key=jax.random.key(22))
+    dump_to_dir(idx, tmp_path / "idx")
+    lean = load_from_dir(tmp_path / "idx", keep_base=False)
+    store = MmapStore(tmp_path / "idx" / "base.fvecs")
+
+    engine = BatchingEngine(lean, store=store, max_batch=8, window_ms=2.0)
+    handler = make_handler(engine, default_probe=8, default_topk=5)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_port}"
+    try:
+        status, body = _post(url, dict(query=base[11].tolist(), top_k=3))
+        assert status == 200 and body["ids"][0] == 11
+        from rabitq_tpu.service.client import query_once_bin
+
+        ids, scores, _ = query_once_bin(url, base[12], top_k=3, probe=8)
+        assert ids[0] == 12
+    finally:
+        server.shutdown()
+        engine.close()
+
+
 def test_bad_requests(served):
     url, _ = served
     status, body = _post(url, dict(top_k=5))  # missing query

@@ -72,6 +72,25 @@ def test_sharded_vs_single_device_close(rng, mesh):
     assert overlap >= 0.95
 
 
+def test_sharded_search_with_mutations(rng, mesh):
+    """Memtable inserts and tombstones must survive sharding: extras live
+    on shard 0, deletes are excluded everywhere."""
+    from rabitq_tpu import delete, insert
+
+    base, centers = make_clustered_dataset(rng, n=1000, dim=32, k=8)
+    idx = build_index(base, centers, key=jax.random.key(7))
+    v = rng.standard_normal(32).astype(np.float32)
+    idx = insert(idx, v[None, :], ids=[5555])
+    idx = delete(idx, [0, 1])
+    sidx = shard_index(idx, mesh)
+    params = SearchParams(probe=8, topk=5, rerank=100)
+    queries = jnp.asarray(np.stack([v, base[0]]))
+    _, ids = sharded_search(sidx, queries, params, mesh)
+    ids = np.asarray(ids)
+    assert 5555 in ids[0].tolist()
+    assert 0 not in ids[1].tolist() and 1 not in ids[1].tolist()
+
+
 def test_dp_build_chunk_matches_single(rng, mesh):
     from rabitq_tpu.index.build import assign_and_quantize_chunk
     from rabitq_tpu.ops import gen_random_orthogonal, rotate
