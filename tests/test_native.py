@@ -1,0 +1,77 @@
+"""Direct tests of the C++ runtime components (ctypes bindings)."""
+
+import numpy as np
+import pytest
+
+try:
+    from rabitq_tpu.native import (
+        NativeBlockCache,
+        NativeUnavailable,
+        parse_vecs_matrix,
+        get_lib,
+    )
+
+    get_lib()
+    NATIVE = True
+except Exception:  # no toolchain in this environment
+    NATIVE = False
+
+pytestmark = pytest.mark.skipif(not NATIVE, reason="native lib unavailable")
+
+
+def test_parse_vecs_matrix_roundtrip(rng):
+    mat = rng.standard_normal((13, 7)).astype(np.float32)
+    from rabitq_tpu.io import write_matrix
+
+    import tempfile, pathlib
+
+    with tempfile.TemporaryDirectory() as td:
+        p = pathlib.Path(td) / "x.fvecs"
+        write_matrix(p, mat)
+        got = parse_vecs_matrix(p.read_bytes()).view(np.float32)
+        np.testing.assert_array_equal(got, mat)
+
+
+def test_parse_vecs_rejects_ragged():
+    buf = (
+        (2).to_bytes(4, "little") + b"\x00" * 8
+        + (3).to_bytes(4, "little") + b"\x00" * 12
+    )
+    with pytest.raises(ValueError):
+        parse_vecs_matrix(buf)
+
+
+def test_parse_vecs_empty():
+    assert parse_vecs_matrix(b"").size == 0
+
+
+def test_block_cache_hit_miss_evict(rng):
+    cache = NativeBlockCache(max_blocks=2, floats_per_block=8, row_dim=4)
+    a = rng.standard_normal((2, 4)).astype(np.float32)
+    b = rng.standard_normal((2, 4)).astype(np.float32)
+    c = rng.standard_normal((1, 4)).astype(np.float32)  # short block
+
+    assert cache.get(0) is None
+    cache.put(0, a)
+    cache.put(1, b)
+    np.testing.assert_array_equal(cache.get(0), a)
+    np.testing.assert_array_equal(cache.get(1), b)
+    assert len(cache) == 2
+    cache.put(2, c)  # evicts LRU
+    assert len(cache) == 2
+    got = cache.get(2)
+    np.testing.assert_array_equal(got, c)
+    # One of 0/1 was evicted (0 was most recently touched before the put,
+    # so 1... ordering: get(1) refreshed 1 after get(0), so 0 is LRU).
+    assert cache.get(0) is None
+    np.testing.assert_array_equal(cache.get(1), b)
+
+
+def test_block_cache_update_existing(rng):
+    cache = NativeBlockCache(max_blocks=2, floats_per_block=8, row_dim=4)
+    a = rng.standard_normal((2, 4)).astype(np.float32)
+    cache.put(7, a)
+    a2 = a * 2
+    cache.put(7, a2)
+    np.testing.assert_array_equal(cache.get(7), a2)
+    assert len(cache) == 1
