@@ -284,16 +284,22 @@ def build_index(
         _time.perf_counter() - t_start,
     )
 
-    return RaBitQIndex(
-        blob=jnp.asarray(make_blob(codes[order], factors[order], capacity)),
-        offsets=jnp.asarray(offsets),
-        map_ids=jnp.asarray(order),
-        centroids_rot=centroids_rot,
-        orthogonal=p,
-        rand_bias=rand_bias,
-        base=base_sorted,
-        dim=dim,
-        dim_orig=d_orig,
-        capacity=capacity,
-        metric=metric,
+    from rabitq_tpu.index.index import with_scan_operands
+
+    return with_scan_operands(
+        RaBitQIndex(
+            blob=jnp.asarray(
+                make_blob(codes[order], factors[order], capacity)
+            ),
+            offsets=jnp.asarray(offsets),
+            map_ids=jnp.asarray(order),
+            centroids_rot=centroids_rot,
+            orthogonal=p,
+            rand_bias=rand_bias,
+            base=base_sorted,
+            dim=dim,
+            dim_orig=d_orig,
+            capacity=capacity,
+            metric=metric,
+        )
     )

@@ -75,11 +75,16 @@ def delete(index: RaBitQIndex, ids) -> RaBitQIndex:
     victim_pos = np.nonzero(np.isin(map_ids, ids))[0].astype(np.int32)
 
     blob = index.blob
+    factors_tiled = index.factors_tiled
     new_map = index.map_ids
     if victim_pos.size:
         row = index.words + 3  # cdsq factor row
         vp = jnp.asarray(victim_pos)
         blob = blob.at[vp // 128, row, vp % 128].set(jnp.uint32(_INF_BITS))
+        if factors_tiled is not None:  # keep the MXU operand consistent
+            factors_tiled = factors_tiled.at[vp // 128, 3, vp % 128].set(
+                jnp.inf
+            )
         new_map = new_map.at[vp].set(-1)
 
     extra_ids = index.extra_ids
@@ -88,7 +93,11 @@ def delete(index: RaBitQIndex, ids) -> RaBitQIndex:
         extra_ids = jnp.where(mask, -1, extra_ids)
 
     return dataclasses.replace(
-        index, blob=blob, map_ids=new_map, extra_ids=extra_ids
+        index,
+        blob=blob,
+        factors_tiled=factors_tiled,
+        map_ids=new_map,
+        extra_ids=extra_ids,
     )
 
 

@@ -153,15 +153,25 @@ def rough_scan(
 
     # IVF probe selection (rabitq.rs:285-297): matmul identity only ranks
     # clusters; the estimator's ||y-c||^2 is recomputed exactly below.
+    # approx_max_k is ~40x cheaper than exact top_k here (which lowers to
+    # a full sort); with 2x-probe headroom its per-element recall target
+    # makes missed clusters rare, and the bench shows no recall change.
     cdist = pairwise_l2sq(y, index.centroids_rot)  # [B, K]
-    _, cids = jax.lax.top_k(-cdist, probe)  # [B, probe]
+    k = cdist.shape[-1]
+    if (
+        params.approx_select
+        and jax.default_backend() == "tpu"
+        and probe < k
+    ):
+        _, cids = jax.lax.approx_max_k(-cdist, probe)  # [B, probe]
+    else:
+        _, cids = jax.lax.top_k(-cdist, probe)  # [B, probe]
 
     yr = y[:, None, :] - index.centroids_rot[cids]  # [B, probe, D]
     ycd = jnp.sum(yr * yr, axis=-1)  # [B, probe] exact
     qq = quantize_query_residuals(
         yr, index.rand_bias if params.dither else None
     )
-    planes = pack_query_bitplanes(qq.quantized)  # [B, probe, T, W]
 
     s = b * probe
     starts = index.offsets[cids]  # [B, probe]
@@ -172,32 +182,38 @@ def rough_scan(
 
     starts_f = starts.reshape(s)
     sizes_f = sizes_all.reshape(s)
-    planes_f = planes.reshape(s, THETA_LOG_DIM, w)
     scal_f = scal.reshape(s, 4)
 
-    if params.use_kernel and jax.default_backend() == "tpu":
+    if (
+        params.use_kernel
+        and jax.default_backend() == "tpu"
+        and index.codes_pm1 is not None
+    ):
         # The kernel scans a lane-aligned window per cluster; positions are
         # aligned_start + slot. span rounds capacity up so indexes built
         # with legacy non-lane-aligned capacities still work.
         from rabitq_tpu.consts import LANES
 
         span = ((cap + LANES - 1) // LANES) * LANES + LANES
+        qvals = qq.quantized.reshape(s, index.dim).astype(jnp.int8)
         rough, aligned = pallas_rough_scan(
-            index.blob,
+            index.codes_pm1,
+            index.factors_tiled,
             starts_f,
             sizes_f,
-            planes_f,
+            qvals,
             scal_f,
             span=span,
-            words=w,
+            k_max=index.k,
         )
         pos_base = aligned.reshape(b, probe)
     else:
+        planes = pack_query_bitplanes(qq.quantized)  # [B, probe, T, W]
         rough = _jnp_scan(
             index,
             starts_f,
             sizes_f,
-            planes_f,
+            planes.reshape(s, THETA_LOG_DIM, w),
             scal_f,
             cap=cap,
             chunk=params.task_chunk,

@@ -34,7 +34,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rabitq_tpu.index.index import RaBitQIndex, make_blob
+from rabitq_tpu.index.index import (
+    RaBitQIndex,
+    make_blob,
+    with_scan_operands,
+)
 from rabitq_tpu.io import (
     read_matrix,
     read_u64_vecs,
@@ -152,7 +156,7 @@ def load_from_dir(
             read_vecs(path / "extra_ids.ivecs", np.int32)[0]
         )
 
-    return RaBitQIndex(
+    return with_scan_operands(RaBitQIndex(
         blob=jnp.asarray(make_blob(codes, factors, capacity)),
         offsets=jnp.asarray(offsets),
         map_ids=jnp.asarray(map_ids),
@@ -166,7 +170,7 @@ def load_from_dir(
         dim_orig=dim_orig,
         capacity=capacity,
         metric=metric,
-    )
+    ))
 
 
 def dump_to_json(index: RaBitQIndex, path: str | Path) -> None:
@@ -187,7 +191,11 @@ def dump_to_json(index: RaBitQIndex, path: str | Path) -> None:
         map_ids=np.asarray(index.map_ids).tolist(),
         codes=np.asarray(index.codes).tolist(),
         factors=np.asarray(index.factors).tolist(),
+        metric=index.metric,
     )
+    if index.extra_base is not None and index.extra_base.shape[0]:
+        payload["extra_base"] = np.asarray(index.extra_base).tolist()
+        payload["extra_ids"] = np.asarray(index.extra_ids).tolist()
     Path(path).write_text(json.dumps(payload))
 
 
@@ -197,7 +205,7 @@ def load_from_json(path: str | Path) -> RaBitQIndex:
     capacity = int(z["capacity"])
     codes = np.asarray(z["codes"], dtype=np.uint32)
     factors = np.asarray(z["factors"], dtype=np.float32)
-    return RaBitQIndex(
+    return with_scan_operands(RaBitQIndex(
         blob=jnp.asarray(make_blob(codes, factors, capacity)),
         offsets=jnp.asarray(np.asarray(z["offsets"], np.int32)),
         map_ids=jnp.asarray(np.asarray(z["map_ids"], np.int32)),
@@ -208,7 +216,18 @@ def load_from_json(path: str | Path) -> RaBitQIndex:
         dim=int(z["dim"]),
         dim_orig=int(z["dim_orig"]),
         capacity=capacity,
-    )
+        metric=z.get("metric", "l2"),
+        extra_base=(
+            jnp.asarray(np.asarray(z["extra_base"], np.float32))
+            if "extra_base" in z
+            else None
+        ),
+        extra_ids=(
+            jnp.asarray(np.asarray(z["extra_ids"], np.int32))
+            if "extra_ids" in z
+            else None
+        ),
+    ))
 
 
 def dump_to_npz(index: RaBitQIndex, path: str | Path) -> None:
@@ -238,7 +257,7 @@ def load_from_npz(path: str | Path, *, keep_base: bool = True) -> RaBitQIndex:
         base = None
         if keep_base and "base" in z:
             base = jnp.asarray(z["base"])
-        return RaBitQIndex(
+        return with_scan_operands(RaBitQIndex(
             blob=jnp.asarray(make_blob(z["codes"], z["factors"], capacity)),
             offsets=jnp.asarray(z["offsets"]),
             map_ids=jnp.asarray(z["map_ids"]),
@@ -256,4 +275,4 @@ def load_from_npz(path: str | Path, *, keep_base: bool = True) -> RaBitQIndex:
             dim_orig=dim_orig,
             capacity=capacity,
             metric=str(z["metric"]) if "metric" in z else "l2",
-        )
+        ))

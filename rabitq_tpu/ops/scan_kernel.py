@@ -1,23 +1,54 @@
 """Fused Pallas cluster-scan kernel (the hot query-path artifact).
 
-One grid step = one (query, probed-cluster) task. The index blob is tiled
-[n_tiles, R, 128] (lane groups of 128 vectors x R = W+4 rounded-up rows of
-code words + bitcast factors), so a task's scan window — ``tiles`` whole
-lane groups covering the cluster — is ONE CONTIGUOUS HBM DMA. Windows are
-pipelined ``nbuf`` deep across grid steps so HBM latency hides behind
-compute. Tile-granular window starts are aligned by construction (the
-pre-tiled-layout kernel needed lane-aligned column slices and paid 8
-strided row descriptors per task; contiguous tiles measured ~4x faster).
+The scan task list is [batch x probe] (query, probed-cluster) pairs. A
+task's scan window — whole 128-lane tiles covering its cluster — is one
+contiguous HBM DMA from the +-1 int8 code array plus one from the tiled
+factor array.
 
-Slots outside [lo, hi) — the cluster's extent within the window — mask to
-+inf. Compute per task (all lane-parallel VPU ops on [tiles, ..., 128]):
+**MXU estimator.** With sign codes stored as +-1 int8, the asymmetric
+binary dot against the 4-bit quantized query residual q (values 0..15)
+satisfies  q . (2b - 1) = 2*abdp - sum(q)  exactly — the very expression
+the RaBitQ estimator needs (/root/reference/src/rabitq.rs:352-363). The
+hot loop is one int8 MXU matmul of the window's codes against all
+queries probing that window, followed by the scalar epilogue
 
-  abdp[c] = sum_p 2^p * popcount(codes[w, c] & plane[p, w])
-  rough[c] = cdsq + ycd + lo*ppc + (2*abdp - ssum)*ip*delta - err*sqrt(ycd)
+  rough[t,c] = cdsq_c + ycd_t + lo_t*ppc_c + dot[t,c]*ip_c*delta_t
+               - err_c*sqrt(ycd_t)
 
-which is the reference's AVX popcount estimator
-(/root/reference/src/rabitq.rs:336-367, src/simd.rs:326-384) recast over a
-whole cluster tile at once.
+computed in-kernel at full VPU width, one [rows, 128] lane tile at a
+time. Per-task scalars arrive as a small blocked [rows, 8] f32 operand
+and become broadcastable [rows, 1] columns via one-hot masked row sums
+(TPU vector lanes cannot be sliced at unaligned offsets; SMEM scalar
+prefetch would cap the task count). This replaces the round-1 VPU
+popcount formulation, whose per-task compute floor dominated the scan
+(SURVEY.md §7 hard part (a): int8 MXU vs popcount — both built, MXU
+wins), and an intermediate design that materialized the dot matrix and
+ran the epilogue in XLA (2x slower: one extra 300+MB round-trip and
+broadcast ops at partial width).
+
+**Shared windows.** Many queries in a batch probe the same cluster (at
+batch 2048 x probe 32 over k=4096, ~16 tasks per cluster on average), so
+fetching one window per task would re-read the same HBM bytes ~16x AND
+re-run the same MXU passes (a window matmul costs span*D/128 MXU cycles
+whether 1 or 128 query rows ride it). Tasks are grouped device-side by
+(window start, size) — argsort + segmented rank — and each group of up
+to ``qpc`` tasks sharing a cluster gets one window DMA and one matmul,
+with the group's queries as the M rows. ``qpc`` adapts to the expected
+sharing S/k; ``g2`` groups run per grid step to amortize bookkeeping;
+windows pipeline ``nbuf`` steps deep. The worst-case group count
+sum_r ceil(run_r/qpc) <= distinct + (S - distinct)/qpc is bounded
+statically via ``k_max`` (distinct (start, size) pairs <= clusters).
+Padded groups skip both DMA and matmul; their output rows are never
+read (the inverse permutation indexes real tasks only). All group
+spreads are gathers or 1-D scatters — row scatters of wide payloads and
+scalar-element gathers are serialized on TPU (measured 5-2000x slower
+than row gathers of >=128-lane rows).
+
+Slots outside [lo, hi) — the cluster's extent within the window — mask
+to +inf and never survive the downstream top-k. The window sharing is
+the TPU realization of the reference's unchecked "fastscan" layout item
+(/root/reference/README.md:13): amortize memory traffic (and MXU
+passes) across queries.
 """
 
 from __future__ import annotations
@@ -29,115 +60,211 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rabitq_tpu.consts import LANES, THETA_LOG_DIM
+from rabitq_tpu.consts import LANES
 
-# Default DMA pipeline depth in task GROUPS (nbuf * GROUP windows between
-# issue and wait).
-_NBUF = 3
+# Tasks per group = queries sharing one cluster-window DMA + matmul.
+# Adaptive default: ~2x the expected tasks-per-cluster S/k, clamped. The
+# cap balances MXU passes (fewer groups = fewer span*D/128-cycle
+# matmuls) against group-padding rows (qpc*distinct extra rows through
+# the output and gathers, whose per-ROW costs dominate at scale).
+_QPC_MIN = 8
+_QPC_MAX = 16
 
-# Tasks per kernel invocation: the tile0 scalar-prefetch array must fit in
-# SMEM (~1MB) alongside the blocked operands; larger task lists loop.
-_MAX_TASKS = 65536
+# Groups per grid step (amortizes per-step bookkeeping + output copy).
+_G2 = 4
 
+# Max VMEM bytes for the window pipeline buffers; sets the DMA depth
+# nbuf (>= 2) for a given window size.
+_WBUF_BUDGET = 6 << 20
 
-# Tasks per grid step: amortizes per-step bookkeeping over a whole group
-# (also the natural sublane block size for the planes/scal/out operands).
-_GROUP = 8
+# Lanes of the per-task scalar operand: lo, delta, ycd, sqrt(ycd),
+# slot_lo, slot_hi, pad, pad.
+_NSCAL = 8
 
 
 def _kernel(
-    tile0_ref,   # [S] int32 first tile of each window (scalar prefetch:
-                 # read ahead of the current group for pipelined DMA, so it
-                 # must be the whole array; everything else is blocked)
-    planes_ref,  # [GROUP, T, W] uint32 (VMEM block, one task group)
-    scal_ref,    # [GROUP, 4] f32 (SMEM block): lo, delta, ssum, ycd
-    lohi_ref,    # [GROUP, 2] int32 (SMEM block): valid slot range [lo, hi)
-    blob_ref,    # [n_tiles, R, 128] uint32 (HBM, manual DMA)
-    out_ref,     # [GROUP, tiles, 128] f32 (VMEM block)
-    buf,         # [nbuf, GROUP, tiles, R, 128] uint32 scratch
-    sems,        # DMA semaphores (nbuf, GROUP)
+    tile0_ref,   # [G] int32 first tile of each group's window (prefetch)
+    gsize_ref,   # [G] int32 valid tasks per group; 0 => padded (prefetch)
+    qg_ref,      # [G2*QPC, D] int8 group-spread quantized queries (VMEM)
+    scal_ref,    # [G2*QPC, 8] f32 per-task scalars (VMEM)
+    codes_ref,   # [n_tiles, 128, D] int8 (HBM, manual DMA)
+    facs_ref,    # [n_tiles, 8, 128] f32 (HBM, manual DMA)
+    out_ref,     # [G2*QPC, span] f32 (VMEM block)
+    wbuf,        # [nbuf, G2, tiles, 128, D] int8 scratch
+    fbuf,        # [nbuf, G2, tiles, 8, 128] f32 scratch
+    sems,        # DMA semaphores (nbuf, G2, 2)
     *,
-    words: int,
     tiles: int,
     nbuf: int,
+    qpc: int,
+    g2: int,
 ):
-    g = pl.program_id(0)
-    n_g = pl.num_programs(0)
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
 
-    def dma(slot, group, j):
-        return pltpu.make_async_copy(
-            blob_ref.at[pl.ds(tile0_ref[group * _GROUP + j], tiles)],
-            buf.at[slot, j],
-            sems.at[slot, j],
+    def copies(s, j2):
+        g = s * g2 + j2
+        slot = s % nbuf
+        return (
+            pltpu.make_async_copy(
+                codes_ref.at[pl.ds(tile0_ref[g], tiles)],
+                wbuf.at[slot, j2],
+                sems.at[slot, j2, 0],
+            ),
+            pltpu.make_async_copy(
+                facs_ref.at[pl.ds(tile0_ref[g], tiles)],
+                fbuf.at[slot, j2],
+                sems.at[slot, j2, 1],
+            ),
         )
 
-    def start_group(slot, group):
-        for j in range(_GROUP):
-            dma(slot, group, j).start()
+    def start_step(s):
+        for j2 in range(g2):
 
-    # nbuf-deep group pipeline. n_g is static, so the warm-up range can be
-    # clamped in Python.
-    @pl.when(g == 0)
+            @pl.when(gsize_ref[s * g2 + j2] > 0)
+            def _(j2=j2):
+                for c in copies(s, j2):
+                    c.start()
+
+    # nbuf-deep step pipeline (n_steps static, warm-up clamped in Python).
+    @pl.when(step == 0)
     def _():
-        for a in range(min(nbuf - 1, n_g)):
-            start_group(a % nbuf, a)
+        for a in range(min(nbuf - 1, n_steps)):
+            start_step(a)
 
-    @pl.when(g + nbuf - 1 < n_g)
+    @pl.when(step + nbuf - 1 < n_steps)
     def _():
-        start_group((g + nbuf - 1) % nbuf, g + nbuf - 1)
+        start_step(step + nbuf - 1)
 
-    slot = g % nbuf
-    slot_ids = (
-        jax.lax.broadcasted_iota(jnp.int32, (tiles, LANES), 0) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (tiles, LANES), 1)
+    # Rows of padded groups are never read downstream (inv_row indexes
+    # real tasks only), but the block must be defined.
+    out_ref[...] = jnp.full_like(out_ref, jnp.inf)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    kind = jax.lax.broadcasted_iota(jnp.int32, (1, _NSCAL), 1)
+    slot = step % nbuf
+    for j2 in range(g2):
+
+        @pl.when(gsize_ref[step * g2 + j2] > 0)
+        def _(j2=j2):
+            for c in copies(step, j2):
+                c.wait()
+            codes = wbuf[slot, j2].reshape(
+                tiles * LANES, -1
+            )  # [span, D] int8
+            rows = slice(j2 * qpc, (j2 + 1) * qpc)
+            dot = jax.lax.dot_general(
+                qg_ref[rows, :],
+                codes,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)  # [qpc, span]
+
+            # Per-task scalars -> broadcastable [qpc, 1] columns. Vector
+            # lanes cannot be sliced at unaligned offsets; a one-hot
+            # masked row-sum extracts each lane instead.
+            sblk = scal_ref[rows, :]  # [qpc, 8]
+
+            def col(j):
+                return jnp.sum(
+                    jnp.where(kind == j, sblk, 0.0), axis=1, keepdims=True
+                )
+
+            lo_c, delta_c, ycd_c, sycd_c = (col(j) for j in range(4))
+            slot_lo, slot_hi = col(4), col(5)
+
+            fac = fbuf[slot, j2]  # [tiles, 8, 128] f32
+            for ti in range(tiles):
+                fip = fac[ti, 0:1, :]   # [1, 128]
+                fppc = fac[ti, 1:2, :]
+                ferr = fac[ti, 2:3, :]
+                fcd = fac[ti, 3:4, :]
+                d_t = dot[:, ti * LANES : (ti + 1) * LANES]  # [qpc, 128]
+                est = (
+                    fcd
+                    + ycd_c
+                    + lo_c * fppc
+                    + d_t * fip * delta_c
+                    - ferr * sycd_c
+                )  # [qpc, 128]
+                pos = (lane + ti * LANES).astype(jnp.float32)
+                valid = (pos >= slot_lo) & (pos < slot_hi)
+                out_ref[rows, ti * LANES : (ti + 1) * LANES] = jnp.where(
+                    valid, est, jnp.inf
+                )
+
+
+def _group_tasks(starts: jax.Array, sizes: jax.Array, qpc: int):
+    """Assign each task a (group, slot) so that groups never mix windows
+    OR extents.
+
+    Tasks are sorted by (window start, size); each run of equal keys is
+    cut into chunks of ``qpc``. Sizes join the key because an empty
+    cluster shares its start with its successor — grouping by start
+    alone would fold the successor's extent onto the empty cluster's
+    tasks. Distinct (start, size) pairs stay <= k (one pair per
+    cluster), so _group_bound still holds. Returns (order, gid, slot)
+    over the sorted list.
+    """
+    s = starts.shape[0]
+    order = jnp.lexsort((sizes, starts))  # primary: start, then size
+    ss = starts[order]
+    zs = sizes[order]
+    iota = jnp.arange(s, dtype=jnp.int32)
+    is_new = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (ss[1:] != ss[:-1]) | (zs[1:] != zs[:-1]),
+        ]
     )
-    for j in range(_GROUP):
-        dma(slot, g, j).wait()
-        blk = buf[slot, j]  # [tiles, R, 128] uint32
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_new, iota, 0)
+    )
+    rank = iota - seg_start
+    brk = is_new | (rank % qpc == 0)
+    gid = jnp.cumsum(brk.astype(jnp.int32)) - 1
+    slot = rank % qpc
+    return order, gid, slot
 
-        codes = blk[:, :words, :]  # [tiles, W, 128]
-        acc = jnp.zeros((tiles, LANES), jnp.int32)
-        for p in range(THETA_LOG_DIM):
-            plane_col = planes_ref[j, p, :][None, :, None]  # [1, W, 1]
-            anded = codes & plane_col  # [tiles, W, 128]
-            pop = jax.lax.population_count(anded).astype(jnp.int32)
-            acc = acc + (pop.sum(axis=1) << p)  # [tiles, 128]
 
-        fac = pltpu.bitcast(
-            blk[:, words : words + 4, :], jnp.float32
-        )  # [tiles, 4, 128]
-        q_lo = scal_ref[j, 0]
-        q_delta = scal_ref[j, 1]
-        q_ssum = scal_ref[j, 2]
-        q_ycd = scal_ref[j, 3]
+def _group_bound(s: int, qpc: int, k_max: int) -> int:
+    """Static worst-case group count: every distinct key opens a group,
+    and the remaining tasks add at most one group per qpc."""
+    r = min(k_max, s)
+    return min(s, r + (s - r) // qpc + (1 if (s - r) % qpc else 0))
 
-        est = (
-            fac[:, 3, :]
-            + q_ycd
-            + q_lo * fac[:, 1, :]
-            + (2.0 * acc.astype(jnp.float32) - q_ssum)
-            * fac[:, 0, :]
-            * q_delta
-            - fac[:, 2, :] * jnp.sqrt(q_ycd)
-        )  # [tiles, 128]
 
-        valid = (slot_ids >= lohi_ref[j, 0]) & (slot_ids < lohi_ref[j, 1])
-        out_ref[j] = jnp.where(valid, est, jnp.inf)
+def _pick_qpc(s: int, k_max: int) -> int:
+    """Tasks per group: ~2x the expected sharing S/k, clamped."""
+    q = 1
+    while q < max(1, (s + k_max - 1) // k_max):
+        q *= 2
+    return max(_QPC_MIN, min(_QPC_MAX, 2 * q))
+
+
+def _pick_nbuf(tiles: int, d: int, g2: int) -> int:
+    """Window pipeline depth under the VMEM budget (>= 2)."""
+    window = tiles * LANES * (d + 32)  # int8 codes + f32 factor bytes
+    return max(2, min(6, _WBUF_BUDGET // max(1, g2 * window)))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("span", "words", "nbuf", "interpret")
+    jax.jit,
+    static_argnames=("span", "qpc", "g2", "nbuf", "k_max", "interpret"),
 )
 def pallas_rough_scan(
-    blob: jax.Array,    # [n_tiles, R, 128] uint32 tiled scan blob
-    starts: jax.Array,  # [S] int32 cluster starts (positions, unaligned)
-    sizes: jax.Array,   # [S] int32 cluster sizes
-    planes: jax.Array,  # [S, T, W] uint32
-    scal: jax.Array,    # [S, 4] f32
+    codes_pm1: jax.Array,      # [n_tiles, 128, D] int8 +-1 codes
+    factors_tiled: jax.Array,  # [n_tiles, 8, 128] f32 ip/ppc/err/cdsq rows
+    starts: jax.Array,         # [S] int32 cluster starts (positions)
+    sizes: jax.Array,          # [S] int32 cluster sizes
+    qvals: jax.Array,          # [S, D] int8 quantized query residuals 0..15
+    scal: jax.Array,           # [S, 4] f32: lo, delta, (unused), ycd
     *,
-    span: int,          # scan window in positions, multiple of 128
-    words: int,         # W = dim // 32
-    nbuf: int = _NBUF,  # DMA pipeline depth
+    span: int,                 # scan window in positions, multiple of 128
+    qpc: int | None = None,
+    g2: int = _G2,
+    nbuf: int | None = None,
+    k_max: int | None = None,  # static bound on distinct starts (index.k)
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (rough [S, span], window_starts [S]).
@@ -147,90 +274,101 @@ def pallas_rough_scan(
     """
     assert span % LANES == 0, span
     s = starts.shape[0]
-    # The tile0 prefetch array lives in SMEM (~1MB total); cap the tasks
-    # per kernel invocation and loop for very large batch x probe products.
-    max_tasks = _MAX_TASKS
-    if s > max_tasks:
-        outs = []
-        for a in range(0, s, max_tasks):
-            b = min(a + max_tasks, s)
-            outs.append(
-                pallas_rough_scan(
-                    blob,
-                    starts[a:b],
-                    sizes[a:b],
-                    planes[a:b],
-                    scal[a:b],
-                    span=span,
-                    words=words,
-                    nbuf=nbuf,
-                    interpret=interpret,
-                )
-            )
-        return (
-            jnp.concatenate([o[0] for o in outs]),
-            jnp.concatenate([o[1] for o in outs]),
-        )
-
     tiles = span // LANES
-    tile0 = starts // LANES
-    aligned = tile0 * LANES
-    lo = starts - aligned
-    hi = lo + sizes
-    lohi = jnp.stack([lo, hi], axis=-1)  # [S, 2] int32
+    n_tiles, lanes, d = codes_pm1.shape
+    assert lanes == LANES and factors_tiled.shape == (n_tiles, 8, LANES)
+    if k_max is None:
+        k_max = s
+    if qpc is None:
+        qpc = _pick_qpc(s, k_max)
+    if nbuf is None:
+        nbuf = _pick_nbuf(tiles, d, g2)
 
-    # Pad the task list to a multiple of 8 so scal/out tile into (8, ...)
-    # blocks (TPU sublane granularity); padded tasks have empty extent.
-    s_pad = ((s + 7) // 8) * 8
-    if s_pad != s:
-        pad = s_pad - s
-        tile0 = jnp.pad(tile0, (0, pad))
-        lohi = jnp.pad(lohi, ((0, pad), (0, 0)))
-        planes = jnp.pad(planes, ((0, pad), (0, 0), (0, 0)))
-        scal = jnp.pad(scal, ((0, pad), (0, 0)))
-    n_tiles, r, lanes = blob.shape
-    assert r % 8 == 0 and r >= words + 4 and lanes == LANES, blob.shape
-    t = planes.shape[1]
+    g_max = _group_bound(s, qpc, k_max)
+    g_pad = ((g_max + g2 - 1) // g2) * g2
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(s_pad // _GROUP,),
-        in_specs=[
-            pl.BlockSpec(
-                (_GROUP, t, words),
-                lambda i, *_: (i, 0, 0),
+    order, gid, slot = _group_tasks(starts, sizes, qpc)
+    ss = starts[order]
+    tile0_s = ss // LANES
+    iota_s = jnp.arange(s, dtype=jnp.int32)
+
+    # Per-group metadata: 1-D scatters over [g_pad] are cheap (unlike row
+    # scatters of wide payloads, which XLA serializes).
+    tile0_g = jnp.zeros((g_pad,), jnp.int32).at[gid].set(tile0_s)
+    gsize_g = jnp.zeros((g_pad,), jnp.int32).at[gid].add(1)
+    first_g = jnp.full((g_pad,), s, jnp.int32).at[gid].min(iota_s)
+
+    # Group-spread per-task operands via GATHER: output row r serves
+    # group r//qpc, slot r%qpc, whose sorted task is first_g + slot.
+    rows = jnp.arange(g_pad * qpc, dtype=jnp.int32)
+    src_sorted = jnp.minimum(first_g[rows // qpc] + rows % qpc, s - 1)
+    src_task = order[src_sorted]
+    qg = qvals[src_task].astype(jnp.int8)
+
+    lo_slot = (ss - tile0_s * LANES)[src_sorted].astype(jnp.float32)
+    hi_slot = lo_slot + sizes[src_task].astype(jnp.float32)
+    scal_t = scal[src_task]
+    scal8 = jnp.stack(
+        [
+            scal_t[:, 0],
+            scal_t[:, 1],
+            scal_t[:, 3],
+            jnp.sqrt(scal_t[:, 3]),
+            lo_slot,
+            hi_slot,
+            jnp.zeros_like(lo_slot),
+            jnp.zeros_like(lo_slot),
+        ],
+        axis=-1,
+    )  # [g_pad*qpc, 8] f32
+
+    rough_g = pl.pallas_call(
+        functools.partial(
+            _kernel, tiles=tiles, nbuf=nbuf, qpc=qpc, g2=g2
+        ),
+        out_shape=jax.ShapeDtypeStruct((g_pad * qpc, span), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(g_pad // g2,),
+            in_specs=[
+                pl.BlockSpec(
+                    (g2 * qpc, d),
+                    lambda i, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (g2 * qpc, _NSCAL),
+                    lambda i, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                # The whole index arrays stay in HBM; windows are manual
+                # DMAs (pl.ANY would let small corpora land in VMEM and
+                # break slice alignment).
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (g2 * qpc, span),
+                lambda i, *_: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (_GROUP, 4), lambda i, *_: (i, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (_GROUP, 2), lambda i, *_: (i, 0), memory_space=pltpu.SMEM
-            ),
-            # The blob must stay in HBM (it is the whole index; pl.ANY would
-            # let the compiler pull small corpora into VMEM, which both
-            # breaks slice alignment rules and caps corpus size).
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=pl.BlockSpec(
-            (_GROUP, tiles, LANES),
-            lambda i, *_: (i, 0, 0),
-            memory_space=pltpu.VMEM,
+            scratch_shapes=[
+                pltpu.VMEM((nbuf, g2, tiles, LANES, d), jnp.int8),
+                pltpu.VMEM((nbuf, g2, tiles, 8, LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((nbuf, g2, 2)),
+            ],
         ),
-        scratch_shapes=[
-            pltpu.VMEM((nbuf, _GROUP, tiles, r, LANES), jnp.uint32),
-            pltpu.SemaphoreType.DMA((nbuf, _GROUP)),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_kernel, words=words, tiles=tiles, nbuf=nbuf),
-        out_shape=jax.ShapeDtypeStruct((s_pad, tiles, LANES), jnp.float32),
-        grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=s_pad * span * (THETA_LOG_DIM * words * 2 + 12),
-            bytes_accessed=s_pad * (r * span * 4 + span * 4),
-            transcendentals=s_pad,
+            flops=2 * g_max * qpc * span * d,
+            bytes_accessed=g_max
+            * (tiles * LANES * (d + 32) + qpc * (d + 32 + span * 4)),
+            transcendentals=0,
         ),
-    )(tile0, planes, scal, lohi, blob)
-    return out.reshape(s_pad, span)[:s], aligned[:s]
+    )(tile0_g, gsize_g, qg, scal8, codes_pm1, factors_tiled)
+
+    # Back to original task order (row gather; scatters are slow).
+    inv_row = jnp.zeros((s,), jnp.int32).at[order].set(gid * qpc + slot)
+    rough = rough_g[inv_row]
+    aligned = (starts // LANES) * LANES
+    return rough, aligned

@@ -131,8 +131,21 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
         sh_extra_base[0] = np.asarray(index.extra_base)
         sh_extra_ids[0] = np.asarray(index.extra_ids)
 
+    # Per-shard MXU scan operands (each shard runs the Pallas kernel on
+    # its local blob on real TPU meshes).
+    from rabitq_tpu.index.index import derive_scan_operands
+
+    ops = [
+        derive_scan_operands(jnp.asarray(sh_blob[si]), index.words)
+        for si in range(s)
+    ]
+    sh_codes = np.stack([np.asarray(c) for c, _ in ops])
+    sh_facs = np.stack([np.asarray(f) for _, f in ops])
+
     return RaBitQIndex(
         blob=put(sh_blob, None, None),
+        codes_pm1=put(sh_codes, None, None),
+        factors_tiled=put(sh_facs, None, None),
         offsets=put(sh_offsets, None),
         map_ids=put(sh_map_ids, None),
         centroids_rot=put(sh_centroids, None, None),

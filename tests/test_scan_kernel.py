@@ -1,34 +1,46 @@
-"""Parity tests: Pallas scan kernel (interpret mode) vs direct numpy math."""
+"""Parity tests: Pallas MXU scan kernel (interpret mode) vs direct numpy."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from rabitq_tpu.index.index import make_blob
-from rabitq_tpu.ops import pack_bits_u32, pack_query_bitplanes
+from rabitq_tpu.index.index import derive_scan_operands, make_blob
+from rabitq_tpu.ops import pack_bits_u32
 from rabitq_tpu.ops.scan_kernel import pallas_rough_scan
+
+
+def _operands(bits, factors, cap):
+    """Build the kernel operands from raw bits/factors via the blob."""
+    codes = np.asarray(pack_bits_u32(jnp.asarray(bits)))
+    blob = make_blob(codes, factors, cap)
+    return derive_scan_operands(jnp.asarray(blob), bits.shape[1] // 32)
+
+
+def _scal(rng, s, quant):
+    """Random per-task scalars; the code-sum column must be the true sum of
+    the quantized values (the MXU dot q.(2b-1) bakes it in exactly)."""
+    scal = rng.standard_normal((s, 4)).astype(np.float32)
+    scal[:, 1] = np.abs(scal[:, 1]) + 0.01  # delta > 0
+    scal[:, 2] = quant.sum(axis=1).astype(np.float32)
+    scal[:, 3] = np.abs(scal[:, 3])  # ycd >= 0
+    return scal
 
 
 @pytest.fixture(params=[64, 160])  # W = 2 and W = 5 (odd blob row count)
 def scan_inputs(rng, request):
     n, d, cap, s = 600, request.param, 128, 10
-    w = d // 32
     bits = rng.integers(0, 2, size=(n, d)).astype(np.int32)
-    codes = np.asarray(pack_bits_u32(jnp.asarray(bits)))
     factors = rng.standard_normal((n, 4)).astype(np.float32)
     factors[:, 3] = np.abs(factors[:, 3])  # cdsq >= 0
-    blob = make_blob(codes, factors, cap)
+    codes_pm1, facs = _operands(bits, factors, cap)
 
     starts = rng.integers(0, n - 1, size=s).astype(np.int32)
     sizes = rng.integers(0, cap + 1, size=s).astype(np.int32)
     sizes = np.minimum(sizes, n - starts).astype(np.int32)
     quant = rng.integers(0, 16, size=(s, d)).astype(np.int32)
-    planes = np.asarray(pack_query_bitplanes(jnp.asarray(quant)))
-    scal = rng.standard_normal((s, 4)).astype(np.float32)
-    scal[:, 1] = np.abs(scal[:, 1]) + 0.01  # delta > 0
-    scal[:, 3] = np.abs(scal[:, 3])  # ycd >= 0
-    return bits, factors, blob, starts, sizes, quant, scal, planes, cap
+    scal = _scal(rng, s, quant)
+    return bits, factors, codes_pm1, facs, starts, sizes, quant, scal, cap
 
 
 def _expected_windowed(bits, factors, starts, sizes, quant, scal, span):
@@ -54,19 +66,26 @@ def _expected_windowed(bits, factors, starts, sizes, quant, scal, span):
     return out, aligned
 
 
-def test_kernel_matches_numpy_oracle(scan_inputs):
-    bits, factors, blob, starts, sizes, quant, scal, planes, cap = scan_inputs
-    span = cap + 128
-    got, aligned = pallas_rough_scan(
-        jnp.asarray(blob),
+def _run(codes_pm1, facs, starts, sizes, quant, scal, span, **kw):
+    return pallas_rough_scan(
+        codes_pm1,
+        facs,
         jnp.asarray(starts),
         jnp.asarray(sizes),
-        jnp.asarray(planes),
+        jnp.asarray(quant.astype(np.int8)),
         jnp.asarray(scal),
         span=span,
-        words=bits.shape[1] // 32,
         interpret=True,
+        **kw,
     )
+
+
+def test_kernel_matches_numpy_oracle(scan_inputs):
+    bits, factors, codes_pm1, facs, starts, sizes, quant, scal, cap = (
+        scan_inputs
+    )
+    span = cap + 128
+    got, aligned = _run(codes_pm1, facs, starts, sizes, quant, scal, span)
     expected, exp_aligned = _expected_windowed(
         bits, factors, starts, sizes, quant, scal, span
     )
@@ -82,7 +101,6 @@ def test_kernel_matches_jnp_scan_path(rng):
     S = importlib.import_module("rabitq_tpu.index.search")
     from conftest import make_clustered_dataset
     from rabitq_tpu import SearchParams, build_index
-    from rabitq_tpu.consts import THETA_LOG_DIM
     from rabitq_tpu.ops import (
         pairwise_l2sq,
         quantize_query_residuals,
@@ -105,20 +123,20 @@ def test_kernel_matches_jnp_scan_path(rng):
     yr = y[:, None, :] - idx.centroids_rot[cids]
     ycd = jnp.sum(yr * yr, axis=-1)
     qq = quantize_query_residuals(yr)
-    planes = pack_query_bitplanes(qq.quantized)
     starts = idx.offsets[cids]
     sizes = idx.offsets[cids + 1] - starts
     scal = jnp.stack([qq.lower, qq.delta, qq.code_sum, ycd], axis=-1)
     s = 4 * 8
     span = cap + 128
     rough_k, aligned = pallas_rough_scan(
-        idx.blob,
+        idx.codes_pm1,
+        idx.factors_tiled,
         starts.reshape(s),
         sizes.reshape(s),
-        planes.reshape(s, THETA_LOG_DIM, idx.words),
+        qq.quantized.reshape(s, d).astype(jnp.int8),
         scal.reshape(s, 4),
         span=span,
-        words=idx.words,
+        k_max=idx.k,
         interpret=True,
     )
     # Map both outputs to absolute positions and compare finite entries.
@@ -136,38 +154,107 @@ def test_kernel_matches_jnp_scan_path(rng):
         assert np.isinf(rough_k[t, first + sizes_np[t] :]).all()
 
 
-def test_chunked_task_list_matches_single_call(rng, monkeypatch):
-    """When the task list exceeds the per-invocation cap, the chunked loop
-    must produce identical output."""
-    import rabitq_tpu.ops.scan_kernel as sk
-
-    n, d, cap, s = 400, 64, 128, 40
-    w = d // 32
+@pytest.mark.parametrize(
+    "mode", ["all_same", "all_distinct", "skewed", "with_empty"]
+)
+def test_window_sharing_grouping(rng, mode):
+    """The grouped kernel must be exact under adversarial task->cluster
+    skew: one hot cluster (runs much longer than qpc), all-distinct starts
+    (group bound saturates), and empty-extent tasks mixed in."""
+    n, d, cap, s = 900, 64, 128, 37
     bits = rng.integers(0, 2, size=(n, d)).astype(np.int32)
-    codes = np.asarray(pack_bits_u32(jnp.asarray(bits)))
-    factors = np.abs(rng.standard_normal((n, 4))).astype(np.float32)
-    blob = jnp.asarray(make_blob(codes, factors, cap))
-    starts = jnp.asarray(rng.integers(0, n - 1, size=s).astype(np.int32))
-    sizes = jnp.asarray(
-        np.minimum(
-            rng.integers(0, cap, size=s), n - np.asarray(starts)
+    factors = rng.standard_normal((n, 4)).astype(np.float32)
+    factors[:, 3] = np.abs(factors[:, 3])
+    codes_pm1, facs = _operands(bits, factors, cap)
+
+    # Sizes are a function of the start (a task's cluster determines both),
+    # matching the kernel contract: tasks come from a cluster table, so
+    # distinct (start, size) pairs <= k_max.
+    if mode == "all_same":
+        starts = np.full(s, 321, np.int32)
+    elif mode == "all_distinct":
+        starts = rng.choice(n - cap, size=s, replace=False).astype(np.int32)
+    elif mode == "skewed":
+        # 16 distinct starts, one of them hot (70% of tasks) — k_max=16.
+        pool = rng.choice(n - cap, size=16, replace=False).astype(np.int32)
+        starts = np.where(
+            rng.random(s) < 0.7, pool[0], pool[rng.integers(0, 16, s)]
         ).astype(np.int32)
-    )
+    else:
+        starts = rng.integers(0, n - cap, size=s).astype(np.int32)
+    size_of = {
+        st: int(rng.integers(0, cap + 1)) for st in np.unique(starts)
+    }
+    sizes = np.array([size_of[st] for st in starts], np.int32)
+    if mode == "with_empty":
+        # Some tasks probe an empty cluster whose start collides with a
+        # real cluster's start (empty clusters share offsets with their
+        # successor) — different sizes at the SAME start value.
+        sizes[::3] = 0
+    sizes = np.minimum(sizes, n - starts).astype(np.int32)
     quant = rng.integers(0, 16, size=(s, d)).astype(np.int32)
-    planes = jnp.asarray(np.asarray(pack_query_bitplanes(jnp.asarray(quant))))
-    scal = jnp.asarray(
-        np.abs(rng.standard_normal((s, 4))).astype(np.float32) + 0.01
+    scal = _scal(rng, s, quant)
+
+    span = cap + 128
+    got, aligned = _run(
+        codes_pm1,
+        facs,
+        starts,
+        sizes,
+        quant,
+        scal,
+        span,
+        k_max=16 if mode in ("all_same", "skewed") else s,
     )
+    expected, exp_aligned = _expected_windowed(
+        bits, factors, starts, sizes, quant, scal, span
+    )
+    np.testing.assert_array_equal(np.asarray(aligned), exp_aligned)
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_group_bound_is_safe(rng):
+    """_group_tasks must never emit a group id >= _group_bound for any
+    start multiset (scatter-corruption guard)."""
+    from rabitq_tpu.ops.scan_kernel import _group_bound, _group_tasks
+
+    for trial in range(50):
+        s = int(rng.integers(1, 200))
+        k = int(rng.integers(1, 32))
+        cid = rng.integers(0, k, size=s)
+        starts = jnp.asarray(cid.astype(np.int32) * 128)
+        # Sizes are a function of the cluster, as in a real index (the
+        # bound counts distinct (start, size) pairs <= k).
+        sizes = jnp.asarray((cid % 7 * 13 + 1).astype(np.int32))
+        for qpc in (1, 3, 8):
+            g_max = _group_bound(s, qpc, k)
+            _, gid, slot = _group_tasks(starts, sizes, qpc)
+            assert int(jnp.max(gid)) < g_max
+            assert int(jnp.max(slot)) < qpc
+            # (gid, slot) pairs must be unique — scatters may not collide.
+            flat = np.asarray(gid) * qpc + np.asarray(slot)
+            assert len(np.unique(flat)) == s
+
+
+@pytest.mark.parametrize("qpc,g2", [(8, 1), (8, 4), (32, 2), (64, 4)])
+def test_qpc_g2_variants_identical(rng, qpc, g2):
+    """Grouping geometry (tasks per window matmul, groups per grid step)
+    must not change results."""
+    n, d, cap, s = 400, 64, 128, 40
+    bits = rng.integers(0, 2, size=(n, d)).astype(np.int32)
+    factors = np.abs(rng.standard_normal((n, 4))).astype(np.float32)
+    codes_pm1, facs = _operands(bits, factors, cap)
+    starts = rng.integers(0, n - 1, size=s).astype(np.int32)
+    sizes = np.minimum(
+        rng.integers(0, cap, size=s), n - starts
+    ).astype(np.int32)
+    quant = rng.integers(0, 16, size=(s, d)).astype(np.int32)
+    scal = _scal(rng, s, quant)
     span = cap + 128
 
-    full, a_full = sk.pallas_rough_scan(
-        blob, starts, sizes, planes, scal, span=span, words=w, interpret=True
+    ref, a_ref = _run(codes_pm1, facs, starts, sizes, quant, scal, span)
+    got, a_got = _run(
+        codes_pm1, facs, starts, sizes, quant, scal, span, qpc=qpc, g2=g2
     )
-    monkeypatch.setattr(sk, "_MAX_TASKS", 16)
-    chunked, a_chunk = sk.pallas_rough_scan(
-        blob, starts, sizes, planes, scal, span=span, words=w, interpret=True
-    )
-    np.testing.assert_array_equal(np.asarray(a_full), np.asarray(a_chunk))
-    np.testing.assert_allclose(
-        np.asarray(full), np.asarray(chunked), rtol=1e-6
-    )
+    np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_got))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-6)

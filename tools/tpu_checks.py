@@ -1,0 +1,161 @@
+"""Real-TPU checks: Mosaic kernel parity + device-side scan timing.
+
+Run OUTSIDE pytest (tests/conftest.py forces the CPU backend; this script
+uses the session's real TPU). Asserts the compiled Pallas scan kernel
+matches the portable jnp scan path bit-for-bit at realistic scale, then
+reports pure device-side search cost via differential lax.fori_loop timing
+(the BASELINE.md methodology: one dispatch, N on-device iterations with
+perturbed inputs, subtract a 1-iteration run to cancel dispatch cost).
+
+Usage: python tools/tpu_checks.py [--n 1000000] [--k 4096] [--batch 256]
+Wired as `make tpu-check`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--k", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--probe", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--skip-timing", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu import SearchParams, build_index
+    from rabitq_tpu.index.search import rough_scan, search
+    from rabitq_tpu.kmeans import kmeans
+
+    backend = jax.default_backend()
+    if backend != "tpu":
+        log(f"FAIL: backend is {backend!r}, need the real TPU")
+        sys.exit(2)
+    log(f"device: {jax.devices()[0]}")
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((256, args.dim)).astype(np.float32)
+    lab = rng.integers(0, 256, args.n + args.batch)
+    x = (
+        centers[lab]
+        + 0.3 * rng.standard_normal((args.n + args.batch, args.dim))
+    ).astype(np.float32)
+    base, queries = x[: args.n], x[args.n :]
+
+    t0 = time.time()
+    centroids = kmeans(
+        base[: min(args.n, 200_000)], args.k, iters=8, key=jax.random.key(1)
+    )
+    index = build_index(base, centroids, key=jax.random.key(2))
+    log(f"built n={args.n} k={args.k} in {time.time()-t0:.1f}s")
+
+    # --- Parity: compiled Pallas kernel vs portable jnp scan ------------
+    qd = jnp.asarray(queries[:32])
+    pk = SearchParams(probe=args.probe, topk=10, rerank=100, use_kernel=True)
+    pj = pk._replace(use_kernel=False)
+    sk = rough_scan(index, qd, pk)
+    sj = rough_scan(index, qd, pj)
+    rough_k = np.asarray(sk.rough).reshape(32, args.probe, -1)
+    rough_j = np.asarray(sj.rough).reshape(32, args.probe, -1)
+    start_k = np.asarray(sk.starts)
+    start_j = np.asarray(sj.starts)
+    span_k, span_j = rough_k.shape[-1], rough_j.shape[-1]
+    n_cmp = 0
+    for b in range(32):
+        for p in range(args.probe):
+            off = start_j[b, p] - start_k[b, p]
+            assert 0 <= off < 128, (b, p, off)
+            kv = rough_k[b, p, off : off + span_j]
+            jv = rough_j[b, p, : kv.shape[0]]
+            fin = np.isfinite(jv)
+            if not np.array_equal(kv[fin], jv[fin]):
+                bad = np.where(kv[fin] != jv[fin])[0]
+                log(
+                    f"PARITY FAIL at query {b} probe {p}: "
+                    f"{len(bad)} mismatches, first {bad[:5]}"
+                )
+                log(f"  kernel: {kv[fin][bad[:5]]}")
+                log(f"  jnp:    {jv[fin][bad[:5]]}")
+                sys.exit(1)
+            assert np.isinf(kv[~fin]).all(), "kernel finite where jnp inf"
+            n_cmp += int(fin.sum())
+    log(f"PARITY OK: {n_cmp} rough values bit-identical (kernel vs jnp)")
+
+    # End-to-end ids must match too (exact selection path).
+    dk = search(index, qd, pk._replace(approx_select=False))
+    dj = search(index, qd, pj._replace(approx_select=False))
+    assert np.array_equal(np.asarray(dk[1]), np.asarray(dj[1])), "ids differ"
+    log("PARITY OK: end-to-end ids identical")
+
+    if args.skip_timing:
+        return
+
+    # --- Differential device-side timing --------------------------------
+    qb = jnp.asarray(queries[: args.batch])
+
+    def make_loop(iters):
+        # The index rides as an argument (closing over it would bake the
+        # whole blob into the compile payload).
+        @jax.jit
+        def loop(idx, qs):
+            def body(i, acc):
+                d, ids = search(
+                    idx, qs + (i.astype(jnp.float32) * 1e-6), pk
+                )
+                return acc + d.sum() + ids.sum().astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, iters, body, 0.0)
+
+        return loop
+
+    loop_n = make_loop(args.iters)
+    loop_1 = make_loop(1)
+    # Compile both, then time (min of 3 each; the tunnel adds noisy
+    # per-dispatch overhead that min() suppresses).
+    _ = float(loop_n(index, qb))
+    _ = float(loop_1(index, qb))
+
+    def best_of(fn, reps=3):
+        ts = []
+        for r in range(reps):
+            qp = qb + np.float32(1e-5) * (r + 1) * (id(fn) % 97 + 1)
+            t0 = time.time()
+            _ = float(fn(index, qp))
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    t1 = best_of(loop_1)
+    tn = best_of(loop_n)
+    per_batch = (tn - t1) / (args.iters - 1)
+    log(
+        f"device-side search: {per_batch*1e3:.2f} ms/batch of {args.batch} "
+        f"(probe={args.probe}) = {args.batch/per_batch:,.0f} QPS/chip "
+        f"[loop1={t1*1e3:.1f}ms loopN={tn*1e3:.1f}ms]"
+    )
+    print(
+        f'{{"device_ms_per_batch": {per_batch*1e3:.3f}, '
+        f'"batch": {args.batch}, "probe": {args.probe}, '
+        f'"qps_device": {args.batch/per_batch:.0f}}}'
+    )
+
+
+if __name__ == "__main__":
+    main()
