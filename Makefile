@@ -2,13 +2,19 @@
 
 PY ?= python
 
-.PHONY: test lint format bench bench-quick native clean
+.PHONY: test lint ci tpu-check format bench bench-quick native clean
 
 test:
 	$(PY) -m pytest tests/ -q
 
 lint:
-	$(PY) -m compileall -q rabitq_tpu tests bench.py __graft_entry__.py
+	$(PY) -m compileall -q rabitq_tpu tests tools bench.py __graft_entry__.py
+	$(PY) tools/lint.py
+
+ci: lint test
+
+tpu-check:
+	$(PY) tools/tpu_checks.py
 
 format:
 	@echo "no formatter pinned in this image; code follows PEP8 manually"

@@ -244,6 +244,7 @@ def main():
     from rabitq_tpu import SearchParams, build_index, calculate_recall
     from rabitq_tpu.index.search import search
     from rabitq_tpu.kmeans import kmeans
+    from rabitq_tpu.utils import pipelined_map
 
     if args.config == "service" and not args.quick:
         bench_service(args)
@@ -261,10 +262,21 @@ def main():
         train_cap = 131_072
         topk = args.topk or 100
     else:
-        n, dim, k, nq, n_centers = 1_000_000, 128, 4096, 2048, 1024
+        # nq = 4 batches so the pipelined eval loop has dispatches to
+        # overlap (a single batch would expose the full per-call tunnel
+        # latency — the r1 configuration's mistake).
+        n, dim, k, nq, n_centers = 1_000_000, 128, 4096, 8192, 1024
         train_cap = 260_000
         topk = args.topk or 10
     args.topk = topk
+
+    # Absorb the environment's first-device-op stall (observed up to
+    # minutes) on a throwaway op so phase timings below are honest.
+    t0 = time.time()
+    _ = np.asarray(
+        jnp.ones((256, 256), jnp.float32) @ jnp.ones((256, 256), jnp.float32)
+    )
+    log(f"device warmup in {time.time()-t0:.1f}s")
 
     log(f"dataset: n={n} dim={dim} k={k} nq={nq}")
     t0 = time.time()
@@ -294,17 +306,20 @@ def main():
         if probe > k:
             break
         params = SearchParams(
-            probe=probe, topk=args.topk, rerank=max(100, 4 * args.topk)
+            probe=probe, topk=args.topk, rerank=max(140, 4 * args.topk)
         )
         _ = np.asarray(search(index, qd[:batch], params)[1])  # compile
-        all_ids = []
+        # Pipelined eval: batch N+1's dispatch is issued before batch N's
+        # result is forced to the host, overlapping device compute with the
+        # per-call tunnel latency. np.asarray remains the completion fence
+        # and the honest end-to-end cost a serving system pays.
         t0 = time.time()
-        for s in range(0, nq_pad, batch):
-            _, ids = search(index, qd[s : s + batch], params)
-            # np.asarray forces the results back to the host — the only
-            # reliable completion fence through this device tunnel, and the
-            # honest end-to-end cost a serving system pays.
-            all_ids.append(np.asarray(ids))
+        all_ids = list(
+            pipelined_map(
+                lambda qb: search(index, qb, params)[1],
+                (qd[s : s + batch] for s in range(0, nq_pad, batch)),
+            )
+        )
         dt = time.time() - t0
         ids = np.concatenate(all_ids)
         recall = float(
@@ -325,7 +340,7 @@ def main():
     probe, recall, qps = best
     # Re-time at the chosen setting, best of 3 passes.
     params = SearchParams(
-        probe=probe, topk=args.topk, rerank=max(100, 4 * args.topk)
+        probe=probe, topk=args.topk, rerank=max(140, 4 * args.topk)
     )
     times = []
     for it in range(3):
@@ -334,8 +349,11 @@ def main():
         # free and the timing fictional.
         qp = qd + np.float32(1e-5) * (it + 1)
         t0 = time.time()
-        for s in range(0, nq_pad, batch):
-            _ = np.asarray(search(index, qp[s : s + batch], params)[1])
+        for _ in pipelined_map(
+            lambda qb: search(index, qb, params)[1],
+            (qp[s : s + batch] for s in range(0, nq_pad, batch)),
+        ):
+            pass
         times.append(time.time() - t0)
     qps = nq_pad / min(times)
     log(f"final: probe={probe} recall={recall:.4f} QPS={qps:.0f}")
@@ -344,7 +362,10 @@ def main():
     print(
         json.dumps(
             dict(
-                metric=f"qps@recall{args.target_recall}_{cfg}-like-{n//1000}k-{dim}d_top{args.topk}",
+                metric=(
+                    f"qps@recall{args.target_recall}_{cfg}-like"
+                    f"-{n//1000}k-{dim}d_top{args.topk}"
+                ),
                 value=round(qps, 1),
                 unit="queries/s",
                 vs_baseline=round(qps / BASELINE_QPS[cfg], 3),

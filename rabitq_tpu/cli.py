@@ -60,12 +60,20 @@ def cmd_run(args) -> None:
     from rabitq_tpu.rerank import new_re_ranker
     from rabitq_tpu.utils import calculate_recall
 
+    import contextlib
+
+    from rabitq_tpu.profiling import TIMER, device_trace
+
     log = logging.getLogger("rabitq_tpu.cli")
-    index = _load_or_build(args)
+    with TIMER.phase("load_or_build"):
+        index = _load_or_build(args)
     queries = read_matrix(args.query)
     truth = read_matrix(args.truth, np.int32)
     params = SearchParams(
         probe=args.probe, topk=args.topk, rerank=args.rerank
+    )
+    trace_ctx = (
+        device_trace(args.trace) if args.trace else contextlib.nullcontext()
     )
 
     nq, d = queries.shape
@@ -112,22 +120,38 @@ def cmd_run(args) -> None:
                 return i
             return search(index, jnp.asarray(qb), params)[1]
 
-        # Warmup compile outside the timed loop.
-        run_batch(qpadded[:batch]).block_until_ready()
-        for s in range(0, nq + pad, batch):
-            start = time.perf_counter()
-            ids = run_batch(qpadded[s : s + batch])
-            ids.block_until_ready()
-            total_time += time.perf_counter() - start
-            all_ids[s : s + batch] = np.asarray(ids)
-            METRICS.add_query_count(batch)
-        for i in range(nq):
-            recall += calculate_recall(truth[i], all_ids[i], args.topk)
+        from rabitq_tpu.utils import pipelined_map
+
+        # Warmup compile outside the timed loop; then a pipelined eval
+        # loop (batch N+1 dispatched before batch N's result is forced
+        # back — the TPU version of the reference's serial timed loop,
+        # cli/main.rs:69-82).
+        with TIMER.phase("warmup_compile"):
+            run_batch(qpadded[:batch]).block_until_ready()
+        start = time.perf_counter()
+        with trace_ctx, TIMER.phase("search"):
+            for bi, ids in enumerate(
+                pipelined_map(
+                    run_batch,
+                    (
+                        qpadded[s : s + batch]
+                        for s in range(0, nq + pad, batch)
+                    ),
+                )
+            ):
+                all_ids[bi * batch : (bi + 1) * batch] = ids
+                METRICS.add_query_count(batch)
+        total_time = time.perf_counter() - start
+        with TIMER.phase("recall"):
+            for i in range(nq):
+                recall += calculate_recall(truth[i], all_ids[i], args.topk)
 
     log.info(
         "QPS: %.1f, recall: %.4f", nq / total_time, recall / nq
     )
     log.info("Metrics [%s]", METRICS.to_str())
+    if args.profile:
+        print(TIMER.report())
 
 
 def cmd_build(args) -> None:
@@ -187,6 +211,18 @@ def main(argv=None) -> None:
         action="store_true",
         help="early-stop search: double probe until the result is "
         "geometrically certified (probe flag = starting probe)",
+    )
+    p_run.add_argument(
+        "--profile",
+        action="store_true",
+        help="print per-phase wall-clock totals at exit (PhaseTimer)",
+    )
+    p_run.add_argument(
+        "--trace",
+        default=None,
+        metavar="DIR",
+        help="capture a JAX profiler trace of the query loop into DIR "
+        "(view in Perfetto/TensorBoard)",
     )
     p_run.set_defaults(fn=cmd_run)
 

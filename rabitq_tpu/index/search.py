@@ -163,7 +163,9 @@ def rough_scan(
         and jax.default_backend() == "tpu"
         and probe < k
     ):
-        _, cids = jax.lax.approx_max_k(-cdist, probe)  # [B, probe]
+        _, cids = jax.lax.approx_max_k(
+            -cdist, probe, recall_target=params.probe_recall
+        )  # [B, probe]
     else:
         _, cids = jax.lax.top_k(-cdist, probe)  # [B, probe]
 
@@ -242,7 +244,9 @@ def estimate_candidates(
     span = scan.rough.shape[-1] // probe
 
     if params.approx_select and jax.default_backend() == "tpu":
-        neg_lb, flat_idx = jax.lax.approx_max_k(-scan.rough, rerank)
+        neg_lb, flat_idx = jax.lax.approx_max_k(
+            -scan.rough, rerank, recall_target=params.select_recall
+        )
     else:
         neg_lb, flat_idx = jax.lax.top_k(-scan.rough, rerank)
 

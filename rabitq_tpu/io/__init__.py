@@ -2,16 +2,20 @@ from rabitq_tpu.io.vecs import (
     read_vecs,
     read_matrix,
     read_u64_vecs,
+    read_bvecs_matrix,
     write_vecs,
     write_matrix,
     write_u64_vecs,
+    write_bvecs_matrix,
 )
 
 __all__ = [
     "read_vecs",
     "read_matrix",
     "read_u64_vecs",
+    "read_bvecs_matrix",
     "write_vecs",
     "write_matrix",
     "write_u64_vecs",
+    "write_bvecs_matrix",
 ]

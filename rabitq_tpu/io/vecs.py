@@ -135,3 +135,35 @@ def mmap_fvecs_matrix(path: str | Path) -> np.ndarray:
     n = size // (4 * stride)
     mm = np.memmap(path, dtype=np.float32, mode="r", shape=(n, stride))
     return mm[:, 1:]
+
+
+def read_bvecs_matrix(path: str | Path) -> np.ndarray:
+    """Read a uniform-dim bvecs file ([u32 dim][dim x u8]) as (n, dim)
+    float32 — the SIFT1B/bigann byte-vector format the reference's client
+    handles (/root/reference/scripts/client.py:11-30)."""
+    size = os.path.getsize(path)
+    head = np.fromfile(path, dtype=np.uint32, count=1)
+    if head.size == 0:
+        return np.empty((0, 0), dtype=np.float32)
+    dim = int(head[0])
+    stride = 4 + dim
+    assert size % stride == 0, "not a uniform bvecs file"
+    n = size // stride
+    raw = np.memmap(path, dtype=np.uint8, mode="r").reshape(n, stride)
+    dims = raw[:, :4].copy().view(np.uint32)[:, 0]
+    if not np.all(dims == dim):
+        raise ValueError("corrupt bvecs file: inconsistent dims")
+    return raw[:, 4:].astype(np.float32)
+
+
+def write_bvecs_matrix(path: str | Path, mat: np.ndarray) -> None:
+    """Write an (n, dim) array of 0..255 values as bvecs records."""
+    mat = np.asarray(mat)
+    assert mat.ndim == 2
+    n, dim = mat.shape
+    out = np.empty((n, 4 + dim), dtype=np.uint8)
+    out[:, :4] = (
+        np.full((n, 1), dim, np.uint32).view(np.uint8).reshape(n, 4)
+    )
+    out[:, 4:] = mat.astype(np.uint8)
+    out.tofile(path)

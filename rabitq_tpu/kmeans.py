@@ -68,32 +68,84 @@ def _lloyd_iteration(x_chunks, valid, centroids):
     return new_c, cost
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _kmeanspp_init(x, k: int, key):
-    """kmeans++ (D^2-weighted) seeding in one fused loop.
+@functools.partial(
+    jax.jit, static_argnames=("k", "rounds", "per_round", "lloyd_iters")
+)
+def _kmeanspp_init(
+    x, k: int, key, *, rounds: int = 4, per_round: int = 0,
+    lloyd_iters: int = 8
+):
+    """k-means|| (parallel kmeans++) seeding — Bahmani et al. 2012.
 
-    Carries a running min-distance array; each step samples the next seed
-    proportional to it via the Gumbel-max trick (exact categorical sample,
-    no host round-trip). O(n*k*d) total — the cost of one Lloyd iteration.
+    Sequential D^2 seeding is k dependent device steps (a k=4096 run cost
+    ~290s through this device tunnel). Instead: ``rounds`` batched rounds
+    each draw ``per_round`` candidates WITHOUT replacement proportional to
+    the current min-distance (Gumbel-top-k trick — one top_k per round, no
+    host round-trip), then the ~2k candidates are weighted by how many
+    points they attract and reduced to k seeds with a few weighted Lloyd
+    iterations on the candidate set. O(rounds + lloyd_iters) device steps
+    total instead of O(k).
     """
-    n = x.shape[0]
-
-    def step(j, carry):
-        centroids, mind = carry
-        # Per-step Gumbel noise (a [k, n] matrix up front would be GBs).
-        gumbel = jax.random.gumbel(
-            jax.random.fold_in(key, j), (n,), dtype=jnp.float32
+    n, d = x.shape
+    if per_round <= 0:
+        per_round = max(1, -(-k // 2))
+    keys = jax.random.split(key, rounds + 2)
+    first = x[jax.random.randint(keys[0], (), 0, n)]
+    mind = jnp.sum((x - first) ** 2, axis=-1)
+    cands = [first[None]]
+    for r in range(rounds):
+        g = jax.random.gumbel(keys[r + 1], (n,), dtype=jnp.float32)
+        logw = jnp.where(
+            mind > 0, jnp.log(jnp.maximum(mind, 1e-30)), -jnp.inf
         )
-        logits = jnp.where(mind > 0, jnp.log(jnp.maximum(mind, 1e-30)), -jnp.inf)
-        pick = jnp.argmax(logits + gumbel)
-        c = x[pick]
-        centroids = jax.lax.dynamic_update_index_in_dim(centroids, c, j, 0)
-        dist = jnp.sum((x - c) ** 2, axis=-1)
-        return centroids, jnp.minimum(mind, dist)
+        _, idx = jax.lax.top_k(logw + g, per_round)
+        cr = x[idx]  # [per_round, d]
+        dist = pairwise_l2sq(x, cr, jax.lax.Precision.DEFAULT)
+        mind = jnp.minimum(mind, dist.min(axis=-1))
+        cands.append(cr)
+    cands = jnp.concatenate(cands)  # [m, d], m = 1 + rounds*per_round
+    m = cands.shape[0]
 
-    init = (jnp.zeros((k, x.shape[1]), x.dtype), jnp.full((n,), jnp.inf))
-    centroids, _ = jax.lax.fori_loop(0, k, step, init)
-    return centroids
+    # Candidate weights: how many points each candidate attracts
+    # (chunked — a full [n, m] distance matrix can reach GBs).
+    chunk = 8192
+    n_pad = -(-n // chunk) * chunk
+    xp = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    valid = (jnp.arange(n_pad) < n).reshape(-1, chunk)
+
+    def count_step(carry, args):
+        xc, vc = args
+        dist = pairwise_l2sq(xc, cands, jax.lax.Precision.DEFAULT)
+        lab = jnp.argmin(dist, axis=-1)
+        onehot = (
+            (lab[:, None] == jnp.arange(m)[None, :]) & vc[:, None]
+        ).astype(jnp.float32)
+        return carry + onehot.sum(axis=0), None
+
+    w, _ = jax.lax.scan(
+        count_step,
+        jnp.zeros((m,), jnp.float32),
+        (xp.reshape(-1, chunk, d), valid),
+    )
+
+    # Reduce candidates -> k seeds: start from the k heaviest, then a few
+    # weighted Lloyd iterations over the candidate set (tiny vs the corpus).
+    _, top = jax.lax.top_k(w, k)
+    seeds = cands[top]
+
+    def lloyd_step(i, c):
+        dist = pairwise_l2sq(cands, c, jax.lax.Precision.DEFAULT)
+        lab = jnp.argmin(dist, axis=-1)
+        onehot = (
+            lab[:, None] == jnp.arange(k)[None, :]
+        ).astype(jnp.float32) * w[:, None]  # [m, k]
+        sums = jnp.matmul(
+            onehot.T, cands, preferred_element_type=jnp.float32
+        )
+        counts = onehot.sum(axis=0)
+        return jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], c)
+
+    return jax.lax.fori_loop(0, lloyd_iters, lloyd_step, seeds)
 
 
 def kmeans(

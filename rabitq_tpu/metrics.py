@@ -47,13 +47,15 @@ class Metrics:
             self.rough = self.precise = self.query = self.miss = 0
 
     def to_str(self) -> str:
-        # Same content as the reference's Metrics::to_str (metrics.rs:30-41).
+        # Wording matches the reference's Metrics::to_str (metrics.rs:30-41)
+        # so /metrics scrapers can switch implementations unchanged; the
+        # only deviation is 0/0 -> 0.00 instead of Rust's "NaN".
         with self._lock:
             ratio = (self.rough / self.precise) if self.precise else 0.0
             return (
                 f"query: {self.query}, "
                 f"rough: {self.rough}, precise: {self.precise}, "
-                f"rough/precise: {ratio:.2f}, miss: {self.miss}"
+                f"ratio: {ratio:.2f}, cache miss: {self.miss}"
             )
 
 

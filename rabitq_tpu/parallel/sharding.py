@@ -169,10 +169,26 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
     )
 
 
-def _local_params(params: SearchParams, s: int, k_local: int) -> SearchParams:
-    """Per-shard budgets: the global top-probe clusters spread across shards
-    roughly evenly, so each shard probes ~probe/S clusters with 2x headroom
-    (and reranks rerank/S with the same headroom)."""
+def _local_params(
+    params: SearchParams, s: int, k_local: int, exact: bool
+) -> SearchParams:
+    """Per-shard budgets.
+
+    Heuristic mode (default): the global top-probe clusters spread across
+    shards roughly evenly, so each shard probes ~probe/S clusters with 2x
+    headroom (and reranks rerank/S with the same headroom). **This is a
+    deliberate semantic deviation from single-chip search**: when the
+    query's top clusters concentrate on one shard (adversarial skew), that
+    shard probes fewer of them than an unsharded index would, and recall
+    can drop below the unsharded result for the same SearchParams.
+
+    Exact mode: every shard probes min(k_local, probe) clusters and keeps
+    the full rerank budget — the union of probed clusters is then a
+    superset of the unsharded probe set, so results are at least as good
+    as single-chip search at ~S x the per-shard work.
+    """
+    if exact:
+        return params._replace(probe=min(k_local, params.probe))
     probe = min(k_local, max(1, math.ceil(params.probe / s) * 2))
     rerank = max(params.topk, math.ceil(params.rerank / s) * 2)
     return params._replace(probe=probe, rerank=rerank)
@@ -217,16 +233,25 @@ def sharded_search(
     queries: jax.Array,
     params: SearchParams,
     mesh: Mesh,
+    *,
+    exact: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Distributed search over an index produced by shard_index.
 
     Each device runs the full single-chip pipeline on its local shard; the
     per-shard top-k lists [S, B, topk] are merged on-device (XLA inserts the
     all-gather over ICI at the jit boundary).
+
+    ``exact=False`` (default) splits the probe/rerank budgets across shards
+    with 2x headroom — fast, but can under-probe when a query's top
+    clusters concentrate on one shard (see _local_params). ``exact=True``
+    probes min(probe, k_local) clusters on EVERY shard, making the probed
+    set a superset of the unsharded one (recall >= single-chip) at ~S x
+    the per-shard scan cost.
     """
     s = mesh.devices.size
     k_local = sindex.offsets.shape[1] - 1
-    lp = _local_params(params, s, k_local)
+    lp = _local_params(params, s, k_local, exact)
     treedef = jax.tree_util.tree_structure(sindex)
     merged = _make_sharded_fn(mesh, treedef, lp, params.topk)
     return merged(sindex, queries)

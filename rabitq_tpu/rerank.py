@@ -18,6 +18,7 @@ import numpy as np
 
 from rabitq_tpu.consts import WINDOW_SIZE
 from rabitq_tpu.metrics import METRICS
+from rabitq_tpu.ord32 import f32_to_ord32, ord32_to_f32
 
 # An accessor returns the exact squared distance between the query and the
 # cluster-sorted row `pos` (device base, host mmap, or block cache).
@@ -26,32 +27,47 @@ DistanceFn = Callable[[int], float]
 
 class HeapReRanker:
     """Max-heap of the current top-k; prune candidates whose rough
-    lower-bound distance is not below the current kth exact distance."""
+    lower-bound distance is not below the current kth exact distance.
+
+    Heap keys are sortable ord32 integers, exactly the reference's
+    ``(Ord32, AlwaysEqual<u32>)`` heap entries (rerank.rs:72-78,
+    ord32.rs:6-44): comparisons are integer ops with f32 total_cmp
+    semantics, so NaN distances sort above +inf instead of poisoning the
+    threshold."""
 
     def __init__(self, topk: int, distance_fn: DistanceFn):
         self.topk = topk
         self.distance_fn = distance_fn
-        self.threshold = np.inf
-        self._heap: list[tuple[float, int]] = []  # (-dist, id) max-heap
+        self._thresh_ord = int(f32_to_ord32(np.float32(np.inf)))
+        self._heap: list[tuple[int, int]] = []  # (-ord32(dist), id)
+
+    @property
+    def threshold(self) -> float:
+        return float(ord32_to_f32(np.int32(self._thresh_ord)))
 
     def rank_batch(self, rough: np.ndarray, pos: np.ndarray, map_ids) -> None:
         precise = 0
-        for r, p in zip(rough.tolist(), pos.tolist()):
-            if r >= self.threshold:
+        rough_ord = np.asarray(f32_to_ord32(rough))
+        for r, p in zip(rough_ord.tolist(), pos.tolist()):
+            if r >= self._thresh_ord:
                 continue
-            accurate = float(self.distance_fn(p))
+            accurate = int(
+                f32_to_ord32(np.float32(self.distance_fn(p)))
+            )
             precise += 1
-            if accurate < self.threshold:
+            if accurate < self._thresh_ord:
                 heapq.heappush(self._heap, (-accurate, int(map_ids[p])))
                 if len(self._heap) > self.topk:
                     heapq.heappop(self._heap)
                 if len(self._heap) == self.topk:
-                    self.threshold = -self._heap[0][0]
+                    self._thresh_ord = -self._heap[0][0]
         METRICS.add_precise_count(precise)
         METRICS.add_rough_count(len(rough))
 
     def get_result(self) -> list[tuple[float, int]]:
-        return sorted((-d, i) for d, i in self._heap)
+        return sorted(
+            (float(ord32_to_f32(np.int32(-d))), i) for d, i in self._heap
+        )
 
 
 class HeuristicReRanker:

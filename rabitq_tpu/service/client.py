@@ -38,6 +38,50 @@ def query_once_bin(url: str, vec, top_k: int, probe: int):
     return ids, scores, time.perf_counter() - t0
 
 
+def query_batch_bin(url: str, queries, top_k: int, probe: int):
+    """Binary multi-query frame (/query_bin_batch): one POST carries a
+    whole batch, amortizing the per-request network round-trip."""
+    queries = np.asarray(queries, dtype=np.float32)
+    count, dim = queries.shape
+    body = (
+        np.array([top_k, probe, dim, count], np.uint32).tobytes()
+        + queries.tobytes()
+    )
+    req = urllib.request.Request(
+        url + "/query_bin_batch",
+        data=body,
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    t0 = time.perf_counter()
+    with urllib.request.urlopen(req) as resp:
+        raw = np.frombuffer(resp.read(), np.uint32)
+    n, tk = int(raw[0]), int(raw[1])
+    body_arr = raw[2:].reshape(n, tk, 2)
+    ids = body_arr[:, :, 0].astype(np.int64)
+    ids[ids == 0xFFFFFFFF] = -1
+    scores = body_arr[:, :, 1].copy().view(np.float32)
+    return ids, scores, time.perf_counter() - t0
+
+
+def run_batched(url, queries, truth, top_k, probe, batch=64):
+    """Batched throughput mode: the whole query set in `batch`-row POSTs."""
+    from rabitq_tpu.utils import calculate_recall
+
+    recalls, lats = [], []
+    t0 = time.perf_counter()
+    for s in range(0, len(queries), batch):
+        ids, _, dt = query_batch_bin(
+            url, queries[s : s + batch], top_k, probe
+        )
+        lats.append(dt)
+        for i, row in enumerate(ids):
+            recalls.append(calculate_recall(truth[s + i], row, top_k))
+    wall = time.perf_counter() - t0
+    _report(f"batched x{batch}", recalls, lats)
+    print(f"throughput: {len(queries) / wall:.1f} QPS")
+    return recalls, lats
+
+
 def query_once(url: str, vec, top_k: int, probe: int):
     payload = json.dumps(
         dict(query=np.asarray(vec, dtype=float).tolist(), top_k=top_k, probe=probe)
@@ -111,6 +155,13 @@ def main(argv=None):
     ap.add_argument(
         "--binary", action="store_true", help="use the binary /query_bin protocol"
     )
+    ap.add_argument(
+        "--batch",
+        type=int,
+        default=0,
+        help="send BATCH queries per POST via /query_bin_batch (amortizes "
+        "the network round-trip; the biggest lever through a high-RTT link)",
+    )
     args = ap.parse_args(argv)
 
     from rabitq_tpu.io import read_matrix
@@ -119,7 +170,11 @@ def main(argv=None):
     truth = read_matrix(args.truth, np.int32)
     if args.num:
         queries, truth = queries[: args.num], truth[: args.num]
-    if args.concurrency:
+    if args.batch:
+        run_batched(
+            args.url, queries, truth, args.topk, args.probe, args.batch
+        )
+    elif args.concurrency:
         run_concurrent(
             args.url,
             queries,

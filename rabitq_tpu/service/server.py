@@ -35,12 +35,20 @@ logger = logging.getLogger(__name__)
 
 @dataclass
 class _Request:
-    query: np.ndarray
+    query: np.ndarray  # [m, dim] — one or more rows
     params: SearchParams
     done: threading.Event = field(default_factory=threading.Event)
     ids: np.ndarray | None = None
     scores: np.ndarray | None = None
     error: str | None = None
+
+
+# Server-side caps on client-supplied knobs: every distinct (top_k, probe)
+# pair compiles a fresh XLA executable and rerank scales with top_k, so
+# unclamped values let an untrusted client grow device memory without
+# bound (round-1 advisor finding).
+MAX_TOPK = 1024
+MAX_PROBE = 4096
 
 
 class BatchingEngine:
@@ -69,38 +77,74 @@ class BatchingEngine:
         self._stop.set()
         self._thread.join(timeout=5)
 
-    def submit(self, query, top_k: int, probe: int, timeout_s: float = 120.0):
-        params = SearchParams(
+    def _make_params(self, top_k: int, probe: int) -> SearchParams:
+        if top_k <= 0 or probe <= 0:
+            raise ValueError("top_k and probe must be positive")
+        k = self.index.offsets.shape[0] - 1
+        top_k = min(int(top_k), MAX_TOPK)
+        probe = min(int(probe), MAX_PROBE, k)
+        return SearchParams(
             probe=probe, topk=top_k, rerank=max(self.default_rerank, top_k)
         )
-        req = _Request(np.asarray(query, dtype=np.float32), params)
-        self._q.put(req)
-        if not req.done.wait(timeout_s):
-            raise TimeoutError("query timed out")
-        if req.error:
-            raise RuntimeError(req.error)
-        return req.scores, req.ids
+
+    def submit(self, query, top_k: int, probe: int, timeout_s: float = 120.0):
+        scores, ids = self.submit_many(
+            np.asarray(query, dtype=np.float32)[None, :],
+            top_k,
+            probe,
+            timeout_s=timeout_s,
+        )
+        return scores[0], ids[0]
+
+    def submit_many(
+        self, queries, top_k: int, probe: int, timeout_s: float = 120.0
+    ):
+        """Batch entry point: [m, dim] queries in one request. Rows ride
+        the same micro-batch bucket; requests wider than the bucket are
+        split and pipelined through consecutive device calls."""
+        params = self._make_params(top_k, probe)
+        queries = np.asarray(queries, dtype=np.float32)
+        assert queries.ndim == 2
+        reqs = [
+            _Request(queries[s : s + self.max_batch], params)
+            for s in range(0, queries.shape[0], self.max_batch)
+        ]
+        for r in reqs:
+            self._q.put(r)
+        for r in reqs:
+            if not r.done.wait(timeout_s):
+                raise TimeoutError("query timed out")
+            if r.error:
+                raise RuntimeError(r.error)
+        return (
+            np.concatenate([r.scores for r in reqs]),
+            np.concatenate([r.ids for r in reqs]),
+        )
 
     # -- dispatcher ----------------------------------------------------------
 
     def _drain(self) -> list[_Request]:
         batch: list[_Request] = []
+        rows = 0
         try:
             batch.append(self._q.get(timeout=0.1))
         except queue.Empty:
             return batch
+        rows = batch[0].query.shape[0]
         deadline = self.window_s
         import time
 
         t0 = time.perf_counter()
-        while len(batch) < self.max_batch:
+        while rows < self.max_batch:
             remaining = deadline - (time.perf_counter() - t0)
             if remaining <= 0:
                 break
             try:
-                batch.append(self._q.get(timeout=remaining))
+                r = self._q.get(timeout=remaining)
             except queue.Empty:
                 break
+            batch.append(r)
+            rows += r.query.shape[0]
         return batch
 
     def _loop(self) -> None:
@@ -121,14 +165,18 @@ class BatchingEngine:
             from rabitq_tpu.index.search import search
             from rabitq_tpu.store import search_with_store
 
-            b = len(reqs)
-            # Always pad to the full batch size: exactly ONE compile per
-            # params set, uniform latency (a padded device call costs the
-            # same few ms as a full one).
+            rows = [r.query.shape[0] for r in reqs]
+            b = sum(rows)
+            # Pad to a power-of-two bucket (bounded jit cache, uniform
+            # latency — a padded device call costs the same few ms).
             bucket = self.max_batch
-            q = np.zeros((bucket, reqs[0].query.shape[0]), np.float32)
-            for i, r in enumerate(reqs):
-                q[i] = r.query
+            while bucket < b:
+                bucket *= 2
+            q = np.zeros((bucket, reqs[0].query.shape[1]), np.float32)
+            at = 0
+            for r in reqs:
+                q[at : at + r.query.shape[0]] = r.query
+                at += r.query.shape[0]
             if self.store is not None:
                 scores, ids = search_with_store(
                     self.index, q, params, self.store, count_queries=b
@@ -137,9 +185,12 @@ class BatchingEngine:
                 scores, ids = search(self.index, jnp.asarray(q), params)
                 scores, ids = np.asarray(scores), np.asarray(ids)
                 METRICS.add_query_count(b)
-            for i, r in enumerate(reqs):
-                r.scores = scores[i]
-                r.ids = ids[i]
+            at = 0
+            for r in reqs:
+                m = r.query.shape[0]
+                r.scores = scores[at : at + m]
+                r.ids = ids[at : at + m]
+                at += m
                 r.done.set()
         except Exception as e:  # surface errors to all waiters
             logger.exception("batch failed")
@@ -182,6 +233,9 @@ def make_handler(engine: BatchingEngine, default_probe: int, default_topk: int):
             if self.path == "/query_bin":
                 self._query_bin()
                 return
+            if self.path == "/query_bin_batch":
+                self._query_bin_batch()
+                return
             if self.path != "/query":
                 self._send(404, "not found")
                 return
@@ -197,6 +251,29 @@ def make_handler(engine: BatchingEngine, default_probe: int, default_topk: int):
                 query = payload["query"]
                 top_k = int(payload.get("top_k", default_topk))
                 probe = int(payload.get("probe", default_probe))
+                batched = bool(query) and isinstance(query[0], (list, tuple))
+                if batched:
+                    # Multi-query request: one POST carries a whole batch,
+                    # amortizing the per-request network round-trip the
+                    # same way the engine amortizes device dispatch.
+                    qarr = np.asarray(query, dtype=np.float32)
+                    scores, ids = engine.submit_many(qarr, top_k, probe)
+                    self._send(
+                        200,
+                        json.dumps(
+                            dict(
+                                ids=[
+                                    row[row >= 0].tolist() for row in ids
+                                ],
+                                scores=[
+                                    s[i >= 0].astype(float).tolist()
+                                    for s, i in zip(scores, ids)
+                                ],
+                            )
+                        ),
+                        "application/json",
+                    )
+                    return
                 scores, ids = engine.submit(query, top_k, probe)
                 keep = ids >= 0
                 self._send(
@@ -236,6 +313,46 @@ def make_handler(engine: BatchingEngine, default_probe: int, default_topk: int):
                 out[0] = keep.sum()
                 out[1::2] = ids[keep].astype(np.uint32)
                 out[2::2] = scores[keep].astype(np.float32).view(np.uint32)
+                data = out.tobytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            except Exception as e:
+                self._send(500, str(e))
+
+        def _query_bin_batch(self):
+            """Binary multi-query frame: request = u32 top_k, u32 probe,
+            u32 dim, u32 count, then count x dim f32 rows (little-endian);
+            response = u32 count, u32 top_k, then count x top_k pairs of
+            (u32 id — 0xFFFFFFFF for an invalid slot, f32 score)."""
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if length > MAX_BODY_BYTES or length < 16:
+                    self._send(
+                        413 if length > MAX_BODY_BYTES else 400, "bad size"
+                    )
+                    return
+                raw = self.rfile.read(length)
+                top_k, probe, dim, count = np.frombuffer(raw[:16], np.uint32)
+                if len(raw) != 16 + 4 * int(dim) * int(count) or count == 0:
+                    self._send(400, "length mismatch")
+                    return
+                queries = np.frombuffer(raw[16:], np.float32).reshape(
+                    int(count), int(dim)
+                )
+                scores, ids = engine.submit_many(
+                    queries, int(top_k), int(probe)
+                )
+                tk = ids.shape[1]
+                out = np.empty(2 + 2 * int(count) * tk, np.uint32)
+                out[0], out[1] = count, tk
+                body = out[2:].reshape(int(count), tk, 2)
+                body[:, :, 0] = ids.astype(np.int64).astype(np.uint32)
+                body[:, :, 1] = (
+                    scores.astype(np.float32).view(np.uint32)
+                )
                 data = out.tobytes()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/octet-stream")
@@ -296,9 +413,18 @@ def main(argv=None):
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument(
         "--store",
-        choices=["device", "mmap", "blockcache"],
+        choices=["device", "mmap", "blockcache", "http"],
         default="device",
-        help="rerank vector source (mmap/blockcache keep base off-device)",
+        help="rerank vector source (mmap/blockcache keep base off-device; "
+        "http streams base.fvecs from --url-prefix via the block cache)",
+    )
+    ap.add_argument(
+        "--url-prefix",
+        default=None,
+        help="object-store URL prefix holding the index files; metadata "
+        "files missing from --dir are downloaded from it at boot "
+        "(reference: download_meta_from_s3, cache.rs:24-54) and, with "
+        "--store http, base.fvecs is range-read from it on rerank misses",
     )
     ap.add_argument("--cache-db", default=None, help="sqlite block cache path")
     ap.add_argument("--max-batch", type=int, default=64)
@@ -306,7 +432,18 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from rabitq_tpu.index.serialize import load_from_dir
-    from rabitq_tpu.store import BlockCachedStore, FileBlockSource, MmapStore
+    from rabitq_tpu.store import (
+        BlockCachedStore,
+        FileBlockSource,
+        HttpRangeSource,
+        MmapStore,
+        download_meta,
+    )
+
+    if args.url_prefix:
+        download_meta(args.url_prefix, args.dir)
+    if args.store == "http" and not args.url_prefix:
+        ap.error("--store http requires --url-prefix")
 
     store = None
     keep_base = args.store == "device"
@@ -317,6 +454,12 @@ def main(argv=None):
     elif args.store == "blockcache":
         store = BlockCachedStore(
             FileBlockSource(base_path), index.dim, sqlite_path=args.cache_db
+        )
+    elif args.store == "http":
+        store = BlockCachedStore(
+            HttpRangeSource(args.url_prefix.rstrip("/") + "/base.fvecs"),
+            index.dim,
+            sqlite_path=args.cache_db,
         )
     serve(
         index,

@@ -5,6 +5,7 @@ from rabitq_tpu.store.vector_store import (
     BlockCachedStore,
     FileBlockSource,
     HttpRangeSource,
+    download_meta,
     search_with_store,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "BlockCachedStore",
     "FileBlockSource",
     "HttpRangeSource",
+    "download_meta",
     "search_with_store",
 ]

@@ -21,6 +21,7 @@ writes base.fvecs), so estimate_candidates output feeds them directly.
 
 from __future__ import annotations
 
+import logging
 import os
 import sqlite3
 import threading
@@ -30,6 +31,8 @@ from typing import Protocol
 import numpy as np
 
 from rabitq_tpu.metrics import METRICS
+
+logger = logging.getLogger(__name__)
 
 # Reference block size: cache.rs:12 (BLOCK_BYTE_LIMIT = 1 << 19).
 BLOCK_BYTE_LIMIT = 1 << 19
@@ -131,10 +134,17 @@ class BlockCachedStore:
         self._lock = threading.Lock()
         self._max_blocks = max_cached_blocks
         self._lru: dict[int, np.ndarray] = {}  # block_id -> [num, dim]
+        # Single-flight latches: block_id -> Event set once the block is
+        # cached. Concurrent misses on one block wait for the first fetch
+        # instead of issuing duplicate range reads (the reference has the
+        # same thundering-herd hole, cache.rs:115-135).
+        self._inflight: dict[int, threading.Event] = {}
         self._native = _try_native_cache(
             max_cached_blocks, self.num_per_block * self.dim, self.dim
         )
         self._sql = None
+        self._sql_pending = 0
+        self._sql_commit_every = 16  # batch commits (fsync per block is slow)
         if sqlite_path is not None:
             self._sql = sqlite3.connect(str(sqlite_path), check_same_thread=False)
             self._sql.execute(
@@ -160,37 +170,65 @@ class BlockCachedStore:
         METRICS.add_miss_count(1)
         return self._parse_block(raw, block_id)
 
-    def _get_block(self, block_id: int) -> np.ndarray:
-        with self._lock:
-            if self._native is not None:
-                hit = self._native.get(block_id)
-                if hit is not None:
-                    return hit
-            elif block_id in self._lru:
-                self._lru[block_id] = self._lru.pop(block_id)  # refresh
-                return self._lru[block_id]
-            if self._sql is not None:
-                row = self._sql.execute(
-                    "SELECT data FROM blocks WHERE id = ?", (block_id,)
-                ).fetchone()
-                if row is not None:
-                    blk = (
-                        np.frombuffer(row[0], dtype=np.float32)
-                        .reshape(-1, self.dim)
-                        .copy()
-                    )
-                    self._insert_mem(block_id, blk)
-                    return blk
-        blk = self._fetch_block(block_id)
-        with self._lock:
-            self._insert_mem(block_id, blk)
-            if self._sql is not None:
-                self._sql.execute(
-                    "INSERT OR REPLACE INTO blocks (id, data) VALUES (?, ?)",
-                    (block_id, blk.tobytes()),
+    def _lookup_locked(self, block_id: int):
+        """Cache lookup (memory, then SQLite). Caller holds the lock."""
+        if self._native is not None:
+            hit = self._native.get(block_id)
+            if hit is not None:
+                return hit
+        elif block_id in self._lru:
+            self._lru[block_id] = self._lru.pop(block_id)  # refresh
+            return self._lru[block_id]
+        if self._sql is not None:
+            row = self._sql.execute(
+                "SELECT data FROM blocks WHERE id = ?", (block_id,)
+            ).fetchone()
+            if row is not None:
+                blk = (
+                    np.frombuffer(row[0], dtype=np.float32)
+                    .reshape(-1, self.dim)
+                    .copy()
                 )
+                self._insert_mem(block_id, blk)
+                return blk
+        return None
+
+    def _get_block(self, block_id: int) -> np.ndarray:
+        while True:
+            with self._lock:
+                blk = self._lookup_locked(block_id)
+                if blk is not None:
+                    return blk
+                latch = self._inflight.get(block_id)
+                if latch is None:  # we are the single flight
+                    self._inflight[block_id] = threading.Event()
+                    break
+            latch.wait()  # another thread is fetching this block
+        try:
+            blk = self._fetch_block(block_id)
+            with self._lock:
+                self._insert_mem(block_id, blk)
+                if self._sql is not None:
+                    self._sql.execute(
+                        "INSERT OR REPLACE INTO blocks (id, data)"
+                        " VALUES (?, ?)",
+                        (block_id, blk.tobytes()),
+                    )
+                    self._sql_pending += 1
+                    if self._sql_pending >= self._sql_commit_every:
+                        self._sql.commit()
+                        self._sql_pending = 0
+            return blk
+        finally:
+            with self._lock:
+                self._inflight.pop(block_id).set()
+
+    def flush(self) -> None:
+        """Commit any batched SQLite inserts (durability point)."""
+        with self._lock:
+            if self._sql is not None and self._sql_pending:
                 self._sql.commit()
-        return blk
+                self._sql_pending = 0
 
     def _insert_mem(self, block_id: int, blk: np.ndarray) -> None:
         if self._native is not None:
@@ -210,7 +248,61 @@ class BlockCachedStore:
             blk = self._get_block(int(b))
             sel = block_ids == b
             out[sel] = blk[pos[sel] - b * self.num_per_block]
+        # One commit per rerank batch instead of per block (the reference
+        # commits per block, cache.rs:135 — fsync dominates cold scans).
+        self.flush()
         return out
+
+
+# The index-directory metadata files (everything except base.fvecs, which
+# stays remote behind the block cache). Mirrors the reference's
+# download_meta_from_s3 list (cache.rs:24-54); meta.json and the memtable
+# files are this framework's additions and may legitimately be absent.
+META_FILES = (
+    "orthogonal.fvecs",
+    "centroids.fvecs",
+    "offsets_ids.ivecs",
+    "factors.fvecs",
+    "x_binary_vec.u64vecs",
+)
+OPTIONAL_META_FILES = ("meta.json", "extra_base.fvecs", "extra_ids.ivecs")
+
+
+def download_meta(url_prefix: str, dest_dir: str | Path) -> Path:
+    """Bootstrap a local index directory from an object store.
+
+    Fetches the index metadata files from ``{url_prefix}/{name}`` into
+    ``dest_dir``, skipping files that already exist locally — the exact
+    load-time behavior of the reference's download_meta_from_s3
+    (/root/reference/crates/disk/src/cache.rs:24-54). base.fvecs is NOT
+    downloaded: raw vectors stay remote and stream through the block
+    cache on rerank misses.
+    """
+    import urllib.error
+    import urllib.request
+
+    dest = Path(dest_dir)
+    dest.mkdir(parents=True, exist_ok=True)
+    prefix = url_prefix.rstrip("/")
+    for name in META_FILES + OPTIONAL_META_FILES:
+        target = dest / name
+        if target.exists():
+            logger.debug("bootstrap: %s exists, skipping", name)
+            continue
+        url = f"{prefix}/{name}"
+        try:
+            with urllib.request.urlopen(url) as resp:
+                data = resp.read()
+        except urllib.error.HTTPError as e:
+            if name in OPTIONAL_META_FILES and e.code == 404:
+                continue
+            raise
+        target.write_bytes(data)
+        logger.info("bootstrap: fetched %s (%d bytes)", name, len(data))
+    for name in META_FILES:
+        if not (dest / name).exists():
+            raise FileNotFoundError(f"bootstrap incomplete: missing {name}")
+    return dest
 
 
 def _try_native_cache(max_blocks: int, floats_per_block: int, dim: int):
@@ -251,15 +343,34 @@ def search_with_store(
     flat = pos.reshape(-1)
     rows = store.get_rows(flat).reshape(b, r, store.dim)
     qpad = pad_last_dim(queries, store.dim)
+    if index.metric == "cosine":
+        # Same normalization as the device path's _prep_queries — stored
+        # rows are unit vectors, so scores stay consistent across tiers.
+        norms = np.linalg.norm(qpad, axis=-1, keepdims=True)
+        qpad = qpad / np.maximum(norms, 1e-30)
     exact = ((rows - qpad[:, None, :]) ** 2).sum(-1)
     exact = np.where(np.isfinite(lb), exact, np.inf)
     METRICS.add_precise_count(int(np.isfinite(lb).sum()))
     METRICS.add_rough_count(int(np.asarray(cand.n_scanned).sum()))
 
+    map_ids = np.asarray(index.map_ids)
+    cand_ids = map_ids[pos]  # [B, R]
+
+    # Merge the insert memtable (device search does the same,
+    # index/search.py): memtable vectors are full-precision host-side.
+    if index.extra_base is not None and index.extra_base.shape[0] > 0:
+        ex_base = np.asarray(index.extra_base)  # [M, D]
+        ex_ids = np.asarray(index.extra_ids)
+        ex_d = ((qpad[:, None, :] - ex_base[None, :, :]) ** 2).sum(-1)
+        ex_d = np.where(ex_ids[None, :] >= 0, ex_d, np.inf)
+        exact = np.concatenate([exact, ex_d], axis=1)
+        cand_ids = np.concatenate(
+            [cand_ids, np.broadcast_to(ex_ids[None, :], ex_d.shape)], axis=1
+        )
+
     sel = np.argsort(exact, axis=1)[:, : params.topk]
     dists = np.take_along_axis(exact, sel, axis=1)
-    map_ids = np.asarray(index.map_ids)
-    ids = map_ids[np.take_along_axis(pos, sel, axis=1)]
+    ids = np.take_along_axis(cand_ids, sel, axis=1)
     ids = np.where(np.isfinite(dists), ids, -1)
     METRICS.add_query_count(b if count_queries is None else count_queries)
     return dists.astype(np.float32), ids.astype(np.int32)

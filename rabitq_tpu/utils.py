@@ -37,3 +37,24 @@ def calculate_recall(truth: np.ndarray, result: np.ndarray, topk: int) -> float:
     t = set(np.asarray(truth)[:topk].tolist())
     r = np.asarray(result)[:topk]
     return sum(1 for i in r.tolist() if i in t) / topk
+
+
+def pipelined_map(fn, batches, depth: int = 2):
+    """Map ``fn`` over batches with a bounded in-flight dispatch window.
+
+    Yields np.asarray(fn(batch)) per batch, but issues batch N+depth's
+    dispatch BEFORE forcing batch N's result back to the host — device
+    compute overlaps the host transfer + dispatch latency (the reference's
+    serial per-query loop, cli/main.rs:69-82, pays both in sequence; this
+    is the TPU pipelining of it). ``depth`` bounds device memory held by
+    queued batches.
+    """
+    from collections import deque
+
+    pending: "deque" = deque()
+    for b in batches:
+        pending.append(fn(b))
+        if len(pending) > depth:
+            yield np.asarray(pending.popleft())
+    while pending:
+        yield np.asarray(pending.popleft())

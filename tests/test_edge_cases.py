@@ -30,7 +30,12 @@ def test_duplicate_vectors(rng):
     v = rng.standard_normal(32).astype(np.float32)
     base = np.stack([v] * 50 + [v + 1.0] * 50)
     centers = np.stack([v, v + 1.0])
-    idx = build_index(base, centers, key=jax.random.key(1), orthogonal=np.eye(128, dtype=np.float32))
+    idx = build_index(
+        base,
+        centers,
+        key=jax.random.key(1),
+        orthogonal=np.eye(128, dtype=np.float32),
+    )
     fac = np.asarray(idx.factors)
     assert np.isfinite(fac).all()
     d, ids = search(

@@ -1,7 +1,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from conftest import brute_force_topk, make_clustered_dataset
 from rabitq_tpu import SearchParams, build_index, calculate_recall, search

@@ -63,3 +63,16 @@ def test_corrupt_record_raises(tmp_path):
     p.write_bytes((100).to_bytes(4, "little") + b"\x00" * 8)
     with pytest.raises(ValueError):
         read_vecs(p)
+
+
+def test_bvecs_roundtrip(tmp_path):
+    """bvecs (u8 payload, SIFT1B format — reference client.py:11-30)."""
+    from rabitq_tpu.io import read_bvecs_matrix, write_bvecs_matrix
+
+    rng = np.random.default_rng(5)
+    mat = rng.integers(0, 256, size=(37, 19)).astype(np.uint8)
+    p = tmp_path / "x.bvecs"
+    write_bvecs_matrix(p, mat)
+    back = read_bvecs_matrix(p)
+    assert back.dtype == np.float32
+    np.testing.assert_array_equal(back, mat.astype(np.float32))

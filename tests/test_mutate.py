@@ -2,7 +2,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from conftest import brute_force_topk, make_clustered_dataset
+from conftest import make_clustered_dataset
 from rabitq_tpu import (
     SearchParams,
     build_index,

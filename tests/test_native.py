@@ -6,7 +6,6 @@ import pytest
 try:
     from rabitq_tpu.native import (
         NativeBlockCache,
-        NativeUnavailable,
         parse_vecs_matrix,
         get_lib,
     )

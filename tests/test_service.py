@@ -179,3 +179,111 @@ def test_bad_requests(served):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status == 404
+
+
+def test_batch_query_json(served):
+    """One POST carrying a whole batch of queries (VERDICT r1 item 7)."""
+    url, base = served
+    qs = base[:12]
+    status, body = _post(
+        url, dict(query=qs.tolist(), top_k=5, probe=8)
+    )
+    assert status == 200
+    assert len(body["ids"]) == 12 and len(body["scores"]) == 12
+    for i in range(12):
+        assert body["ids"][i][0] == i  # each query finds itself first
+
+
+def test_batch_query_binary(served):
+    url, base = served
+    from rabitq_tpu.service.client import query_batch_bin
+
+    qs = base[20:52]  # 32 rows > max_batch=16: engine must split+pipeline
+    ids, scores, _ = query_batch_bin(url, qs, top_k=4, probe=8)
+    assert ids.shape == (32, 4) and scores.shape == (32, 4)
+    np.testing.assert_array_equal(ids[:, 0], np.arange(20, 52))
+    assert np.all(np.diff(scores, axis=1) >= 0)
+
+
+def test_param_clamping(served):
+    """Client-supplied top_k/probe are clamped server-side; non-positive
+    values are a 400 (round-1 advisor finding)."""
+    url, base = served
+    from rabitq_tpu.service import server as S
+
+    status, body = _post(
+        url, dict(query=base[0].tolist(), top_k=10**6, probe=10**6)
+    )
+    assert status == 200
+    assert len(body["ids"]) <= S.MAX_TOPK
+    status, body = _post(url, dict(query=base[0].tolist(), top_k=0))
+    assert status == 400
+    status, body = _post(url, dict(query=base[0].tolist(), probe=-3))
+    assert status == 400
+
+
+def test_object_store_bootstrap(tmp_path):
+    """Boot the service path against a remote index dir served over HTTP:
+    metadata files download at startup (reference download_meta_from_s3,
+    cache.rs:24-54), base.fvecs stays remote behind the block cache, and
+    rerank misses are counted."""
+    import functools
+    import http.server
+    import jax
+
+    from rabitq_tpu.index.serialize import dump_to_dir, load_from_dir
+    from rabitq_tpu.metrics import METRICS
+    from rabitq_tpu.store import (
+        BlockCachedStore,
+        HttpRangeSource,
+        download_meta,
+        search_with_store,
+    )
+    from rabitq_tpu import SearchParams
+
+    rng = np.random.default_rng(31)
+    base, centers = make_clustered_dataset(rng, n=900, dim=24, k=8)
+    idx = build_index(base, centers, key=jax.random.key(32))
+    remote = tmp_path / "remote"
+    dump_to_dir(idx, remote)
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(remote)
+    )
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    prefix = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        local = tmp_path / "local"
+        download_meta(prefix, local)
+        for name in (
+            "orthogonal.fvecs",
+            "centroids.fvecs",
+            "offsets_ids.ivecs",
+            "factors.fvecs",
+            "x_binary_vec.u64vecs",
+            "meta.json",
+        ):
+            assert (local / name).exists(), name
+        assert not (local / "base.fvecs").exists()
+        # Idempotent: second call skips existing files.
+        download_meta(prefix, local)
+
+        lean = load_from_dir(local, keep_base=False)
+        store = BlockCachedStore(
+            HttpRangeSource(prefix + "/base.fvecs"), lean.dim
+        )
+        METRICS.reset()
+        qs = base[5:9]
+        d, ids = search_with_store(
+            lean, qs, SearchParams(probe=8, topk=3, rerank=64), store
+        )
+        np.testing.assert_array_equal(ids[:, 0], np.arange(5, 9))
+        assert METRICS.miss > 0  # cold cache range-read from "S3"
+        METRICS.reset()
+        search_with_store(
+            lean, qs, SearchParams(probe=8, topk=3, rerank=64), store
+        )
+        assert METRICS.miss == 0  # warm
+    finally:
+        httpd.shutdown()

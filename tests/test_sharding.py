@@ -5,7 +5,6 @@ import pytest
 
 from conftest import brute_force_topk, make_clustered_dataset
 from rabitq_tpu import SearchParams, build_index, calculate_recall, search
-from rabitq_tpu.kmeans import kmeans
 from rabitq_tpu.parallel import (
     dp_build_chunk,
     make_mesh,
@@ -128,3 +127,52 @@ def test_sharded_lloyd_matches_single(rng, mesh):
     np.testing.assert_allclose(
         float(cost_sharded), d.min(1).sum(), rtol=1e-5
     )
+
+
+def test_sharded_exact_mode_under_skew(rng):
+    """Adversarial case for _local_params: ALL of a query's top clusters on
+    one shard. Heuristic mode may under-probe there (documented deviation);
+    exact mode must match single-chip semantics."""
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu import SearchParams, build_index, search
+    from rabitq_tpu.parallel.sharding import (
+        make_mesh,
+        shard_index,
+        sharded_search,
+    )
+
+    # Two far-apart mega-groups of clusters; queries sit in group A, so
+    # every top-probe cluster lives wherever group A's clusters land.
+    k, per = 16, 120
+    centers = np.zeros((k, 32), np.float32)
+    centers[: k // 2, 0] = np.arange(k // 2)  # group A: near origin
+    centers[k // 2 :, 0] = 1e3 + np.arange(k // 2)  # group B: far away
+    centers[:, 1:] = 0.3 * rng.standard_normal((k, 31))
+    labels = np.repeat(np.arange(k), per)
+    base = (
+        centers[labels] + 0.05 * rng.standard_normal((k * per, 32))
+    ).astype(np.float32)
+    idx = build_index(base, centers, key=jax.random.key(5))
+
+    mesh = make_mesh(8)
+    sidx = shard_index(idx, mesh)
+    queries = jnp.asarray(base[:16])
+    params = SearchParams(probe=8, topk=10, rerank=128)
+
+    d_ref, i_ref = search(idx, queries, params)
+    d_ex, i_ex = sharded_search(sidx, queries, params, mesh, exact=True)
+    # Exact mode probes a superset of the single-chip clusters, so its
+    # top-k distances must be <= the single-chip ones, and recall vs the
+    # single-chip result must be perfect.
+    i_ref, i_ex = np.asarray(i_ref), np.asarray(i_ex)
+    d_ref, d_ex = np.asarray(d_ref), np.asarray(d_ex)
+    assert np.all(d_ex[:, 0] <= d_ref[:, 0] + 1e-5)
+    overlap = np.mean(
+        [
+            len(set(i_ref[q]) & set(i_ex[q])) / i_ref.shape[1]
+            for q in range(i_ref.shape[0])
+        ]
+    )
+    assert overlap >= 0.99, overlap

@@ -97,3 +97,129 @@ def test_block_cache_lru_eviction(corpus, index_dir):
     store.get_rows(np.array([store.num_per_block]))  # evicts block 0
     store.get_rows(np.array([0]))  # re-fetch
     assert METRICS.miss == 3
+
+
+class _CountingSource:
+    """Range source that counts fetches and can stall to widen races."""
+
+    def __init__(self, inner, delay=0.0):
+        import threading as _t
+
+        self.inner = inner
+        self.size = inner.size
+        self.calls = 0
+        self.delay = delay
+        self._lock = _t.Lock()
+
+    def read_range(self, start, length):
+        import time as _time
+
+        with self._lock:
+            self.calls += 1
+        if self.delay:
+            _time.sleep(self.delay)
+        return self.inner.read_range(start, length)
+
+
+def test_single_flight_block_fetch(index_dir):
+    """8 threads missing on the same blocks must trigger exactly one range
+    read per block (reference anchor: cache.rs:115-135 re-fetches)."""
+    import threading
+
+    from rabitq_tpu.io.vecs import mmap_fvecs_matrix
+
+    mat = mmap_fvecs_matrix(index_dir / "base.fvecs")
+    dim = mat.shape[1]
+    src = _CountingSource(
+        FileBlockSource(index_dir / "base.fvecs"), delay=0.01
+    )
+    store = BlockCachedStore(src, dim)
+    n_rows = mat.shape[0]
+    pos = np.arange(0, n_rows, store.num_per_block // 2, dtype=np.int64)
+    assert len(np.unique(pos // store.num_per_block)) >= 2
+
+    results = []
+    barrier = threading.Barrier(8)
+
+    def worker():
+        barrier.wait()
+        results.append(store.get_rows(pos))
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert src.calls == len(np.unique(pos // store.num_per_block))
+    for r in results:
+        np.testing.assert_array_equal(r, np.asarray(mat[pos], np.float32))
+
+
+def test_sqlite_commits_are_batched(index_dir, tmp_path):
+    """Commits happen every _sql_commit_every inserts; flush() forces the
+    tail out so a fresh connection sees every block."""
+    import sqlite3 as _sq
+
+    from rabitq_tpu.io.vecs import mmap_fvecs_matrix
+
+    mat = mmap_fvecs_matrix(index_dir / "base.fvecs")
+    db = tmp_path / "cache.db"
+    store = BlockCachedStore(
+        FileBlockSource(index_dir / "base.fvecs"),
+        mat.shape[1],
+        sqlite_path=db,
+    )
+    store._sql_commit_every = 4
+    n_blocks = (mat.shape[0] - 1) // store.num_per_block + 1
+    want = min(n_blocks, 6)  # > one commit batch, with a pending tail
+    store.get_rows(
+        np.arange(want, dtype=np.int64) * store.num_per_block
+    )
+    store.flush()
+    other = _sq.connect(db)
+    count = other.execute("SELECT COUNT(*) FROM blocks").fetchone()[0]
+    assert count == want
+
+
+def test_store_merges_insert_memtable(corpus):
+    """ADVICE r1: vectors added via insert() must appear in store-tier
+    results, exactly like the device path's memtable merge."""
+    import jax.numpy as jnp
+
+    from rabitq_tpu.index.mutate import insert
+
+    base, idx = corpus
+    rng = np.random.default_rng(11)
+    # New vectors very close to some queries -> they MUST rank first.
+    queries = base[rng.choice(2000, 5, replace=False)]
+    new_vecs = queries + np.float32(1e-3)
+    idx2 = insert(idx, new_vecs)
+    params = SearchParams(probe=16, topk=5, rerank=200)
+    d_dev, i_dev = search(idx2, jnp.asarray(queries), params)
+    d_st, i_st = search_with_store(
+        idx2, queries, params, DeviceStore(idx2.base)
+    )
+    np.testing.assert_array_equal(np.asarray(i_dev), i_st)
+    new_ids = np.asarray(idx2.extra_ids)
+    for q in range(5):
+        assert new_ids[q] in i_st[q]
+
+
+def test_store_cosine_scores_match_device(rng):
+    """ADVICE r1: the store tier must normalize cosine queries like the
+    device path so the returned scores agree across tiers."""
+    import jax
+    import jax.numpy as jnp
+
+    base, centers = make_clustered_dataset(rng, n=1000, dim=32, k=8)
+    idx = build_index(
+        base, centers, key=jax.random.key(2), metric="cosine"
+    )
+    queries = 3.7 * base[:6]  # non-unit queries exercise the normalization
+    params = SearchParams(probe=8, topk=5, rerank=100)
+    d_dev, i_dev = search(idx, jnp.asarray(queries), params)
+    d_st, i_st = search_with_store(
+        idx, queries, params, DeviceStore(idx.base)
+    )
+    np.testing.assert_array_equal(np.asarray(i_dev), i_st)
+    np.testing.assert_allclose(np.asarray(d_dev), d_st, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,106 @@
+"""Minimal in-repo linter (no third-party linters in this image).
+
+Checks, per Python source file:
+- syntax (ast.parse)
+- unused imports (module-level and function-level)
+- tabs in indentation / trailing whitespace
+- lines over 100 columns
+- `except:` bare excepts
+
+Exit code 1 on any finding — wired as `make lint` and the CI gate
+(reference parity: fmt+clippy in .github/workflows/rust.yml:24-50).
+"""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+TARGETS = ["rabitq_tpu", "tests", "tools", "bench.py", "__graft_entry__.py"]
+MAX_COLS = 100
+
+# Imports that exist for side effects or re-export.
+ALLOW_UNUSED = {"__init__.py": {"*"}}
+
+
+def iter_files():
+    for t in TARGETS:
+        p = ROOT / t
+        if p.is_file():
+            yield p
+        else:
+            yield from sorted(p.rglob("*.py"))
+
+
+class ImportChecker(ast.NodeVisitor):
+    def __init__(self):
+        self.imported: dict[str, int] = {}  # name -> lineno
+        self.used: set[str] = set()
+
+    def visit_Import(self, node):
+        for a in node.names:
+            name = (a.asname or a.name).split(".")[0]
+            self.imported[name] = node.lineno
+
+    def visit_ImportFrom(self, node):
+        for a in node.names:
+            if a.name == "*":
+                continue
+            self.imported[a.asname or a.name] = node.lineno
+
+    def visit_Name(self, node):
+        self.used.add(node.id)
+
+    def visit_Attribute(self, node):
+        self.generic_visit(node)
+
+
+def check_file(path: pathlib.Path) -> list[str]:
+    rel = path.relative_to(ROOT)
+    src = path.read_text()
+    problems = []
+    try:
+        tree = ast.parse(src, filename=str(rel))
+    except SyntaxError as e:
+        return [f"{rel}:{e.lineno}: syntax error: {e.msg}"]
+
+    for i, line in enumerate(src.splitlines(), 1):
+        if "\t" in line:
+            problems.append(f"{rel}:{i}: tab character")
+        if line != line.rstrip():
+            problems.append(f"{rel}:{i}: trailing whitespace")
+        if len(line) > MAX_COLS:
+            problems.append(f"{rel}:{i}: line over {MAX_COLS} cols")
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ExceptHandler) and node.type is None:
+            problems.append(f"{rel}:{node.lineno}: bare except")
+
+    if path.name != "__init__.py":
+        chk = ImportChecker()
+        chk.visit(tree)
+        # Names used in docstring doctests or __all__ strings don't count;
+        # also honor usage inside f-strings/annotations via the Name visitor.
+        for name, lineno in chk.imported.items():
+            if name in chk.used or name == "annotations":
+                continue
+            problems.append(f"{rel}:{lineno}: unused import '{name}'")
+    return problems
+
+
+def main() -> int:
+    problems = []
+    n = 0
+    for f in iter_files():
+        n += 1
+        problems.extend(check_file(f))
+    for p in problems:
+        print(p)
+    print(f"lint: {n} files, {len(problems)} problem(s)", file=sys.stderr)
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
