@@ -36,6 +36,13 @@ def main():
     ap.add_argument("--probe", type=int, default=32)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--skip-timing", action="store_true")
+    ap.add_argument(
+        "--stages",
+        action="store_true",
+        help="additionally time each pipeline stage (cluster select / "
+        "rough scan / candidate select / rerank) via the same "
+        "differential loop, reporting a per-stage cost breakdown",
+    )
     args = ap.parse_args()
 
     import jax
@@ -154,6 +161,80 @@ def main():
         f'{{"device_ms_per_batch": {per_batch*1e3:.3f}, '
         f'"batch": {args.batch}, "probe": {args.probe}, '
         f'"qps_device": {args.batch/per_batch:.0f}}}'
+    )
+
+    if not args.stages:
+        return
+
+    # --- Per-stage breakdown ---------------------------------------------
+    # Each stage prefix is timed with the same differential loop; the
+    # marginal cost of stage i is t(prefix_i) - t(prefix_{i-1}). Prefixes
+    # (not isolated stages) so each number includes the real dataflow in.
+    from rabitq_tpu.index.search import (
+        _prep_queries,
+        estimate_candidates,
+        rough_scan,
+    )
+    from rabitq_tpu.ops import pairwise_l2sq, rotate
+
+    def fin_sum(x):
+        return jnp.where(jnp.isfinite(x), x, 0.0).sum()
+
+    def stage_select(idx, qs):
+        y = rotate(_prep_queries(idx, qs), idx.orthogonal)
+        cdist = pairwise_l2sq(y, idx.centroids_rot)
+        neg, cids = jax.lax.approx_max_k(
+            -cdist, args.probe, recall_target=pk.probe_recall
+        )
+        return fin_sum(neg) + cids.sum().astype(jnp.float32)
+
+    def stage_scan(idx, qs):
+        sc = rough_scan(idx, qs, pk)
+        return fin_sum(sc.rough) + sc.starts.sum().astype(jnp.float32)
+
+    def stage_cand(idx, qs):
+        c = estimate_candidates(idx, qs, pk)
+        return fin_sum(c.lower_bound) + c.pos.sum().astype(jnp.float32)
+
+    def stage_full(idx, qs):
+        d, ids = search(idx, qs, pk)
+        return fin_sum(d) + ids.sum().astype(jnp.float32)
+
+    def time_stage(fn):
+        def make(iters):
+            @jax.jit
+            def loop(idx, qs):
+                def body(i, acc):
+                    return acc + fn(idx, qs + i.astype(jnp.float32) * 1e-6)
+
+                return jax.lax.fori_loop(0, iters, body, 0.0)
+
+            return loop
+
+        ln, l1 = make(args.iters), make(1)
+        _ = float(ln(index, qb))
+        _ = float(l1(index, qb))
+        return (best_of(ln) - best_of(l1)) / (args.iters - 1)
+
+    prev = 0.0
+    breakdown = {}
+    for name, fn in (
+        ("cluster_select", stage_select),
+        ("rough_scan", stage_scan),
+        ("cand_select", stage_cand),
+        ("rerank_topk", stage_full),
+    ):
+        t = time_stage(fn)
+        breakdown[name] = t - prev
+        log(
+            f"stage {name:>14}: prefix {t*1e3:7.2f} ms  "
+            f"marginal {(t-prev)*1e3:7.2f} ms"
+        )
+        prev = t
+    print(
+        "{"
+        + ", ".join(f'"{k}_ms": {v*1e3:.3f}' for k, v in breakdown.items())
+        + "}"
     )
 
 
