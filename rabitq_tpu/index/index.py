@@ -234,10 +234,20 @@ class SearchParams(NamedTuple):
     dither: bool = False
     approx_select: bool = True
     use_kernel: bool = True
-    # Per-element recall targets of the two approx_max_k selections.
+    # Per-element recall targets of the two approx selections.
     # Cluster selection gets the tight target: missing a top cluster loses
     # all its candidates (measured at 1M x 128-d, probe 32: 0.99 recovers
     # the exact-top_k recall at ~2% of its cost, while tightening the
     # candidate selection costs ~40% throughput for +0.1pt recall).
     probe_recall: float = 0.99
     select_recall: float = 0.95
+    # Lane-fold pre-selection on the kernel scan output (TPU +
+    # approx_select only): keep the best 2 estimates per (task, slot%128)
+    # bucket right on the grouped kernel output, then the best ~keep per
+    # (query, lane) before the final top-k. Rank-adjacent slots land in
+    # different lanes, so losing a candidate needs 3+ top values on one
+    # lane — noise well below the approx-selection tolerance — while the
+    # [S, span] rough materialization, its task-order gather, and the
+    # final sort input all shrink by ~span/256 x. False = bit-exact full
+    # scan output + approx_min_k selection.
+    select_reduce: bool = True

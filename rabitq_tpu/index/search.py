@@ -51,11 +51,21 @@ class Candidates(NamedTuple):
 
 
 class RoughScan(NamedTuple):
-    """Full rough-distance scan output in cluster-visit order."""
+    """Rough-distance scan output in cluster-visit order.
 
-    rough: jax.Array      # [B, probe * cap] f32 (+inf on padded slots)
+    With no pre-reduction (``slots is None``) ``rough`` holds every slot of
+    every probed window ([B, probe * span]) and the position of flat value
+    j is starts[b, j // span] + j % span. With the kernel's lane-fold
+    pre-selection (SearchParams.select_reduce), ``rough`` is the per-bucket
+    minima ([B, probe * width]) and ``slots[b, j]`` is the ABSOLUTE
+    cluster-sorted position of each kept value (unspecified for +inf
+    entries).
+    """
+
+    rough: jax.Array      # [B, probe * width] f32 (+inf on padded slots)
     starts: jax.Array     # [B, probe] int32 cluster start positions
     n_scanned: jax.Array  # [B] int32
+    slots: jax.Array | None = None  # [B, probe * width] int32 or None
 
 
 def _resolve(index: RaBitQIndex, params: SearchParams):
@@ -133,16 +143,21 @@ def _jnp_scan(index, starts, sizes, planes, scal, *, cap, chunk):
     return rough.reshape(s_pad, cap)[:s]
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
+@functools.partial(jax.jit, static_argnames=("params", "reduce"))
 def rough_scan(
-    index: RaBitQIndex, queries: jax.Array, params: SearchParams
+    index: RaBitQIndex,
+    queries: jax.Array,
+    params: SearchParams,
+    reduce: bool = False,
 ) -> RoughScan:
-    """Stages 1-3: full rough-distance scan, in cluster-visit order.
+    """Stages 1-3: rough-distance scan, in cluster-visit order.
 
     Clusters appear nearest-centroid-first and rows within a cluster in
     sorted (centroid-distance) order — the reference's visit order
     (rabitq.rs:297,304), which the host rerankers' dynamic pruning depends
-    on. Position of slot j of probed cluster i is ``starts[b, i] + j``.
+    on. Without reduce (the default, and always on the jnp path) the
+    position of slot j of probed cluster i is ``starts[b, i] + j``; see
+    RoughScan for the reduce contract (kernel path only).
     """
     probe, cap, _ = _resolve(index, params)
     b = queries.shape[0]
@@ -163,9 +178,9 @@ def rough_scan(
         and jax.default_backend() == "tpu"
         and probe < k
     ):
-        _, cids = jax.lax.approx_max_k(
-            -cdist, probe, recall_target=params.probe_recall
-        )  # [B, probe]
+        _, cids = jax.lax.approx_min_k(
+            cdist, probe, recall_target=params.probe_recall
+        )  # [B, probe] (native is_max_k=False — no negate pass)
     else:
         _, cids = jax.lax.top_k(-cdist, probe)  # [B, probe]
 
@@ -198,7 +213,7 @@ def rough_scan(
 
         span = ((cap + LANES - 1) // LANES) * LANES + LANES
         qvals = qq.quantized.reshape(s, index.dim).astype(jnp.int8)
-        rough, aligned = pallas_rough_scan(
+        rough, slots, aligned = pallas_rough_scan(
             index.codes_pm1,
             index.factors_tiled,
             starts_f,
@@ -207,25 +222,31 @@ def rough_scan(
             scal_f,
             span=span,
             k_max=index.k,
+            reduce=reduce,
         )
+        width = rough.shape[-1]
         pos_base = aligned.reshape(b, probe)
-    else:
-        planes = pack_query_bitplanes(qq.quantized)  # [B, probe, T, W]
-        rough = _jnp_scan(
-            index,
-            starts_f,
-            sizes_f,
-            planes.reshape(s, THETA_LOG_DIM, w),
-            scal_f,
-            cap=cap,
-            chunk=params.task_chunk,
+        return RoughScan(
+            rough=rough.reshape(b, probe * width),
+            starts=pos_base,
+            n_scanned=sizes_all.sum(axis=-1).astype(jnp.int32),
+            slots=(
+                None if slots is None else slots.reshape(b, probe * width)
+            ),
         )
-        span = cap
-        pos_base = starts
-
+    planes = pack_query_bitplanes(qq.quantized)  # [B, probe, T, W]
+    rough = _jnp_scan(
+        index,
+        starts_f,
+        sizes_f,
+        planes.reshape(s, THETA_LOG_DIM, w),
+        scal_f,
+        cap=cap,
+        chunk=params.task_chunk,
+    )
     return RoughScan(
-        rough=rough.reshape(b, probe * span),
-        starts=pos_base,
+        rough=rough.reshape(b, probe * cap),
+        starts=starts,
         n_scanned=sizes_all.sum(axis=-1).astype(jnp.int32),
     )
 
@@ -239,26 +260,45 @@ def estimate_candidates(
     queries: [B, dim_orig] f32. Exposed separately so the host-store (disk)
     tier can rerank candidates off-device.
     """
-    probe, _, rerank = _resolve(index, params)
-    scan = rough_scan(index, queries, params)
-    span = scan.rough.shape[-1] // probe
+    probe, cap, rerank = _resolve(index, params)
 
-    if params.approx_select and jax.default_backend() == "tpu":
-        neg_lb, flat_idx = jax.lax.approx_max_k(
-            -scan.rough, rerank, recall_target=params.select_recall
+    on_tpu = jax.default_backend() == "tpu"
+    reduce = bool(
+        on_tpu
+        and params.approx_select
+        and params.use_kernel
+        and index.codes_pm1 is not None
+        and params.select_reduce
+        and rerank <= probe * 256  # folded width must fit the budget
+    )
+    scan = rough_scan(index, queries, params, reduce=reduce)
+    width = scan.rough.shape[-1] // probe
+
+    if params.approx_select and on_tpu:
+        lb, flat_idx = jax.lax.approx_min_k(
+            scan.rough, rerank, recall_target=params.select_recall
         )
     else:
         neg_lb, flat_idx = jax.lax.top_k(-scan.rough, rerank)
+        lb = -neg_lb
 
-    # Recover cluster-sorted positions from flat (task, slot) indices —
-    # cheaper than materializing a [B, probe*span] position array.
-    task = flat_idx // span  # [B, R] index into probed clusters
-    slot = flat_idx % span
-    pos = jnp.take_along_axis(scan.starts, task, axis=-1) + slot
+    if scan.slots is not None:
+        # Lane-folded scan: kept values carry their absolute positions —
+        # one take_along_axis resolves them. (A key/value sort that would
+        # avoid even this gather costs ~6x more: full bitonic sort at
+        # [B, probe*256] dwarfs approx_min_k's partial reduce + narrow
+        # sort.)
+        pos = jnp.take_along_axis(scan.slots, flat_idx, axis=-1)
+    else:
+        # Recover cluster-sorted positions from flat (task, slot) indices —
+        # cheaper than materializing a [B, probe*width] position array.
+        task = flat_idx // width  # [B, R] index into probed clusters
+        slot = flat_idx % width
+        pos = jnp.take_along_axis(scan.starts, task, axis=-1) + slot
     pos = jnp.minimum(pos, index.n - 1)  # invalid slots are +inf anyway
     return Candidates(
         pos=pos,
-        lower_bound=-neg_lb,
+        lower_bound=lb,
         n_scanned=scan.n_scanned,
     )
 
@@ -281,27 +321,32 @@ def search(
     diff = xb - q_pad[:, None, :]
     exact = jnp.sum(diff * diff, axis=-1)  # [B, R]
     exact = jnp.where(jnp.isfinite(cand.lower_bound), exact, jnp.inf)
-    cand_ids = index.map_ids[cand.pos]
+    pos_all = cand.pos
 
-    # Merge the insert memtable: exact distances to all buffered vectors.
+    # Merge the insert memtable: exact distances to all buffered vectors
+    # (memtable entries get virtual positions >= n).
+    n = index.n
     if index.extra_base is not None and index.extra_base.shape[0] > 0:
+        m = index.extra_ids.shape[0]
         ex_d = pairwise_l2sq(q_pad, index.extra_base)  # [B, M]
         ex_d = jnp.where(index.extra_ids[None, :] >= 0, ex_d, jnp.inf)
         exact = jnp.concatenate([exact, ex_d], axis=1)
-        cand_ids = jnp.concatenate(
-            [
-                cand_ids,
-                jnp.broadcast_to(
-                    index.extra_ids[None, :],
-                    (exact.shape[0], index.extra_ids.shape[0]),
-                ),
-            ],
+        virt = n + jnp.arange(m, dtype=pos_all.dtype)
+        pos_all = jnp.concatenate(
+            [pos_all, jnp.broadcast_to(virt[None, :], (exact.shape[0], m))],
             axis=1,
         )
 
     neg_d, ei = jax.lax.top_k(-exact, params.topk)
-    ids = jnp.take_along_axis(cand_ids, ei, axis=-1)
     dists = -neg_d
+    # Map positions -> original ids only for the topk winners ([B, topk]
+    # gathers) instead of every rerank candidate.
+    psel = jnp.take_along_axis(pos_all, ei, axis=-1)
+    ids = index.map_ids[jnp.minimum(psel, n - 1)]
+    if index.extra_base is not None and index.extra_base.shape[0] > 0:
+        ids = jnp.where(
+            psel >= n, index.extra_ids[jnp.maximum(psel - n, 0)], ids
+        )
     ids = jnp.where(jnp.isfinite(dists), ids, -1)
     return dists, ids
 

@@ -89,16 +89,19 @@ def _kernel(
     scal_ref,    # [G2*QPC, 8] f32 per-task scalars (VMEM)
     codes_ref,   # [n_tiles, 128, D] int8 (HBM, manual DMA)
     facs_ref,    # [n_tiles, 8, 128] f32 (HBM, manual DMA)
-    out_ref,     # [G2*QPC, span] f32 (VMEM block)
-    wbuf,        # [nbuf, G2, tiles, 128, D] int8 scratch
-    fbuf,        # [nbuf, G2, tiles, 8, 128] f32 scratch
-    sems,        # DMA semaphores (nbuf, G2, 2)
-    *,
+    *refs,       # fold: (out [.., 256] f32, slots [.., 256] i32) + scratch
+                 # else: (out [G2*QPC, span] f32,) + scratch
     tiles: int,
     nbuf: int,
     qpc: int,
     g2: int,
+    fold: bool,
 ):
+    if fold:
+        out_ref, sidx_ref, wbuf, fbuf, sems = refs
+    else:
+        (out_ref, wbuf, fbuf, sems) = refs
+        sidx_ref = None
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
 
@@ -139,6 +142,8 @@ def _kernel(
     # Rows of padded groups are never read downstream (inv_row indexes
     # real tasks only), but the block must be defined.
     out_ref[...] = jnp.full_like(out_ref, jnp.inf)
+    if fold:
+        sidx_ref[...] = jnp.zeros_like(sidx_ref)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     kind = jax.lax.broadcasted_iota(jnp.int32, (1, _NSCAL), 1)
@@ -173,6 +178,19 @@ def _kernel(
             lo_c, delta_c, ycd_c, sycd_c = (col(j) for j in range(4))
             slot_lo, slot_hi = col(4), col(5)
 
+            if fold:
+                # Running best-2 per lane across the window's tiles — the
+                # estimates are already in registers, so the fold is a few
+                # VPU selects per tile and the HBM output shrinks from
+                # span to 2x128 value + 2x128 slot columns. (Doing this
+                # post-kernel in XLA does NOT work: the compare/swap
+                # diamond dataflow defeats the fuser and every select
+                # materializes a [rows, span]-scale intermediate.)
+                v1 = jnp.full((qpc, LANES), jnp.inf, jnp.float32)
+                v2 = jnp.full((qpc, LANES), jnp.inf, jnp.float32)
+                s1 = jnp.zeros((qpc, LANES), jnp.int32)
+                s2 = jnp.zeros((qpc, LANES), jnp.int32)
+
             fac = fbuf[slot, j2]  # [tiles, 8, 128] f32
             for ti in range(tiles):
                 fip = fac[ti, 0:1, :]   # [1, 128]
@@ -189,9 +207,28 @@ def _kernel(
                 )  # [qpc, 128]
                 pos = (lane + ti * LANES).astype(jnp.float32)
                 valid = (pos >= slot_lo) & (pos < slot_hi)
-                out_ref[rows, ti * LANES : (ti + 1) * LANES] = jnp.where(
-                    valid, est, jnp.inf
-                )
+                est = jnp.where(valid, est, jnp.inf)
+                if not fold:
+                    out_ref[rows, ti * LANES : (ti + 1) * LANES] = est
+                    continue
+                # Absolute cluster-sorted position, so downstream
+                # selection needs no per-candidate index arithmetic or
+                # window-start gathers.
+                sl = jnp.broadcast_to(
+                    tile0_ref[step * g2 + j2] * LANES + ti * LANES + lane,
+                    (qpc, LANES),
+                ).astype(jnp.int32)
+                lt1 = est < v1
+                lt2 = est < v2
+                v2 = jnp.where(lt1, v1, jnp.where(lt2, est, v2))
+                s2 = jnp.where(lt1, s1, jnp.where(lt2, sl, s2))
+                v1 = jnp.where(lt1, est, v1)
+                s1 = jnp.where(lt1, sl, s1)
+            if fold:
+                out_ref[rows, 0:LANES] = v1
+                out_ref[rows, LANES : 2 * LANES] = v2
+                sidx_ref[rows, 0:LANES] = s1
+                sidx_ref[rows, LANES : 2 * LANES] = s2
 
 
 def _group_tasks(starts: jax.Array, sizes: jax.Array, qpc: int):
@@ -250,7 +287,9 @@ def _pick_nbuf(tiles: int, d: int, g2: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("span", "qpc", "g2", "nbuf", "k_max", "interpret"),
+    static_argnames=(
+        "span", "qpc", "g2", "nbuf", "k_max", "reduce", "interpret"
+    ),
 )
 def pallas_rough_scan(
     codes_pm1: jax.Array,      # [n_tiles, 128, D] int8 +-1 codes
@@ -265,12 +304,29 @@ def pallas_rough_scan(
     g2: int = _G2,
     nbuf: int | None = None,
     k_max: int | None = None,  # static bound on distinct starts (index.k)
+    reduce: bool = False,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    """Returns (rough [S, span], window_starts [S]).
+) -> tuple[jax.Array, jax.Array | None, jax.Array]:
+    """Returns (rough, slots, window_starts [S]).
 
-    Position of slot j of task t is window_starts[t] + j; slots outside
+    reduce False (full scan): rough is [S, span], slots is None, and the
+    position of slot j of task t is window_starts[t] + j; slots outside
     the cluster's extent hold +inf.
+
+    reduce True (per-lane pre-selection, no-op when span <= 256): each
+    task's window is folded lane-wise IN the kernel epilogue, keeping the
+    best TWO estimates per (task, slot % 128) bucket: rough is [S, 256]
+    bucket minima and slots is [S, 256] with the ABSOLUTE cluster-sorted
+    position of each kept value (slots of +inf entries are unspecified).
+    Rank-adjacent slots (neighbors in the centroid-distance sort) land in
+    different lanes, and losing a candidate takes THREE top values in one
+    (task, lane) — noise the static rerank budget absorbs. The fold runs
+    where the estimates already live in registers, so it is a few VPU
+    selects per tile while the kernel's HBM writes, the task-order
+    gather, and the downstream selection input all shrink by span/256 x
+    (the [S, span] materialization dominated the scan's XLA glue cost at
+    large batch; an XLA-side fold does not work — the compare/swap
+    diamond defeats the fuser).
     """
     assert span % LANES == 0, span
     s = starts.shape[0]
@@ -300,13 +356,24 @@ def pallas_rough_scan(
 
     # Group-spread per-task operands via GATHER: output row r serves
     # group r//qpc, slot r%qpc, whose sorted task is first_g + slot.
+    # first_g[r//qpc] is a qpc-fold repeat — broadcast+reshape, NOT a
+    # gather (1-D element gathers cost ~7ns/element; every one removed
+    # here is ~1ms at batch 2048 x probe 32).
     rows = jnp.arange(g_pad * qpc, dtype=jnp.int32)
-    src_sorted = jnp.minimum(first_g[rows // qpc] + rows % qpc, s - 1)
+    first_rep = jnp.broadcast_to(
+        first_g[:, None], (g_pad, qpc)
+    ).reshape(-1)
+    src_sorted = jnp.minimum(first_rep + rows % qpc, s - 1)
     src_task = order[src_sorted]
     qg = qvals[src_task].astype(jnp.int8)
 
-    lo_slot = (ss - tile0_s * LANES)[src_sorted].astype(jnp.float32)
-    hi_slot = lo_slot + sizes[src_task].astype(jnp.float32)
+    # Window extent bounds, packed per sorted task into ONE int32
+    # (win_lo < 128 always) so the group spread needs a single gather.
+    win_lo = ss - tile0_s * LANES
+    packed = (win_lo + sizes[order]) * LANES + win_lo
+    packed_t = packed[src_sorted]
+    lo_slot = (packed_t % LANES).astype(jnp.float32)
+    hi_slot = (packed_t // LANES).astype(jnp.float32)
     scal_t = scal[src_task]
     scal8 = jnp.stack(
         [
@@ -322,11 +389,29 @@ def pallas_rough_scan(
         axis=-1,
     )  # [g_pad*qpc, 8] f32
 
-    rough_g = pl.pallas_call(
+    fold = bool(reduce) and span > 2 * LANES
+    owidth = 2 * LANES if fold else span
+    out_shape = [
+        jax.ShapeDtypeStruct((g_pad * qpc, owidth), jnp.float32)
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (g2 * qpc, owidth),
+            lambda i, *_: (i, 0),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    if fold:
+        out_shape.append(
+            jax.ShapeDtypeStruct((g_pad * qpc, owidth), jnp.int32)
+        )
+        out_specs.append(out_specs[0])
+
+    result = pl.pallas_call(
         functools.partial(
-            _kernel, tiles=tiles, nbuf=nbuf, qpc=qpc, g2=g2
+            _kernel, tiles=tiles, nbuf=nbuf, qpc=qpc, g2=g2, fold=fold
         ),
-        out_shape=jax.ShapeDtypeStruct((g_pad * qpc, span), jnp.float32),
+        out_shape=out_shape,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(g_pad // g2,),
@@ -347,11 +432,7 @@ def pallas_rough_scan(
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(
-                (g2 * qpc, span),
-                lambda i, *_: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((nbuf, g2, tiles, LANES, d), jnp.int8),
                 pltpu.VMEM((nbuf, g2, tiles, 8, LANES), jnp.float32),
@@ -362,13 +443,15 @@ def pallas_rough_scan(
         cost_estimate=pl.CostEstimate(
             flops=2 * g_max * qpc * span * d,
             bytes_accessed=g_max
-            * (tiles * LANES * (d + 32) + qpc * (d + 32 + span * 4)),
+            * (tiles * LANES * (d + 32) + qpc * (d + 32 + owidth * 8)),
             transcendentals=0,
         ),
     )(tile0_g, gsize_g, qg, scal8, codes_pm1, factors_tiled)
 
     # Back to original task order (row gather; scatters are slow).
     inv_row = jnp.zeros((s,), jnp.int32).at[order].set(gid * qpc + slot)
-    rough = rough_g[inv_row]
     aligned = (starts // LANES) * LANES
-    return rough, aligned
+    if not fold:
+        return result[0][inv_row], None, aligned
+    vals_g, slots_g = result
+    return vals_g[inv_row], slots_g[inv_row], aligned

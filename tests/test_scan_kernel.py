@@ -85,7 +85,7 @@ def test_kernel_matches_numpy_oracle(scan_inputs):
         scan_inputs
     )
     span = cap + 128
-    got, aligned = _run(codes_pm1, facs, starts, sizes, quant, scal, span)
+    got, _, aligned = _run(codes_pm1, facs, starts, sizes, quant, scal, span)
     expected, exp_aligned = _expected_windowed(
         bits, factors, starts, sizes, quant, scal, span
     )
@@ -128,7 +128,7 @@ def test_kernel_matches_jnp_scan_path(rng):
     scal = jnp.stack([qq.lower, qq.delta, qq.code_sum, ycd], axis=-1)
     s = 4 * 8
     span = cap + 128
-    rough_k, aligned = pallas_rough_scan(
+    rough_k, _, aligned = pallas_rough_scan(
         idx.codes_pm1,
         idx.factors_tiled,
         starts.reshape(s),
@@ -196,7 +196,7 @@ def test_window_sharing_grouping(rng, mode):
     scal = _scal(rng, s, quant)
 
     span = cap + 128
-    got, aligned = _run(
+    got, _, aligned = _run(
         codes_pm1,
         facs,
         starts,
@@ -236,6 +236,66 @@ def test_group_bound_is_safe(rng):
             assert len(np.unique(flat)) == s
 
 
+def test_lane_fold_preselection(scan_inputs):
+    """reduce=True must return, per task and per lane bucket (slot % 128),
+    the two smallest full-scan values with their exact slots."""
+    bits, factors, codes_pm1, facs, starts, sizes, quant, scal, cap = (
+        scan_inputs
+    )
+    span = cap + 256  # 3 lane tiles so the fold is non-trivial
+    full, _, aligned = _run(
+        codes_pm1, facs, starts, sizes, quant, scal, span
+    )
+    vals, slots, aligned_r = _run(
+        codes_pm1, facs, starts, sizes, quant, scal, span, reduce=True
+    )
+    full = np.asarray(full)
+    vals, slots = np.asarray(vals), np.asarray(slots)
+    np.testing.assert_array_equal(np.asarray(aligned), np.asarray(aligned_r))
+    s = starts.shape[0]
+    assert vals.shape == (s, 256) and slots.shape == (s, 256)
+    for t in range(s):
+        for lane in range(128):
+            bucket = full[t, lane::128]
+            best2 = np.sort(bucket)[:2]
+            got = np.array([vals[t, lane], vals[t, 128 + lane]])
+            np.testing.assert_array_equal(np.sort(got), best2)
+            # Slots are ABSOLUTE positions and must point back at the
+            # kept values (slots of +inf entries are unspecified:
+            # downstream masks non-finite lower bounds first).
+            for col in (lane, 128 + lane):
+                if np.isfinite(vals[t, col]):
+                    sl = slots[t, col] - aligned[t]
+                    assert sl % 128 == lane
+                    assert full[t, sl] == vals[t, col]
+
+
+def test_lane_fold_empty_and_small_clusters(scan_inputs):
+    """The in-kernel fold must be exact for empty extents (all +inf, slots
+    stay 0) and single-row clusters."""
+    bits, factors, codes_pm1, facs, starts, sizes, quant, scal, cap = (
+        scan_inputs
+    )
+    sizes = sizes.copy()
+    sizes[0] = 0
+    sizes[1:3] = 1
+    span = cap + 256
+    full, _, aligned = _run(codes_pm1, facs, starts, sizes, quant, scal, span)
+    vals, slots, _ = _run(
+        codes_pm1, facs, starts, sizes, quant, scal, span, reduce=True
+    )
+    full, vals, slots = np.asarray(full), np.asarray(vals), np.asarray(slots)
+    aligned = np.asarray(aligned)
+    assert np.isinf(vals[0]).all()
+    for t in (1, 2):
+        fin = np.isfinite(vals[t])
+        assert fin.sum() == 1
+        (col,) = np.where(fin)[0:1]
+        sl = slots[t, col[0]] - aligned[t]
+        assert full[t, sl] == vals[t, col[0]]
+        assert np.isfinite(full[t]).sum() == 1
+
+
 @pytest.mark.parametrize("qpc,g2", [(8, 1), (8, 4), (32, 2), (64, 4)])
 def test_qpc_g2_variants_identical(rng, qpc, g2):
     """Grouping geometry (tasks per window matmul, groups per grid step)
@@ -252,8 +312,8 @@ def test_qpc_g2_variants_identical(rng, qpc, g2):
     scal = _scal(rng, s, quant)
     span = cap + 128
 
-    ref, a_ref = _run(codes_pm1, facs, starts, sizes, quant, scal, span)
-    got, a_got = _run(
+    ref, _, a_ref = _run(codes_pm1, facs, starts, sizes, quant, scal, span)
+    got, _, a_got = _run(
         codes_pm1, facs, starts, sizes, quant, scal, span, qpc=qpc, g2=g2
     )
     np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_got))

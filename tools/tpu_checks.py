@@ -35,6 +35,16 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--probe", type=int, default=32)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument(
+        "--dataset", choices=["manifold", "blobs"], default="manifold"
+    )
+    ap.add_argument("--rerank", type=int, default=100)
+    ap.add_argument(
+        "--probe-recall",
+        type=float,
+        default=None,
+        help="override SearchParams.probe_recall for the timing runs",
+    )
     ap.add_argument("--skip-timing", action="store_true")
     ap.add_argument(
         "--stages",
@@ -58,14 +68,26 @@ def main():
         sys.exit(2)
     log(f"device: {jax.devices()[0]}")
 
-    rng = np.random.default_rng(7)
-    centers = rng.standard_normal((256, args.dim)).astype(np.float32)
-    lab = rng.integers(0, 256, args.n + args.batch)
-    x = (
-        centers[lab]
-        + 0.3 * rng.standard_normal((args.n + args.batch, args.dim))
-    ).astype(np.float32)
-    base, queries = x[: args.n], x[args.n :]
+    if args.dataset == "manifold":
+        # Same generator as bench.py: low-intrinsic-dim Gaussian mixture
+        # (realistic cluster balance — what the headline numbers run on).
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+        from bench import make_dataset
+
+        base, queries = make_dataset(
+            args.n, args.dim, 1024, args.batch, seed=7
+        )
+    else:
+        # Well-separated blobs: adversarially skewed k-means clusters
+        # (capacity stress; ~4x the bench capacity at k=4096).
+        rng = np.random.default_rng(7)
+        centers = rng.standard_normal((256, args.dim)).astype(np.float32)
+        lab = rng.integers(0, 256, args.n + args.batch)
+        x = (
+            centers[lab]
+            + 0.3 * rng.standard_normal((args.n + args.batch, args.dim))
+        ).astype(np.float32)
+        base, queries = x[: args.n], x[args.n :]
 
     t0 = time.time()
     centroids = kmeans(
@@ -76,7 +98,11 @@ def main():
 
     # --- Parity: compiled Pallas kernel vs portable jnp scan ------------
     qd = jnp.asarray(queries[:32])
-    pk = SearchParams(probe=args.probe, topk=10, rerank=100, use_kernel=True)
+    pk = SearchParams(
+        probe=args.probe, topk=10, rerank=args.rerank, use_kernel=True
+    )
+    if args.probe_recall is not None:
+        pk = pk._replace(probe_recall=args.probe_recall)
     pj = pk._replace(use_kernel=False)
     sk = rough_scan(index, qd, pk)
     sj = rough_scan(index, qd, pj)
@@ -109,8 +135,21 @@ def main():
     # End-to-end ids must match too (exact selection path).
     dk = search(index, qd, pk._replace(approx_select=False))
     dj = search(index, qd, pj._replace(approx_select=False))
-    assert np.array_equal(np.asarray(dk[1]), np.asarray(dj[1])), "ids differ"
+    ids_exact = np.asarray(dk[1])
+    assert np.array_equal(ids_exact, np.asarray(dj[1])), "ids differ"
     log("PARITY OK: end-to-end ids identical")
+
+    # Fast path (approx selection + lane-fold pre-selection, the default on
+    # TPU) must agree with the exact path on nearly all results.
+    ids_fast = np.asarray(search(index, qd, pk)[1])
+    overlap = np.mean(
+        [
+            len(set(ids_fast[i]) & set(ids_exact[i])) / ids_exact.shape[1]
+            for i in range(ids_exact.shape[0])
+        ]
+    )
+    log(f"fast-path overlap vs exact: {overlap:.4f}")
+    assert overlap >= 0.95, overlap
 
     if args.skip_timing:
         return
