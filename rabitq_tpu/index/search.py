@@ -53,19 +53,19 @@ class Candidates(NamedTuple):
 class RoughScan(NamedTuple):
     """Rough-distance scan output in cluster-visit order.
 
-    With no pre-reduction (``slots is None``) ``rough`` holds every slot of
-    every probed window ([B, probe * span]) and the position of flat value
-    j is starts[b, j // span] + j % span. With the kernel's lane-fold
-    pre-selection (SearchParams.select_reduce), ``rough`` is the per-bucket
-    minima ([B, probe * width]) and ``slots[b, j]`` is the ABSOLUTE
-    cluster-sorted position of each kept value (unspecified for +inf
-    entries).
+    Without pre-reduction ``rough`` holds every slot of every probed
+    window ([B, probe * span]) and the position of flat value j is
+    starts[b, j // span] + j % span. With the kernel's lane-fold
+    pre-selection (SearchParams.select_reduce), ``rough`` is the
+    per-bucket minima ([B, probe * 256]), SLOT-PACKED: each finite value
+    carries its window slot in its low ``fold_slot_bits(span)`` mantissa
+    bits (absolute position = starts[b, j // 256] + slot); see
+    ops/scan_kernel.py.
     """
 
     rough: jax.Array      # [B, probe * width] f32 (+inf on padded slots)
     starts: jax.Array     # [B, probe] int32 cluster start positions
     n_scanned: jax.Array  # [B] int32
-    slots: jax.Array | None = None  # [B, probe * width] int32 or None
 
 
 def _resolve(index: RaBitQIndex, params: SearchParams):
@@ -213,7 +213,7 @@ def rough_scan(
 
         span = ((cap + LANES - 1) // LANES) * LANES + LANES
         qvals = qq.quantized.reshape(s, index.dim).astype(jnp.int8)
-        rough, slots, aligned = pallas_rough_scan(
+        rough, _, aligned = pallas_rough_scan(
             index.codes_pm1,
             index.factors_tiled,
             starts_f,
@@ -230,9 +230,6 @@ def rough_scan(
             rough=rough.reshape(b, probe * width),
             starts=pos_base,
             n_scanned=sizes_all.sum(axis=-1).astype(jnp.int32),
-            slots=(
-                None if slots is None else slots.reshape(b, probe * width)
-            ),
         )
     planes = pack_query_bitplanes(qq.quantized)  # [B, probe, T, W]
     rough = _jnp_scan(
@@ -282,25 +279,54 @@ def estimate_candidates(
         neg_lb, flat_idx = jax.lax.top_k(-scan.rough, rerank)
         lb = -neg_lb
 
-    if scan.slots is not None:
-        # Lane-folded scan: kept values carry their absolute positions —
-        # one take_along_axis resolves them. (A key/value sort that would
-        # avoid even this gather costs ~6x more: full bitonic sort at
-        # [B, probe*256] dwarfs approx_min_k's partial reduce + narrow
-        # sort.)
-        pos = jnp.take_along_axis(scan.slots, flat_idx, axis=-1)
+    # Recover cluster-sorted positions. The per-candidate window-start
+    # lookup is a one-hot matmul, not take_along_axis: element gathers on
+    # TPU cost ~10 ns/element (~3 ms at [2048, 140]) while the one-hot
+    # contraction fuses to nothing.
+    task = flat_idx // width  # [B, R] index into probed clusters
+    base = _take_int_onehot(scan.starts, task, exact=index.n < (1 << 24))
+    if reduce:
+        # Lane-folded scan: kept values carry their window slot in their
+        # low mantissa bits (see pallas_rough_scan). Strip the slot bits
+        # from the returned bounds — the stripped value floor-quantizes
+        # the estimate, so it remains a valid lower bound.
+        from rabitq_tpu.consts import LANES as _L
+        from rabitq_tpu.ops.scan_kernel import fold_slot_bits
+
+        span = ((cap + _L - 1) // _L) * _L + _L
+        mask = (1 << fold_slot_bits(span)) - 1
+        bits = jax.lax.bitcast_convert_type(lb, jnp.int32)
+        pos = base + (bits & mask)  # +inf entries decode to slot 0
+        lb = jax.lax.bitcast_convert_type(bits & ~mask, jnp.float32)
     else:
-        # Recover cluster-sorted positions from flat (task, slot) indices —
-        # cheaper than materializing a [B, probe*width] position array.
-        task = flat_idx // width  # [B, R] index into probed clusters
-        slot = flat_idx % width
-        pos = jnp.take_along_axis(scan.starts, task, axis=-1) + slot
+        pos = base + flat_idx % width
     pos = jnp.minimum(pos, index.n - 1)  # invalid slots are +inf anyway
     return Candidates(
         pos=pos,
         lower_bound=lb,
         n_scanned=scan.n_scanned,
     )
+
+
+def _take_int_onehot(
+    src: jax.Array, idx: jax.Array, *, exact: bool
+) -> jax.Array:
+    """take_along_axis(src, idx, axis=-1) for non-negative int32 sources
+    via a one-hot f32 contraction (exact below 2^24). Falls back to the
+    real gather off-TPU or when values may exceed the f32 integer range."""
+    p = src.shape[-1]
+    if jax.default_backend() != "tpu" or not exact or p > 4096:
+        return jnp.take_along_axis(src, idx, axis=-1)
+    oh = (
+        idx[..., None] == jnp.arange(p, dtype=idx.dtype)[None, None, :]
+    ).astype(jnp.float32)
+    val = jnp.einsum(
+        "brp,bp->br",
+        oh,
+        src.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return val.astype(src.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))

@@ -89,19 +89,15 @@ def _kernel(
     scal_ref,    # [G2*QPC, 8] f32 per-task scalars (VMEM)
     codes_ref,   # [n_tiles, 128, D] int8 (HBM, manual DMA)
     facs_ref,    # [n_tiles, 8, 128] f32 (HBM, manual DMA)
-    *refs,       # fold: (out [.., 256] f32, slots [.., 256] i32) + scratch
-                 # else: (out [G2*QPC, span] f32,) + scratch
+    *refs,       # (out [G2*QPC, 256 if fold else span] f32,) + scratch
     tiles: int,
     nbuf: int,
     qpc: int,
     g2: int,
     fold: bool,
+    slot_bits: int,
 ):
-    if fold:
-        out_ref, sidx_ref, wbuf, fbuf, sems = refs
-    else:
-        (out_ref, wbuf, fbuf, sems) = refs
-        sidx_ref = None
+    (out_ref, wbuf, fbuf, sems) = refs
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
 
@@ -142,8 +138,6 @@ def _kernel(
     # Rows of padded groups are never read downstream (inv_row indexes
     # real tasks only), but the block must be defined.
     out_ref[...] = jnp.full_like(out_ref, jnp.inf)
-    if fold:
-        sidx_ref[...] = jnp.zeros_like(sidx_ref)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     kind = jax.lax.broadcasted_iota(jnp.int32, (1, _NSCAL), 1)
@@ -182,14 +176,20 @@ def _kernel(
                 # Running best-2 per lane across the window's tiles — the
                 # estimates are already in registers, so the fold is a few
                 # VPU selects per tile and the HBM output shrinks from
-                # span to 2x128 value + 2x128 slot columns. (Doing this
-                # post-kernel in XLA does NOT work: the compare/swap
-                # diamond dataflow defeats the fuser and every select
-                # materializes a [rows, span]-scale intermediate.)
+                # span to 2x128 value columns. (Doing this post-kernel in
+                # XLA does NOT work: the compare/swap diamond dataflow
+                # defeats the fuser and every select materializes a
+                # [rows, span]-scale intermediate.) The kept values are
+                # SLOT-PACKED: the window slot (ti*128+lane, < span)
+                # replaces the estimate's low ``slot_bits`` mantissa bits,
+                # so no separate slot array (and none of its gathers)
+                # exists at all. The packed float floor-quantizes the
+                # estimate by a relative 2^(slot_bits-23) — ~1e-4 at
+                # span 1024, far below the estimator's own error — and
+                # remains monotone, so comparisons sort packed values
+                # exactly like (quantized value, slot) pairs.
                 v1 = jnp.full((qpc, LANES), jnp.inf, jnp.float32)
                 v2 = jnp.full((qpc, LANES), jnp.inf, jnp.float32)
-                s1 = jnp.zeros((qpc, LANES), jnp.int32)
-                s2 = jnp.zeros((qpc, LANES), jnp.int32)
 
             fac = fbuf[slot, j2]  # [tiles, 8, 128] f32
             for ti in range(tiles):
@@ -211,24 +211,25 @@ def _kernel(
                 if not fold:
                     out_ref[rows, ti * LANES : (ti + 1) * LANES] = est
                     continue
-                # Absolute cluster-sorted position, so downstream
-                # selection needs no per-candidate index arithmetic or
-                # window-start gathers.
-                sl = jnp.broadcast_to(
-                    tile0_ref[step * g2 + j2] * LANES + ti * LANES + lane,
-                    (qpc, LANES),
-                ).astype(jnp.int32)
-                lt1 = est < v1
-                lt2 = est < v2
-                v2 = jnp.where(lt1, v1, jnp.where(lt2, est, v2))
-                s2 = jnp.where(lt1, s1, jnp.where(lt2, sl, s2))
-                v1 = jnp.where(lt1, est, v1)
-                s1 = jnp.where(lt1, sl, s1)
+                # Pack the window slot into the low mantissa bits; +inf
+                # (invalid) lanes stay exactly +inf (or-ing bits into the
+                # inf pattern would make NaNs).
+                eb = jax.lax.bitcast_convert_type(est, jnp.int32)
+                pb = (eb & jnp.int32(~((1 << slot_bits) - 1))) | (
+                    lane + ti * LANES
+                )
+                pe = jnp.where(
+                    valid,
+                    jax.lax.bitcast_convert_type(pb, jnp.float32),
+                    jnp.inf,
+                )
+                lt1 = pe < v1
+                lt2 = pe < v2
+                v2 = jnp.where(lt1, v1, jnp.where(lt2, pe, v2))
+                v1 = jnp.where(lt1, pe, v1)
             if fold:
                 out_ref[rows, 0:LANES] = v1
                 out_ref[rows, LANES : 2 * LANES] = v2
-                sidx_ref[rows, 0:LANES] = s1
-                sidx_ref[rows, LANES : 2 * LANES] = s2
 
 
 def _group_tasks(starts: jax.Array, sizes: jax.Array, qpc: int):
@@ -285,6 +286,12 @@ def _pick_nbuf(tiles: int, d: int, g2: int) -> int:
     return max(2, min(6, _WBUF_BUDGET // max(1, g2 * window)))
 
 
+def fold_slot_bits(span: int) -> int:
+    """Mantissa bits the fold path's slot packing occupies for a given
+    window span (see _kernel): enough to hold any window slot."""
+    return max(1, (span - 1).bit_length())
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -306,27 +313,30 @@ def pallas_rough_scan(
     k_max: int | None = None,  # static bound on distinct starts (index.k)
     reduce: bool = False,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array | None, jax.Array]:
-    """Returns (rough, slots, window_starts [S]).
+) -> tuple[jax.Array, None, jax.Array]:
+    """Returns (rough, None, window_starts [S]).
 
-    reduce False (full scan): rough is [S, span], slots is None, and the
-    position of slot j of task t is window_starts[t] + j; slots outside
-    the cluster's extent hold +inf.
+    reduce False (full scan): rough is [S, span] and the position of slot
+    j of task t is window_starts[t] + j; slots outside the cluster's
+    extent hold +inf.
 
     reduce True (per-lane pre-selection, no-op when span <= 256): each
     task's window is folded lane-wise IN the kernel epilogue, keeping the
     best TWO estimates per (task, slot % 128) bucket: rough is [S, 256]
-    bucket minima and slots is [S, 256] with the ABSOLUTE cluster-sorted
-    position of each kept value (slots of +inf entries are unspecified).
-    Rank-adjacent slots (neighbors in the centroid-distance sort) land in
-    different lanes, and losing a candidate takes THREE top values in one
-    (task, lane) — noise the static rerank budget absorbs. The fold runs
-    where the estimates already live in registers, so it is a few VPU
-    selects per tile while the kernel's HBM writes, the task-order
-    gather, and the downstream selection input all shrink by span/256 x
-    (the [S, span] materialization dominated the scan's XLA glue cost at
-    large batch; an XLA-side fold does not work — the compare/swap
-    diamond defeats the fuser).
+    bucket minima, SLOT-PACKED — each finite value carries its window
+    slot in its low ``fold_slot_bits(span)`` mantissa bits (the absolute
+    position is window_starts[t] + slot), floor-quantizing the estimate
+    by a relative 2^(bits-23) (~1e-4 at span 1024; the estimator's own
+    error is percent-level). Rank-adjacent slots (neighbors in the
+    centroid-distance sort) land in different lanes, and losing a
+    candidate takes THREE top values in one (task, lane) — noise the
+    static rerank budget absorbs. The fold runs where the estimates
+    already live in registers, so it is a few VPU selects per tile while
+    the kernel's HBM writes, the task-order gather, and the downstream
+    selection input all shrink by span/256 x; slot-packing additionally
+    deletes the separate slots array, its inverse-permutation gather, and
+    the downstream per-candidate take_along (measured ~5 ms combined at
+    batch 2048 x probe 32 — element gathers run at ~10 ns/element).
     """
     assert span % LANES == 0, span
     s = starts.shape[0]
@@ -354,40 +364,38 @@ def pallas_rough_scan(
     gsize_g = jnp.zeros((g_pad,), jnp.int32).at[gid].add(1)
     first_g = jnp.full((g_pad,), s, jnp.int32).at[gid].min(iota_s)
 
-    # Group-spread per-task operands via GATHER: output row r serves
-    # group r//qpc, slot r%qpc, whose sorted task is first_g + slot.
-    # first_g[r//qpc] is a qpc-fold repeat — broadcast+reshape, NOT a
-    # gather (1-D element gathers cost ~7ns/element; every one removed
-    # here is ~1ms at batch 2048 x probe 32).
+    # Group-spread per-task operands via ROW gathers only: output row r
+    # serves group r//qpc, slot r%qpc, whose sorted task is first_g +
+    # slot. first_g[r//qpc] is a qpc-fold repeat — broadcast+reshape, NOT
+    # a gather. Per-task operands are built ELEMENTWISE in task order,
+    # row-gathered into sorted order, then row-gathered again by
+    # src_sorted — row gathers (even 8-lane rows) run ~10-50x faster than
+    # the same traffic as 1-D element gathers (measured ~0.2 ms for
+    # [127k, 8] f32 rows vs ~1 ms per [127k] element gather).
     rows = jnp.arange(g_pad * qpc, dtype=jnp.int32)
     first_rep = jnp.broadcast_to(
         first_g[:, None], (g_pad, qpc)
     ).reshape(-1)
     src_sorted = jnp.minimum(first_rep + rows % qpc, s - 1)
-    src_task = order[src_sorted]
-    qg = qvals[src_task].astype(jnp.int8)
+    qg = qvals[order][src_sorted].astype(jnp.int8)
 
-    # Window extent bounds, packed per sorted task into ONE int32
-    # (win_lo < 128 always) so the group spread needs a single gather.
-    win_lo = ss - tile0_s * LANES
-    packed = (win_lo + sizes[order]) * LANES + win_lo
-    packed_t = packed[src_sorted]
-    lo_slot = (packed_t % LANES).astype(jnp.float32)
-    hi_slot = (packed_t // LANES).astype(jnp.float32)
-    scal_t = scal[src_task]
-    scal8 = jnp.stack(
+    # Window extent bounds are per-task values (elementwise in the
+    # unsorted task list); win_lo < 128 always.
+    win_lo_u = starts % LANES
+    scal8_u = jnp.stack(
         [
-            scal_t[:, 0],
-            scal_t[:, 1],
-            scal_t[:, 3],
-            jnp.sqrt(scal_t[:, 3]),
-            lo_slot,
-            hi_slot,
-            jnp.zeros_like(lo_slot),
-            jnp.zeros_like(lo_slot),
+            scal[:, 0],
+            scal[:, 1],
+            scal[:, 3],
+            jnp.sqrt(scal[:, 3]),
+            win_lo_u.astype(jnp.float32),
+            (win_lo_u + sizes).astype(jnp.float32),
+            jnp.zeros((s,), jnp.float32),
+            jnp.zeros((s,), jnp.float32),
         ],
         axis=-1,
-    )  # [g_pad*qpc, 8] f32
+    )  # [s, 8] f32
+    scal8 = scal8_u[order][src_sorted]  # [g_pad*qpc, 8] f32
 
     fold = bool(reduce) and span > 2 * LANES
     owidth = 2 * LANES if fold else span
@@ -401,15 +409,16 @@ def pallas_rough_scan(
             memory_space=pltpu.VMEM,
         )
     ]
-    if fold:
-        out_shape.append(
-            jax.ShapeDtypeStruct((g_pad * qpc, owidth), jnp.int32)
-        )
-        out_specs.append(out_specs[0])
 
     result = pl.pallas_call(
         functools.partial(
-            _kernel, tiles=tiles, nbuf=nbuf, qpc=qpc, g2=g2, fold=fold
+            _kernel,
+            tiles=tiles,
+            nbuf=nbuf,
+            qpc=qpc,
+            g2=g2,
+            fold=fold,
+            slot_bits=fold_slot_bits(span),
         ),
         out_shape=out_shape,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -443,7 +452,7 @@ def pallas_rough_scan(
         cost_estimate=pl.CostEstimate(
             flops=2 * g_max * qpc * span * d,
             bytes_accessed=g_max
-            * (tiles * LANES * (d + 32) + qpc * (d + 32 + owidth * 8)),
+            * (tiles * LANES * (d + 32) + qpc * (d + 32 + owidth * 4)),
             transcendentals=0,
         ),
     )(tile0_g, gsize_g, qg, scal8, codes_pm1, factors_tiled)
@@ -451,7 +460,4 @@ def pallas_rough_scan(
     # Back to original task order (row gather; scatters are slow).
     inv_row = jnp.zeros((s,), jnp.int32).at[order].set(gid * qpc + slot)
     aligned = (starts // LANES) * LANES
-    if not fold:
-        return result[0][inv_row], None, aligned
-    vals_g, slots_g = result
-    return vals_g[inv_row], slots_g[inv_row], aligned
+    return result[0][inv_row], None, aligned

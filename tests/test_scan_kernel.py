@@ -236,9 +236,23 @@ def test_group_bound_is_safe(rng):
             assert len(np.unique(flat)) == s
 
 
+def _pack_oracle(full, span):
+    """Slot-pack a [s, span] full-scan oracle exactly as the kernel fold
+    does: window slot into the low fold_slot_bits(span) mantissa bits,
+    +inf rows stay exactly +inf."""
+    from rabitq_tpu.ops.scan_kernel import fold_slot_bits
+
+    mask = (1 << fold_slot_bits(span)) - 1
+    bits = full.astype(np.float32).view(np.int32)
+    slots = np.arange(span, dtype=np.int32)[None, :]
+    packed = ((bits & ~mask) | slots).view(np.float32)
+    return np.where(np.isfinite(full), packed, np.float32(np.inf)), mask
+
+
 def test_lane_fold_preselection(scan_inputs):
     """reduce=True must return, per task and per lane bucket (slot % 128),
-    the two smallest full-scan values with their exact slots."""
+    the two smallest SLOT-PACKED full-scan values; decoded slots must
+    point back at values matching up to the packing quantum."""
     bits, factors, codes_pm1, facs, starts, sizes, quant, scal, cap = (
         scan_inputs
     )
@@ -246,33 +260,34 @@ def test_lane_fold_preselection(scan_inputs):
     full, _, aligned = _run(
         codes_pm1, facs, starts, sizes, quant, scal, span
     )
-    vals, slots, aligned_r = _run(
+    vals, slots_none, aligned_r = _run(
         codes_pm1, facs, starts, sizes, quant, scal, span, reduce=True
     )
+    assert slots_none is None
     full = np.asarray(full)
-    vals, slots = np.asarray(vals), np.asarray(slots)
+    vals = np.asarray(vals)
     np.testing.assert_array_equal(np.asarray(aligned), np.asarray(aligned_r))
     s = starts.shape[0]
-    assert vals.shape == (s, 256) and slots.shape == (s, 256)
+    assert vals.shape == (s, 256)
+    packed, mask = _pack_oracle(full, span)
     for t in range(s):
         for lane in range(128):
-            bucket = full[t, lane::128]
+            bucket = packed[t, lane::128]
             best2 = np.sort(bucket)[:2]
             got = np.array([vals[t, lane], vals[t, 128 + lane]])
             np.testing.assert_array_equal(np.sort(got), best2)
-            # Slots are ABSOLUTE positions and must point back at the
-            # kept values (slots of +inf entries are unspecified:
-            # downstream masks non-finite lower bounds first).
+            # Decoded slots point back at the kept values.
             for col in (lane, 128 + lane):
                 if np.isfinite(vals[t, col]):
-                    sl = slots[t, col] - aligned[t]
+                    vb = vals[t, col : col + 1].view(np.int32)[0]
+                    sl = vb & mask
                     assert sl % 128 == lane
-                    assert full[t, sl] == vals[t, col]
+                    assert packed[t, sl] == vals[t, col]
 
 
 def test_lane_fold_empty_and_small_clusters(scan_inputs):
-    """The in-kernel fold must be exact for empty extents (all +inf, slots
-    stay 0) and single-row clusters."""
+    """The in-kernel fold must be exact for empty extents (all +inf) and
+    single-row clusters."""
     bits, factors, codes_pm1, facs, starts, sizes, quant, scal, cap = (
         scan_inputs
     )
@@ -281,18 +296,19 @@ def test_lane_fold_empty_and_small_clusters(scan_inputs):
     sizes[1:3] = 1
     span = cap + 256
     full, _, aligned = _run(codes_pm1, facs, starts, sizes, quant, scal, span)
-    vals, slots, _ = _run(
+    vals, _, _ = _run(
         codes_pm1, facs, starts, sizes, quant, scal, span, reduce=True
     )
-    full, vals, slots = np.asarray(full), np.asarray(vals), np.asarray(slots)
-    aligned = np.asarray(aligned)
+    full, vals = np.asarray(full), np.asarray(vals)
+    packed, mask = _pack_oracle(full, span)
     assert np.isinf(vals[0]).all()
     for t in (1, 2):
         fin = np.isfinite(vals[t])
         assert fin.sum() == 1
         (col,) = np.where(fin)[0:1]
-        sl = slots[t, col[0]] - aligned[t]
-        assert full[t, sl] == vals[t, col[0]]
+        vb = vals[t, col[0] : col[0] + 1].view(np.int32)[0]
+        sl = vb & mask
+        assert packed[t, sl] == vals[t, col[0]]
         assert np.isfinite(full[t]).sum() == 1
 
 

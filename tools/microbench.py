@@ -1,0 +1,249 @@
+"""Real-TPU micro-benchmarks of the search pipeline's sub-stages.
+
+Splits each pipeline stage into its pieces (the stage breakdown in
+tpu_checks.py stops at whole stages) so optimization effort lands on the
+actual cost centers:
+
+  cluster_select = rotate + cdist matmul | approx_min_k
+  rough_scan     = quantize | grouping glue | kernel | inv-order gather
+  cand_select    = approx_min_k | slot take_along_axis
+
+Same differential fori_loop methodology as tpu_checks.py (one dispatch,
+N device-side iterations with perturbed inputs, subtract a 1-iteration
+run). Run OUTSIDE pytest on the real chip.
+
+Usage: python tools/microbench.py [--n 1000000] [--k 4096] [--batch 2048]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--probe", type=int, default=32)
+    ap.add_argument("--rerank", type=int, default=140)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu import SearchParams, build_index
+    from rabitq_tpu.consts import LANES, THETA_LOG_DIM
+    from rabitq_tpu.index.search import _prep_queries, _resolve
+    from rabitq_tpu.kmeans import kmeans
+    from rabitq_tpu.ops import (
+        pairwise_l2sq,
+        quantize_query_residuals,
+        rotate,
+    )
+    from rabitq_tpu.ops import scan_kernel as SK
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    log(f"device: {jax.devices()[0]}")
+
+    from bench import make_dataset
+
+    base, queries = make_dataset(args.n, args.dim, 1024, args.batch, seed=7)
+    t0 = time.time()
+    centroids = kmeans(
+        base[: min(args.n, 200_000)], args.k, iters=8, key=jax.random.key(1)
+    )
+    index = build_index(base, centroids, key=jax.random.key(2))
+    log(f"built in {time.time()-t0:.1f}s  capacity={index.capacity}")
+
+    params = SearchParams(
+        probe=args.probe, topk=10, rerank=args.rerank, use_kernel=True
+    )
+    probe, cap, rerank = _resolve(index, params)
+    qb = jnp.asarray(queries[: args.batch])
+    span = ((cap + LANES - 1) // LANES) * LANES + LANES
+
+    def timeit(name, fn, *fargs):
+        def make(iters):
+            @jax.jit
+            def loop(idx, qs, *rest):
+                def body(i, acc):
+                    return acc + fn(
+                        idx, qs + i.astype(jnp.float32) * 1e-6, *rest
+                    )
+
+                return jax.lax.fori_loop(0, iters, body, 0.0)
+
+            return loop
+
+        ln, l1 = make(args.iters), make(1)
+        _ = float(ln(index, qb, *fargs))
+        _ = float(l1(index, qb, *fargs))
+
+        def best_of(f, reps=3):
+            ts = []
+            for r in range(reps):
+                qp = qb + np.float32(1e-5) * (r + 1)
+                t0 = time.time()
+                _ = float(f(index, qp, *fargs))
+                ts.append(time.time() - t0)
+            return min(ts)
+
+        t = (best_of(ln) - best_of(l1)) / (args.iters - 1)
+        log(f"{name:>28}: {t*1e3:8.3f} ms")
+        return t
+
+    def fin_sum(x):
+        return jnp.where(jnp.isfinite(x), x, 0.0).sum()
+
+    # ---- cluster_select pieces -----------------------------------------
+    def t_rotate(idx, qs):
+        y = rotate(_prep_queries(idx, qs), idx.orthogonal)
+        return y.sum()
+
+    def t_cdist(idx, qs):
+        y = rotate(_prep_queries(idx, qs), idx.orthogonal)
+        return pairwise_l2sq(y, idx.centroids_rot).sum()
+
+    def t_csel(idx, qs):
+        y = rotate(_prep_queries(idx, qs), idx.orthogonal)
+        cdist = pairwise_l2sq(y, idx.centroids_rot)
+        nv, cids = jax.lax.approx_min_k(
+            cdist, probe, recall_target=params.probe_recall
+        )
+        return fin_sum(nv) + cids.sum().astype(jnp.float32)
+
+    timeit("rotate", t_rotate)
+    timeit("rotate+cdist", t_cdist)
+    timeit("rotate+cdist+approx_min_k", t_csel)
+
+    # ---- rough_scan pieces ---------------------------------------------
+    def residuals(idx, qs):
+        y = rotate(_prep_queries(idx, qs), idx.orthogonal)
+        cdist = pairwise_l2sq(y, idx.centroids_rot)
+        _, cids = jax.lax.approx_min_k(
+            cdist, probe, recall_target=params.probe_recall
+        )
+        yr = y[:, None, :] - idx.centroids_rot[cids]
+        ycd = jnp.sum(yr * yr, axis=-1)
+        return cids, yr, ycd
+
+    def t_quant(idx, qs):
+        cids, yr, ycd = residuals(idx, qs)
+        qq = quantize_query_residuals(yr, idx.rand_bias)
+        return (
+            qq.quantized.astype(jnp.float32).sum()
+            + qq.lower.sum()
+            + ycd.sum()
+        )
+
+    timeit("..+residual quantize", t_quant)
+
+    # Kernel inputs precomputed once (host) so the kernel piece can be
+    # timed in isolation, glue excluded.
+    s = args.batch * probe
+    cids0, yr0, ycd0 = jax.jit(residuals)(index, qb)
+    qq0 = quantize_query_residuals(yr0, index.rand_bias)
+    starts0 = index.offsets[cids0].reshape(s)
+    sizes0 = (index.offsets[cids0 + 1] - index.offsets[cids0]).reshape(s)
+    qvals0 = qq0.quantized.reshape(s, index.dim).astype(jnp.int8)
+    scal0 = jnp.stack(
+        [
+            qq0.lower.reshape(s),
+            qq0.delta.reshape(s),
+            qq0.code_sum.reshape(s),
+            ycd0.reshape(s),
+        ],
+        axis=-1,
+    )
+    qpc = SK._pick_qpc(s, index.k)
+    log(f"s={s} qpc={qpc} span={span}")
+
+    def t_glue(idx, qs, starts, sizes, qvals, scal):
+        # Grouping + group-spread operand construction, no kernel call.
+        # Perturb starts via qs to defeat memoization (qs unused
+        # otherwise).
+        order, gid, slot = SK._group_tasks(starts, sizes, qpc)
+        g_max = SK._group_bound(s, qpc, idx.k)
+        g_pad = ((g_max + SK._G2 - 1) // SK._G2) * SK._G2
+        ss = starts[order]
+        tile0_s = ss // LANES
+        iota_s = jnp.arange(s, dtype=jnp.int32)
+        tile0_g = jnp.zeros((g_pad,), jnp.int32).at[gid].set(tile0_s)
+        gsize_g = jnp.zeros((g_pad,), jnp.int32).at[gid].add(1)
+        first_g = jnp.full((g_pad,), s, jnp.int32).at[gid].min(iota_s)
+        rows = jnp.arange(g_pad * qpc, dtype=jnp.int32)
+        first_rep = jnp.broadcast_to(
+            first_g[:, None], (g_pad, qpc)
+        ).reshape(-1)
+        src_sorted = jnp.minimum(first_rep + rows % qpc, s - 1)
+        src_task = order[src_sorted]
+        qg = qvals[src_task].astype(jnp.int8)
+        scal_t = scal[src_task]
+        return (
+            qg.astype(jnp.float32).sum()
+            + scal_t.sum()
+            + tile0_g.sum().astype(jnp.float32)
+            + gsize_g.sum().astype(jnp.float32)
+            + qs.sum() * 0.0
+        )
+
+    def t_kernel_full(idx, qs, starts, sizes, qvals, scal):
+        rough, slots, aligned = SK.pallas_rough_scan(
+            idx.codes_pm1,
+            idx.factors_tiled,
+            starts,
+            sizes,
+            qvals,
+            scal,
+            span=span,
+            k_max=idx.k,
+            reduce=True,
+        )
+        return (
+            fin_sum(rough)
+            + slots.sum().astype(jnp.float32)
+            + qs.sum() * 0.0
+        )
+
+    timeit("scan glue (group+spread)", t_glue, starts0, sizes0, qvals0, scal0)
+    timeit(
+        "scan kernel e2e (glue+pallas+inv)",
+        t_kernel_full,
+        starts0,
+        sizes0,
+        qvals0,
+        scal0,
+    )
+
+    # ---- cand_select pieces --------------------------------------------
+    from rabitq_tpu.index.search import estimate_candidates, rough_scan
+
+    def t_scan_stage(idx, qs):
+        sc = rough_scan(idx, qs, params, reduce=True)
+        return fin_sum(sc.rough) + sc.starts.sum().astype(jnp.float32)
+
+    def t_cand(idx, qs):
+        c = estimate_candidates(idx, qs, params)
+        return fin_sum(c.lower_bound) + c.pos.sum().astype(jnp.float32)
+
+    t_scan = timeit("rough_scan stage (full)", t_scan_stage)
+    t_cand_v = timeit("estimate_candidates (full)", t_cand)
+    log(f"cand_select marginal: {(t_cand_v - t_scan)*1e3:.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,258 @@
+"""Glue-level microbench: pieces of the scan glue + selection alternatives.
+
+Every timed function's inputs are perturbed with jnp.roll(i) so XLA cannot
+hoist the work out of the timing fori_loop (microbench.py's isolated glue
+numbers were fictional for exactly that reason).
+
+Usage: python tools/microbench2.py
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu.consts import LANES
+    from rabitq_tpu.ops import scan_kernel as SK
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    log(f"device: {jax.devices()[0]}")
+
+    B, K, PROBE, D = 2048, 4096, 32, 128
+    S = B * PROBE
+    N = 1_000_000
+    CAP = 512
+    SPAN = ((CAP + LANES - 1) // LANES) * LANES + LANES
+    RERANK = 140
+    rng = np.random.default_rng(0)
+
+    # Synthetic but realistically-shaped inputs.
+    sizes_np = rng.poisson(N // K, K).astype(np.int32)
+    offs = np.concatenate([[0], np.cumsum(sizes_np)]).astype(np.int32)
+    cids_np = rng.integers(0, K, (S,)).astype(np.int32)
+    starts0 = jnp.asarray(offs[cids_np])
+    sizes0 = jnp.asarray(sizes_np[cids_np])
+    qvals0 = jnp.asarray(rng.integers(0, 16, (S, D)), jnp.int8)
+    scal0 = jnp.asarray(rng.standard_normal((S, 4)).astype(np.float32) ** 2)
+    cdist0 = jnp.asarray(
+        rng.standard_normal((B, K)).astype(np.float32) ** 2
+    )
+    rough0 = jnp.asarray(
+        rng.standard_normal((B, PROBE * 256)).astype(np.float32) ** 2
+    )
+    slots0 = jnp.asarray(
+        rng.integers(0, N, (B, PROBE * 256)), jnp.int32
+    )
+    vals_wide0 = jnp.asarray(
+        rng.standard_normal((S, 256)).astype(np.float32)
+    )
+    qpc = SK._pick_qpc(S, K)
+    g_max = SK._group_bound(S, qpc, K)
+    g_pad = ((g_max + SK._G2 - 1) // SK._G2) * SK._G2
+    log(f"S={S} qpc={qpc} g_pad={g_pad} rows={g_pad*qpc}")
+
+    ITERS = 20
+
+    def timeit(name, fn, *fargs):
+        def make(iters):
+            @jax.jit
+            def loop(*a):
+                def body(i, acc):
+                    return acc + fn(i, *a)
+
+                return jax.lax.fori_loop(0, iters, body, 0.0)
+
+            return loop
+
+        ln, l1 = make(ITERS), make(1)
+        _ = float(ln(*fargs))
+        _ = float(l1(*fargs))
+
+        def best_of(f, reps=3):
+            ts = []
+            for _ in range(reps):
+                t0 = time.time()
+                _ = float(f(*fargs))
+                ts.append(time.time() - t0)
+            return min(ts)
+
+        t = (best_of(ln) - best_of(l1)) / (ITERS - 1)
+        log(f"{name:>44}: {t*1e3:8.3f} ms")
+        return t
+
+    def fin_sum(x):
+        return jnp.where(jnp.isfinite(x), x, 0.0).sum()
+
+    # --- selection alternatives ------------------------------------------
+    def t_amk_cluster(i, cd):
+        c = jnp.roll(cd, i, axis=0)
+        v, ix = jax.lax.approx_min_k(c, PROBE, recall_target=0.9)
+        return v.sum() + ix.sum().astype(jnp.float32)
+
+    def t_topk_cluster(i, cd):
+        c = jnp.roll(cd, i, axis=0)
+        v, ix = jax.lax.top_k(-c, PROBE)
+        return v.sum() + ix.sum().astype(jnp.float32)
+
+    def t_fold_cluster(i, cd):
+        # Manual 2-level fold: [B, K] -> [B, K//LANES, LANES] min over
+        # axis 1 keeping args, then exact top_k over the [B, LANES]
+        # residue.  Equivalent recall structure to approx_min_k (bucket
+        # collisions), reduction ratio K/LANES.
+        c = jnp.roll(cd, i, axis=0)
+        r = c.reshape(B, K // LANES, LANES)
+        m = r.min(axis=1)  # [B, LANES]
+        a = r.argmin(axis=1).astype(jnp.int32)  # [B, LANES]
+        v, lane = jax.lax.top_k(-m, PROBE)  # [B, PROBE]
+        fold = jnp.take_along_axis(a, lane, axis=-1)
+        ids = fold * LANES + lane
+        return v.sum() + ids.sum().astype(jnp.float32)
+
+    def t_fold8_cluster(i, cd):
+        # Fold to 512 bins (ratio 8) then approx_min_k on the residue.
+        c = jnp.roll(cd, i, axis=0)
+        r = c.reshape(B, 8, K // 8)
+        m = r.min(axis=1)
+        a = r.argmin(axis=1).astype(jnp.int32)
+        v, col = jax.lax.approx_min_k(m, PROBE, recall_target=0.95)
+        fold = jnp.take_along_axis(a, col, axis=-1)
+        ids = fold * (K // 8) + col
+        return v.sum() + ids.sum().astype(jnp.float32)
+
+    timeit("cluster approx_min_k [2048,4096]->32", t_amk_cluster, cdist0)
+    timeit("cluster exact top_k", t_topk_cluster, cdist0)
+    timeit("cluster lane-fold + top_k(128)", t_fold_cluster, cdist0)
+    timeit("cluster fold8 + approx_min_k(512)", t_fold8_cluster, cdist0)
+
+    def t_amk_cand(i, ro, sl):
+        r = jnp.roll(ro, i, axis=0)
+        lb, ix = jax.lax.approx_min_k(r, RERANK, recall_target=0.95)
+        pos = jnp.take_along_axis(sl, ix, axis=-1)
+        return fin_sum(lb) + pos.sum().astype(jnp.float32)
+
+    def t_amk_cand_noslot(i, ro, sl):
+        r = jnp.roll(ro, i, axis=0)
+        lb, ix = jax.lax.approx_min_k(r, RERANK, recall_target=0.95)
+        return fin_sum(lb) + ix.sum().astype(jnp.float32)
+
+    def t_fold_cand(i, ro, sl):
+        # Fold [B, 8192] by 8 -> [B, 1024] bins, exact top_k 140.
+        r = jnp.roll(ro, i, axis=0)
+        f = r.reshape(B, 8, (PROBE * 256) // 8)
+        m = f.min(axis=1)
+        a = f.argmin(axis=1).astype(jnp.int32)
+        lb, col = jax.lax.top_k(-m, RERANK)
+        fold = jnp.take_along_axis(a, col, axis=-1)
+        ix = fold * ((PROBE * 256) // 8) + col
+        pos = jnp.take_along_axis(sl, ix, axis=-1)
+        return fin_sum(-lb) + pos.sum().astype(jnp.float32)
+
+    timeit("cand approx_min_k [2048,8192]->140 +slot", t_amk_cand, rough0, slots0)
+    timeit("cand approx_min_k, no slot gather", t_amk_cand_noslot, rough0, slots0)
+    timeit("cand fold8 + exact top_k(1024) +slot", t_fold_cand, rough0, slots0)
+
+    # --- glue pieces ------------------------------------------------------
+    def t_lexsort(i, st, sz):
+        s2 = jnp.roll(st, i)
+        order = jnp.lexsort((sz, s2))
+        return order.sum().astype(jnp.float32)
+
+    def t_group(i, st, sz):
+        s2 = jnp.roll(st, i)
+        order, gid, slot = SK._group_tasks(s2, sz, qpc)
+        return (gid.sum() + slot.sum() + order.sum()).astype(jnp.float32)
+
+    def t_spread_idx(i, st, sz):
+        s2 = jnp.roll(st, i)
+        order, gid, slot = SK._group_tasks(s2, sz, qpc)
+        iota_s = jnp.arange(S, dtype=jnp.int32)
+        first_g = jnp.full((g_pad,), S, jnp.int32).at[gid].min(iota_s)
+        rows = jnp.arange(g_pad * qpc, dtype=jnp.int32)
+        first_rep = jnp.broadcast_to(
+            first_g[:, None], (g_pad, qpc)
+        ).reshape(-1)
+        src_sorted = jnp.minimum(first_rep + rows % qpc, S - 1)
+        src_task = order[src_sorted]
+        return src_task.sum().astype(jnp.float32)
+
+    def t_spread_qg(i, st, sz, qv):
+        s2 = jnp.roll(st, i)
+        order, gid, slot = SK._group_tasks(s2, sz, qpc)
+        iota_s = jnp.arange(S, dtype=jnp.int32)
+        first_g = jnp.full((g_pad,), S, jnp.int32).at[gid].min(iota_s)
+        rows = jnp.arange(g_pad * qpc, dtype=jnp.int32)
+        first_rep = jnp.broadcast_to(
+            first_g[:, None], (g_pad, qpc)
+        ).reshape(-1)
+        src_sorted = jnp.minimum(first_rep + rows % qpc, S - 1)
+        src_task = order[src_sorted]
+        qg = qv[src_task]
+        return qg.astype(jnp.float32).sum()
+
+    def t_spread_scal(i, st, sz, sc):
+        s2 = jnp.roll(st, i)
+        order, gid, slot = SK._group_tasks(s2, sz, qpc)
+        iota_s = jnp.arange(S, dtype=jnp.int32)
+        first_g = jnp.full((g_pad,), S, jnp.int32).at[gid].min(iota_s)
+        rows = jnp.arange(g_pad * qpc, dtype=jnp.int32)
+        first_rep = jnp.broadcast_to(
+            first_g[:, None], (g_pad, qpc)
+        ).reshape(-1)
+        src_sorted = jnp.minimum(first_rep + rows % qpc, S - 1)
+        src_task = order[src_sorted]
+        ss = s2[order]
+        tile0_s = ss // LANES
+        win_lo = ss - tile0_s * LANES
+        packed = (win_lo + sz[order]) * LANES + win_lo
+        packed_t = packed[src_sorted]
+        lo_slot = (packed_t % LANES).astype(jnp.float32)
+        hi_slot = (packed_t // LANES).astype(jnp.float32)
+        scal_t = sc[src_task]
+        scal8 = jnp.stack(
+            [
+                scal_t[:, 0],
+                scal_t[:, 1],
+                scal_t[:, 3],
+                jnp.sqrt(scal_t[:, 3]),
+                lo_slot,
+                hi_slot,
+                jnp.zeros_like(lo_slot),
+                jnp.zeros_like(lo_slot),
+            ],
+            axis=-1,
+        )
+        return scal8.sum()
+
+    def t_inv_gather(i, st, sz, vw):
+        s2 = jnp.roll(st, i)
+        order, gid, slot = SK._group_tasks(s2, sz, qpc)
+        inv_row = jnp.zeros((S,), jnp.int32).at[order].set(
+            gid * qpc + slot
+        )
+        out = vw[jnp.minimum(inv_row, S - 1)]
+        return out.sum()
+
+    timeit("lexsort [65536]", t_lexsort, starts0, sizes0)
+    timeit("group_tasks (lexsort+scan)", t_group, starts0, sizes0)
+    timeit("..+first_g scatter + src_task idx", t_spread_idx, starts0, sizes0)
+    timeit("..+qvals row-gather [127k,128]i8", t_spread_qg, starts0, sizes0, qvals0)
+    timeit("..+scal8 build [127k,8]f32", t_spread_scal, starts0, sizes0, scal0)
+    timeit("inv gather [65536,256]f32", t_inv_gather, starts0, sizes0, vals_wide0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Decision microbench for the glue rework: gather widths, one-hot
+take_along, approx_min_k recall targets, scan alternatives.
+
+Usage: python tools/microbench3.py
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    log(f"device: {jax.devices()[0]}")
+
+    B, PROBE = 2048, 32
+    S = B * PROBE
+    ROWS = 126976
+    ITERS = 20
+    rng = np.random.default_rng(0)
+    src_rows0 = jnp.asarray(rng.integers(0, S, (ROWS,)), jnp.int32)
+    idx140 = jnp.asarray(rng.integers(0, PROBE, (B, 140)), jnp.int32)
+    starts_bp = jnp.asarray(
+        rng.integers(0, 1_000_000, (B, PROBE)), jnp.int32
+    )
+    cdist0 = jnp.asarray(rng.standard_normal((B, 4096)).astype(np.float32) ** 2)
+    rough0 = jnp.asarray(
+        rng.standard_normal((B, PROBE * 256)).astype(np.float32) ** 2
+    )
+    rough_h0 = jnp.asarray(
+        rng.standard_normal((B, PROBE * 128)).astype(np.float32) ** 2
+    )
+    mask0 = jnp.asarray(rng.integers(0, 2, (S,)), jnp.int32)
+
+    def timeit(name, fn, *fargs):
+        def make(iters):
+            @jax.jit
+            def loop(*a):
+                def body(i, acc):
+                    return acc + fn(i, *a)
+
+                return jax.lax.fori_loop(0, iters, body, 0.0)
+
+            return loop
+
+        ln, l1 = make(ITERS), make(1)
+        _ = float(ln(*fargs))
+        _ = float(l1(*fargs))
+
+        def best_of(f, reps=3):
+            ts = []
+            for _ in range(reps):
+                t0 = time.time()
+                _ = float(f(*fargs))
+                ts.append(time.time() - t0)
+            return min(ts)
+
+        t = (best_of(ln) - best_of(l1)) / (ITERS - 1)
+        log(f"{name:>52}: {t*1e3:8.3f} ms")
+        return t
+
+    # --- row-gather width sweep -----------------------------------------
+    for w, dt in ((8, jnp.float32), (32, jnp.float32), (128, jnp.float32)):
+        a = jnp.asarray(rng.standard_normal((S, w)).astype(np.float32))
+
+        def t_rg(i, a, sr):
+            idx = jnp.roll(sr, i)
+            return a[idx].sum()
+
+        timeit(f"row gather [{ROWS/1e3:.0f}k,{w}]f32", t_rg, a, src_rows0)
+
+    a8 = jnp.asarray(rng.integers(0, 16, (S, 128)), jnp.int8)
+
+    def t_rg8(i, a, sr):
+        idx = jnp.roll(sr, i)
+        return a[idx].astype(jnp.float32).sum()
+
+    timeit("row gather [127k,128]i8", t_rg8, a8, src_rows0)
+
+    # --- element take_along vs one-hot matmul ----------------------------
+    def t_ta(i, st, ix):
+        ix2 = jnp.roll(ix, i, axis=0)
+        return jnp.take_along_axis(st, ix2, axis=-1).sum().astype(jnp.float32)
+
+    def t_onehot(i, st, ix):
+        ix2 = jnp.roll(ix, i, axis=0)
+        oh = (
+            ix2[:, :, None]
+            == jnp.arange(PROBE, dtype=jnp.int32)[None, None, :]
+        ).astype(jnp.float32)
+        val = jnp.einsum(
+            "brp,bp->br",
+            oh,
+            st.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return val.sum()
+
+    timeit("pos take_along [2048,32]->140", t_ta, starts_bp, idx140)
+    timeit("pos one-hot matmul [2048,32]->140", t_onehot, starts_bp, idx140)
+
+    # --- approx_min_k recall-target sweep --------------------------------
+    for rt in (0.99, 0.95, 0.9):
+        def t_amk(i, cd, rt=rt):
+            c = jnp.roll(cd, i, axis=0)
+            v, ix = jax.lax.approx_min_k(c, PROBE, recall_target=rt)
+            return v.sum() + ix.sum().astype(jnp.float32)
+
+        timeit(f"cluster amk [2048,4096]->32 rt={rt}", t_amk, cdist0)
+
+    for rt in (0.99, 0.95, 0.9):
+        def t_amkc(i, ro, rt=rt):
+            r = jnp.roll(ro, i, axis=0)
+            v, ix = jax.lax.approx_min_k(r, 140, recall_target=rt)
+            return jnp.where(jnp.isfinite(v), v, 0.0).sum() + ix.sum().astype(
+                jnp.float32
+            )
+
+        timeit(f"cand amk [2048,8192]->140 rt={rt}", t_amkc, rough0)
+
+    def t_amk_half(i, ro):
+        r = jnp.roll(ro, i, axis=0)
+        v, ix = jax.lax.approx_min_k(r, 140, recall_target=0.95)
+        return jnp.where(jnp.isfinite(v), v, 0.0).sum() + ix.sum().astype(
+            jnp.float32
+        )
+
+    timeit("cand amk [2048,4096]->140 rt=0.95 (fold1)", t_amk_half, rough_h0)
+
+    # --- 1-D scan alternatives -------------------------------------------
+    def t_cumsum1d(i, m):
+        x = jnp.roll(m, i)
+        return jnp.cumsum(x)[-1].astype(jnp.float32)
+
+    def t_cumsum2d(i, m):
+        x = jnp.roll(m, i).reshape(512, 128)
+        within = jnp.cumsum(x, axis=1)
+        rows = within[:, -1]
+        carry = jnp.cumsum(rows) - rows
+        return (within + carry[:, None])[-1, -1].astype(jnp.float32)
+
+    def t_cummax1d(i, m):
+        x = jnp.roll(m, i) * jnp.arange(S, dtype=jnp.int32)
+        return jax.lax.associative_scan(jnp.maximum, x)[-1].astype(
+            jnp.float32
+        )
+
+    def t_cummax2d(i, m):
+        x = (jnp.roll(m, i) * jnp.arange(S, dtype=jnp.int32)).reshape(
+            512, 128
+        )
+        within = jax.lax.associative_scan(jnp.maximum, x, axis=1)
+        rows = within[:, -1]
+        carry = jax.lax.associative_scan(jnp.maximum, rows)
+        carry = jnp.concatenate([jnp.full((1,), -(2**31), jnp.int32), carry[:-1]])
+        return jnp.maximum(within, carry[:, None])[-1, -1].astype(jnp.float32)
+
+    timeit("cumsum 1-D [65536]", t_cumsum1d, mask0)
+    timeit("cumsum 2-D [512,128]", t_cumsum2d, mask0)
+    timeit("cummax 1-D [65536]", t_cummax1d, mask0)
+    timeit("cummax 2-D [512,128]", t_cummax2d, mask0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Sweep approx_min_k recall targets on the real TPU: recall vs QPS.
+
+approx_min_k's recall_target is the dominant selection-cost knob
+(measured: cluster select 2.36 ms at 0.99 vs 0.13 ms at 0.9 on
+[2048, 4096] -> 32). The top-ranked cluster always survives the
+per-bucket reduction — only marginal clusters/candidates are at risk —
+so the end-to-end recall cost of a lower target is far smaller than the
+target itself suggests. This script measures that trade to set the
+SearchParams defaults.
+
+Usage: python tools/tune_select.py [--n 1000000] [--k 4096]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--probe", type=int, default=32)
+    ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument("--rerank", type=int, default=140)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu import SearchParams, build_index, calculate_recall
+    from rabitq_tpu.index.search import search
+    from rabitq_tpu.kmeans import kmeans
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    from bench import ground_truth, make_dataset
+
+    nq = args.batch
+    base, queries = make_dataset(args.n, args.dim, 1024, nq, seed=7)
+    t0 = time.time()
+    centroids = kmeans(
+        base[: min(args.n, 200_000)], args.k, iters=8, key=jax.random.key(1)
+    )
+    index = build_index(base, centroids, key=jax.random.key(2))
+    log(f"built in {time.time()-t0:.1f}s")
+    truth = ground_truth(base, queries, args.topk)
+    qd = jnp.asarray(queries)
+
+    def timed_recall(params):
+        ids = np.asarray(search(index, qd, params)[1])
+        rec = float(
+            np.mean(
+                [
+                    calculate_recall(truth[i], ids[i], args.topk)
+                    for i in range(nq)
+                ]
+            )
+        )
+
+        @jax.jit
+        def loop(idx, qs):
+            def body(i, acc):
+                d, out = search(idx, qs + i.astype(jnp.float32) * 1e-6, params)
+                return acc + d.sum() + out.sum().astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, args.iters, body, 0.0)
+
+        @jax.jit
+        def loop1(idx, qs):
+            d, out = search(idx, qs, params)
+            return d.sum() + out.sum().astype(jnp.float32)
+
+        _ = float(loop(index, qd))
+        _ = float(loop1(index, qd))
+        ts, t1s = [], []
+        for r in range(3):
+            qp = qd + np.float32(1e-5) * (r + 1)
+            t0 = time.time()
+            _ = float(loop(index, qp))
+            ts.append(time.time() - t0)
+            t0 = time.time()
+            _ = float(loop1(index, qp))
+            t1s.append(time.time() - t0)
+        per = (min(ts) - min(t1s)) / (args.iters - 1)
+        return rec, per
+
+    base_p = SearchParams(
+        probe=args.probe, topk=args.topk, rerank=args.rerank
+    )
+    for pr, sr in (
+        (0.99, 0.95),
+        (0.95, 0.95),
+        (0.95, 0.9),
+        (0.9, 0.9),
+        (0.9, 0.85),
+        (0.85, 0.8),
+    ):
+        p = base_p._replace(probe_recall=pr, select_recall=sr)
+        rec, per = timed_recall(p)
+        log(
+            f"probe_recall={pr} select_recall={sr}: recall@{args.topk}="
+            f"{rec:.4f}  {per*1e3:6.2f} ms/batch = "
+            f"{args.batch/per:,.0f} QPS/chip"
+        )
+
+    # Exact-selection reference point.
+    p = base_p._replace(approx_select=False)
+    rec, per = timed_recall(p)
+    log(
+        f"exact top_k selection:      recall@{args.topk}={rec:.4f}  "
+        f"{per*1e3:6.2f} ms/batch = {args.batch/per:,.0f} QPS/chip"
+    )
+
+
+if __name__ == "__main__":
+    main()
