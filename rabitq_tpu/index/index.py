@@ -235,12 +235,17 @@ class SearchParams(NamedTuple):
     approx_select: bool = True
     use_kernel: bool = True
     # Per-element recall targets of the two approx selections.
-    # Cluster selection gets the tight target: missing a top cluster loses
-    # all its candidates (measured at 1M x 128-d, probe 32: 0.99 recovers
-    # the exact-top_k recall at ~2% of its cost, while tightening the
-    # candidate selection costs ~40% throughput for +0.1pt recall).
-    probe_recall: float = 0.99
-    select_recall: float = 0.95
+    # approx_min_k's per-bucket reduction never drops the best element of
+    # a bucket, so the top-ranked clusters/candidates (which carry nearly
+    # all the recall) survive any target; only marginal ranks are at
+    # risk. Measured on the 1M x 128-d bench (tools/tune_select.py,
+    # probe=32, rerank=140): end-to-end recall@10 is flat within +-0.2pt
+    # from (0.99, 0.95) down to (0.90, 0.90) while ms/batch drops
+    # 16.8 -> 11.7; at select_recall 0.85 recall cliffs -3pt. Defaults
+    # sit one notch inside the cliff; raise toward 0.99 for
+    # probe-starved configs (probe ~= needed clusters with no headroom).
+    probe_recall: float = 0.95
+    select_recall: float = 0.9
     # Lane-fold pre-selection on the kernel scan output (TPU +
     # approx_select only): keep the best 2 estimates per (task, slot%128)
     # bucket right on the grouped kernel output, then the best ~keep per
@@ -251,3 +256,10 @@ class SearchParams(NamedTuple):
     # final sort input all shrink by ~span/256 x. False = bit-exact full
     # scan output + approx_min_k selection.
     select_reduce: bool = True
+    # Estimates kept per (task, lane) bucket by the fold (1 or 2). Depth 1
+    # halves the fold output, its task-order gather, and the candidate
+    # selection input, but a candidate is then lost when 2 (not 3) better
+    # values share its bucket — measured -2.5pt recall@10 when clusters
+    # hold ~2.4 rows per lane (20k x 100-d, probe 16). Keep 2 unless the
+    # average cluster size is well under 128.
+    fold_depth: int = 2

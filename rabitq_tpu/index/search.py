@@ -148,7 +148,7 @@ def rough_scan(
     index: RaBitQIndex,
     queries: jax.Array,
     params: SearchParams,
-    reduce: bool = False,
+    reduce: bool | int = False,
 ) -> RoughScan:
     """Stages 1-3: rough-distance scan, in cluster-visit order.
 
@@ -260,13 +260,19 @@ def estimate_candidates(
     probe, cap, rerank = _resolve(index, params)
 
     on_tpu = jax.default_backend() == "tpu"
-    reduce = bool(
-        on_tpu
-        and params.approx_select
-        and params.use_kernel
-        and index.codes_pm1 is not None
-        and params.select_reduce
-        and rerank <= probe * 256  # folded width must fit the budget
+    depth = max(1, min(2, int(getattr(params, "fold_depth", 2))))
+    reduce = (
+        depth
+        if (
+            on_tpu
+            and params.approx_select
+            and params.use_kernel
+            and index.codes_pm1 is not None
+            and params.select_reduce
+            # folded width must fit the budget
+            and rerank <= probe * depth * 128
+        )
+        else 0
     )
     scan = rough_scan(index, queries, params, reduce=reduce)
     width = scan.rough.shape[-1] // probe
@@ -375,6 +381,24 @@ def search(
         )
     ids = jnp.where(jnp.isfinite(dists), ids, -1)
     return dists, ids
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def search_many(
+    index: RaBitQIndex, queries: jax.Array, params: SearchParams
+) -> tuple[jax.Array, jax.Array]:
+    """Whole-queryset search in ONE device dispatch.
+
+    queries: [nb, batch, dim_orig]; returns (dists, ids) shaped
+    [nb, batch, topk]. lax.map runs the batches sequentially device-side,
+    so transient memory stays one batch while the ~10-30 ms per-dispatch
+    tunnel cost (and the host round-trip between batches) is paid once
+    for the whole set — the TPU analog of the reference CLI's full
+    query-file loop (crates/cli/src/main.rs:69-82). For streaming
+    arrivals use search() per batch (utils.pipelined_map overlaps the
+    dispatches).
+    """
+    return jax.lax.map(lambda q: search(index, q, params), queries)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))

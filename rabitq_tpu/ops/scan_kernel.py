@@ -94,7 +94,7 @@ def _kernel(
     nbuf: int,
     qpc: int,
     g2: int,
-    fold: bool,
+    fold: int,
     slot_bits: int,
 ):
     (out_ref, wbuf, fbuf, sems) = refs
@@ -189,7 +189,7 @@ def _kernel(
                 # remains monotone, so comparisons sort packed values
                 # exactly like (quantized value, slot) pairs.
                 v1 = jnp.full((qpc, LANES), jnp.inf, jnp.float32)
-                v2 = jnp.full((qpc, LANES), jnp.inf, jnp.float32)
+                v2 = jnp.full((qpc, LANES), jnp.inf, jnp.float32)  # fold>=2
 
             fac = fbuf[slot, j2]  # [tiles, 8, 128] f32
             for ti in range(tiles):
@@ -224,12 +224,14 @@ def _kernel(
                     jnp.inf,
                 )
                 lt1 = pe < v1
-                lt2 = pe < v2
-                v2 = jnp.where(lt1, v1, jnp.where(lt2, pe, v2))
+                if fold >= 2:
+                    lt2 = pe < v2
+                    v2 = jnp.where(lt1, v1, jnp.where(lt2, pe, v2))
                 v1 = jnp.where(lt1, pe, v1)
             if fold:
                 out_ref[rows, 0:LANES] = v1
-                out_ref[rows, LANES : 2 * LANES] = v2
+                if fold >= 2:
+                    out_ref[rows, LANES : 2 * LANES] = v2
 
 
 def _group_tasks(starts: jax.Array, sizes: jax.Array, qpc: int):
@@ -311,7 +313,7 @@ def pallas_rough_scan(
     g2: int = _G2,
     nbuf: int | None = None,
     k_max: int | None = None,  # static bound on distinct starts (index.k)
-    reduce: bool = False,
+    reduce: bool | int = False,  # True/2: best-2 fold; 1: best-1 fold
     interpret: bool = False,
 ) -> tuple[jax.Array, None, jax.Array]:
     """Returns (rough, None, window_starts [S]).
@@ -397,8 +399,12 @@ def pallas_rough_scan(
     )  # [s, 8] f32
     scal8 = scal8_u[order][src_sorted]  # [g_pad*qpc, 8] f32
 
-    fold = bool(reduce) and span > 2 * LANES
-    owidth = 2 * LANES if fold else span
+    # reduce True (or 2): best-2-per-lane fold ([S, 256] out); reduce 1:
+    # best-1 ([S, 128] out — halves the task-order gather and the
+    # downstream selection input at a small collision-loss cost).
+    depth = 2 if reduce is True else min(2, max(0, int(reduce)))
+    fold = depth if (depth and span > depth * LANES) else 0
+    owidth = fold * LANES if fold else span
     out_shape = [
         jax.ShapeDtypeStruct((g_pad * qpc, owidth), jnp.float32)
     ]

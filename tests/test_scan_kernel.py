@@ -285,6 +285,26 @@ def test_lane_fold_preselection(scan_inputs):
                     assert packed[t, sl] == vals[t, col]
 
 
+def test_lane_fold_depth1(scan_inputs):
+    """reduce=1 keeps the single smallest slot-packed value per lane."""
+    bits, factors, codes_pm1, facs, starts, sizes, quant, scal, cap = (
+        scan_inputs
+    )
+    span = cap + 256
+    full, _, _ = _run(codes_pm1, facs, starts, sizes, quant, scal, span)
+    vals, slots_none, _ = _run(
+        codes_pm1, facs, starts, sizes, quant, scal, span, reduce=1
+    )
+    assert slots_none is None
+    full, vals = np.asarray(full), np.asarray(vals)
+    s = starts.shape[0]
+    assert vals.shape == (s, 128)
+    packed, _ = _pack_oracle(full, span)
+    np.testing.assert_array_equal(
+        vals, packed.reshape(s, -1, 128).min(axis=1)
+    )
+
+
 def test_lane_fold_empty_and_small_clusters(scan_inputs):
     """The in-kernel fold must be exact for empty extents (all +inf) and
     single-row clusters."""

@@ -117,6 +117,14 @@ def main():
             f"{args.batch/per:,.0f} QPS/chip"
         )
 
+    # Fold depth 1 at the chosen targets.
+    p = base_p._replace(probe_recall=0.95, select_recall=0.9, fold_depth=1)
+    rec, per = timed_recall(p)
+    log(
+        f"fold_depth=1 (0.95/0.9):    recall@{args.topk}={rec:.4f}  "
+        f"{per*1e3:6.2f} ms/batch = {args.batch/per:,.0f} QPS/chip"
+    )
+
     # Exact-selection reference point.
     p = base_p._replace(approx_select=False)
     rec, per = timed_recall(p)
