@@ -236,6 +236,14 @@ def main():
         "deep10m: 10M x 96-d disk tier (codes in HBM, vectors host-mmap)",
     )
     ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument(
+        "--fold",
+        type=int,
+        default=None,
+        help="override SearchParams.select_reduce (1/0; default on). "
+        "With the two-pass decorrelated selection the fold costs no "
+        "recall and saves ~25%% device time.",
+    )
     ap.add_argument("--topk", type=int, default=None)
     ap.add_argument("--target-recall", type=float, default=0.95)
     args = ap.parse_args()
@@ -312,11 +320,19 @@ def main():
     batch = min(args.batch, nq)
     nq_pad = (nq // batch) * batch
     best = None
-    for probe in (4, 8, 16, 24, 32, 48, 64, 96, 128):
+    for probe in (4, 8, 16, 24, 32, 40, 48, 64, 96, 128):
         if probe > k:
             break
+        # Scale the rerank budget with probe: a fixed budget dilutes as
+        # more clusters are scanned (more noise candidates crowd the
+        # static top-R), capping recall no matter the probe — the
+        # reference's dynamic heap threshold adapts automatically
+        # (rerank.rs:84); this is the static-shape analog.
         params = SearchParams(
-            probe=probe, topk=args.topk, rerank=max(140, 4 * args.topk)
+            probe=probe,
+            topk=args.topk,
+            rerank=max(140, 3 * probe, 4 * args.topk),
+            select_reduce=bool(args.fold) if args.fold is not None else True,
         )
         _ = np.asarray(search(index, qd[:batch], params)[1])  # compile
         # Pipelined eval: batch N+1's dispatch is issued before batch N's
@@ -356,7 +372,10 @@ def main():
     from rabitq_tpu.index.search import search_many
 
     params = SearchParams(
-        probe=probe, topk=args.topk, rerank=max(140, 4 * args.topk)
+        probe=probe,
+        topk=args.topk,
+        rerank=max(140, 3 * probe, 4 * args.topk),
+        select_reduce=bool(args.fold) if args.fold is not None else True,
     )
     q3 = qd[:nq_pad].reshape(nq_pad // batch, batch, -1)
     ids_f = np.asarray(search_many(index, q3, params)[1])  # compile

@@ -238,14 +238,26 @@ class SearchParams(NamedTuple):
     # approx_min_k's per-bucket reduction never drops the best element of
     # a bucket, so the top-ranked clusters/candidates (which carry nearly
     # all the recall) survive any target; only marginal ranks are at
-    # risk. Measured on the 1M x 128-d bench (tools/tune_select.py,
-    # probe=32, rerank=140): end-to-end recall@10 is flat within +-0.2pt
-    # from (0.99, 0.95) down to (0.90, 0.90) while ms/batch drops
-    # 16.8 -> 11.7; at select_recall 0.85 recall cliffs -3pt. Defaults
-    # sit one notch inside the cliff; raise toward 0.99 for
-    # probe-starved configs (probe ~= needed clusters with no headroom).
+    # risk. Cluster selection at 0.95 measured recall-neutral vs 0.99 at
+    # 14x less cost (tools/tune_select.py). select_recall trades
+    # candidate-selection sharpness for cost; measured on the fold path
+    # its losses overlap the fold's own (sr 0.9 vs 0.95: same recall,
+    # -5 ms/batch), while on the no-fold path 0.95 is worth +0.8pt.
+    # Cross the last recall points with probe (+ the rerank budget
+    # scaling with it), not with sr.
     probe_recall: float = 0.95
     select_recall: float = 0.9
+    # Candidate-selection passes (TPU approx path). 2 = bucket-
+    # decorrelated double approx_min_k (see search._amk_two_pass): pass
+    # 1 task-major, pass 2 lane-major (transposed), union merged by
+    # kv-sort. approx_min_k's losses are reduction-bucket collisions
+    # among ADJACENT columns — exactly where a cluster's candidates
+    # sit — so the second layout recovers them: measured +0.6pt
+    # recall@10 for +1.9 ms at batch 2048 x probe 32 (0.9501 vs 0.9438),
+    # strictly better recall-per-ms than raising select_recall (which
+    # grows the reduction's final sort superlinearly). 1 = single
+    # task-major pass (throughput mode).
+    select_passes: int = 2
     # Lane-fold pre-selection on the kernel scan output (TPU +
     # approx_select only): keep the best 2 estimates per (task, slot%128)
     # bucket right on the grouped kernel output, then the best ~keep per

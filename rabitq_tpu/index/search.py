@@ -278,9 +278,19 @@ def estimate_candidates(
     width = scan.rough.shape[-1] // probe
 
     if params.approx_select and on_tpu:
-        lb, flat_idx = jax.lax.approx_min_k(
-            scan.rough, rerank, recall_target=params.select_recall
-        )
+        passes = max(1, int(getattr(params, "select_passes", 1)))
+        if passes >= 2 and probe > 1:
+            lb, flat_idx = _amk_two_pass(
+                scan.rough, probe, width, rerank, params.select_recall
+            )
+        else:
+            # NOTE a single LANE-major pass was measured strictly worse
+            # than task-major (0.9033 vs 0.9428 recall@10): it collides
+            # the best candidates of different clusters instead. Only
+            # the union of both layouts wins (select_passes=2).
+            lb, flat_idx = jax.lax.approx_min_k(
+                scan.rough, rerank, recall_target=params.select_recall
+            )
     else:
         neg_lb, flat_idx = jax.lax.top_k(-scan.rough, rerank)
         lb = -neg_lb
@@ -312,6 +322,55 @@ def estimate_candidates(
         lower_bound=lb,
         n_scanned=scan.n_scanned,
     )
+
+
+def _lane_major(rough: jax.Array, probe: int, width: int) -> jax.Array:
+    """[B, probe*width] task-major -> lane-major: new column
+    sub*probe + task holds old column task*width + sub. Decode:
+    flat = (col % probe) * width + col // probe."""
+    b = rough.shape[0]
+    return (
+        rough.reshape(b, probe, width)
+        .swapaxes(1, 2)
+        .reshape(b, probe * width)
+    )
+
+
+def _amk_two_pass(
+    rough: jax.Array, probe: int, width: int, rerank: int, rt: float
+) -> tuple[jax.Array, jax.Array]:
+    """Bucket-decorrelated double approx_min_k.
+
+    approx_min_k's losses are per-bucket collisions: a candidate dies
+    when a better value lands in its reduction bucket, and a cluster's
+    candidates occupy ADJACENT task-major columns, so collisions hit
+    exactly the clusters that matter. Pass 1 runs task-major, pass 2
+    lane-major (a transpose — every column's neighborhood changes
+    completely), making the two passes' losses nearly independent: the
+    union's miss rate is ~(single-pass miss)^2 for ~2x the (cheap,
+    low-recall-target) reduction cost. The union is merged with two
+    [B, 2R] key/value sorts: sort by value, suppress exact
+    (value, index) duplicate pairs to +inf, re-sort, slice R — no
+    per-candidate gathers (element gathers cost ~10 ns/element).
+
+    Returns (lb, flat_idx) exactly like a single approx_min_k call;
+    works on both raw and slot-packed scan values (duplicates are
+    identified by (value, flat index) equality, not value alone).
+    """
+    lb1, fi1 = jax.lax.approx_min_k(rough, rerank, recall_target=rt)
+    lb2, fi2t = jax.lax.approx_min_k(
+        _lane_major(rough, probe, width), rerank, recall_target=rt
+    )
+    fi2 = (fi2t % probe) * width + fi2t // probe
+    lb_all = jnp.concatenate([lb1, lb2], axis=-1)  # [B, 2R]
+    fi_all = jnp.concatenate([fi1, fi2], axis=-1)
+    lb_s, fi_s = jax.lax.sort_key_val(lb_all, fi_all, dimension=-1)
+    dup = (lb_s[:, 1:] == lb_s[:, :-1]) & (fi_s[:, 1:] == fi_s[:, :-1])
+    lb_d = jnp.concatenate(
+        [lb_s[:, :1], jnp.where(dup, jnp.inf, lb_s[:, 1:])], axis=-1
+    )
+    lb_f, fi_f = jax.lax.sort_key_val(lb_d, fi_s, dimension=-1)
+    return lb_f[:, :rerank], fi_f[:, :rerank]
 
 
 def _take_int_onehot(

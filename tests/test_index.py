@@ -113,3 +113,35 @@ def test_probe_larger_than_k_is_clamped(rng):
     dists, ids = search(idx, jnp.asarray(base[:2]), params)
     assert ids.shape == (2, 5)
     assert np.isfinite(np.asarray(dists)).all()
+
+
+def test_amk_two_pass_merge_is_exact_on_cpu(rng):
+    """On CPU approx_min_k is exact, so the bucket-decorrelated double
+    selection must reproduce exact top-R: the merge (kv-sort, duplicate
+    suppression by (value, index) pair, re-sort, slice) may not drop or
+    double-count candidates even with repeated values in the input."""
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu.index.search import _amk_two_pass
+
+    b, probe, width, rerank = 4, 8, 8, 16
+    rough = rng.standard_normal((b, probe * width)).astype(np.float32)
+    # Force repeated values (the dedup must use (value, index) pairs).
+    rough[:, 1] = rough[:, 0]
+    rough[0, 10:14] = 7.5
+    rough = jnp.asarray(rough)
+
+    lb, fi = _amk_two_pass(rough, probe, width, rerank, 0.95)
+    lb, fi = np.asarray(lb), np.asarray(fi)
+
+    neg, fi_exact = jax.lax.top_k(-rough, rerank)
+    lb_exact = -np.asarray(neg)
+    np.testing.assert_array_equal(lb, lb_exact)
+    # Same candidate set (indices may tie-break differently on equal
+    # values); no index may repeat.
+    for r in range(b):
+        assert len(set(fi[r])) == rerank
+        assert np.array_equal(
+            np.sort(np.asarray(rough)[r][fi[r]]), np.sort(lb_exact[r])
+        )

@@ -46,7 +46,7 @@ def main():
     import jax.numpy as jnp
 
     from rabitq_tpu import SearchParams, build_index
-    from rabitq_tpu.consts import LANES, THETA_LOG_DIM
+    from rabitq_tpu.consts import LANES
     from rabitq_tpu.index.search import _prep_queries, _resolve
     from rabitq_tpu.kmeans import kmeans
     from rabitq_tpu.ops import (

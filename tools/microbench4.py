@@ -1,0 +1,112 @@
+"""amk/topk selection cost matrix at candidate widths + fold variants.
+
+Usage: python tools/microbench4.py
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    B = 2048
+    ITERS = 20
+    rng = np.random.default_rng(0)
+    full0 = jnp.asarray(
+        rng.standard_normal((B, 8192)).astype(np.float32) ** 2
+    )
+
+    def timeit(name, fn, *fargs):
+        def make(iters):
+            @jax.jit
+            def loop(*a):
+                def body(i, acc):
+                    return acc + fn(i, *a)
+
+                return jax.lax.fori_loop(0, iters, body, 0.0)
+
+            return loop
+
+        ln, l1 = make(ITERS), make(1)
+        _ = float(ln(*fargs))
+        _ = float(l1(*fargs))
+
+        def best_of(f, reps=3):
+            ts = []
+            for _ in range(reps):
+                t0 = time.time()
+                _ = float(f(*fargs))
+                ts.append(time.time() - t0)
+            return min(ts)
+
+        t = (best_of(ln) - best_of(l1)) / (ITERS - 1)
+        log(f"{name:>46}: {t*1e3:8.3f} ms")
+        return t
+
+    for w in (1024, 2048, 4096):
+        for rt in (0.95, 0.99):
+
+            def t_amk(i, x, w=w, rt=rt):
+                r = jnp.roll(x, i, axis=0)[:, :w]
+                v, ix = jax.lax.approx_min_k(r, 140, recall_target=rt)
+                return v.sum() + ix.sum().astype(jnp.float32)
+
+            timeit(f"amk [{B},{w}]->140 rt={rt}", t_amk, full0)
+
+    for w in (256, 512, 1024):
+
+        def t_topk(i, x, w=w):
+            r = jnp.roll(x, i, axis=0)[:, :w]
+            k = min(140, w)
+            v, ix = jax.lax.top_k(-r, k)
+            return v.sum() + ix.sum().astype(jnp.float32)
+
+        timeit(f"exact top_k [{B},{w}]->min(140,w)", t_topk, full0)
+
+    # Fold (repack 3 task bits + min over task groups of 8) + amk on the
+    # residue — the candidate-select pipeline under consideration.
+    def t_fold8_amk(i, x):
+        r = jnp.roll(x, i, axis=0)  # [B, 8192] = [B, 32 tasks, 256]
+        bits = jax.lax.bitcast_convert_type(r, jnp.int32)
+        sub = (
+            jnp.arange(32, dtype=jnp.int32)[None, :, None] % 8
+        ) << 10
+        bits = (bits.reshape(B, 32, 256) & jnp.int32(~0x1FFF)) | sub
+        rp = jax.lax.bitcast_convert_type(bits, jnp.float32)
+        folded = rp.reshape(B, 4, 8, 256).min(axis=2).reshape(B, 1024)
+        v, ix = jax.lax.approx_min_k(folded, 140, recall_target=0.99)
+        return v.sum() + ix.sum().astype(jnp.float32)
+
+    timeit("fold8(repack)+amk [2048,1024]->140 rt=.99", t_fold8_amk, full0)
+
+    def t_fold4_amk(i, x):
+        r = jnp.roll(x, i, axis=0)
+        bits = jax.lax.bitcast_convert_type(r, jnp.int32)
+        sub = (
+            jnp.arange(32, dtype=jnp.int32)[None, :, None] % 4
+        ) << 10
+        bits = (bits.reshape(B, 32, 256) & jnp.int32(~0xFFF)) | sub
+        rp = jax.lax.bitcast_convert_type(bits, jnp.float32)
+        folded = rp.reshape(B, 8, 4, 256).min(axis=2).reshape(B, 2048)
+        v, ix = jax.lax.approx_min_k(folded, 140, recall_target=0.99)
+        return v.sum() + ix.sum().astype(jnp.float32)
+
+    timeit("fold4(repack)+amk [2048,2048]->140 rt=.99", t_fold4_amk, full0)
+
+
+if __name__ == "__main__":
+    main()

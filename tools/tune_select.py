@@ -37,6 +37,26 @@ def main():
     ap.add_argument("--topk", type=int, default=10)
     ap.add_argument("--rerank", type=int, default=140)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument(
+        "--passes",
+        type=int,
+        default=1,
+        help="SearchParams.select_passes applied to every combo",
+    )
+    ap.add_argument(
+        "--grid",
+        action="store_true",
+        help="sweep (select_recall x rerank) at probe_recall=0.95 on top "
+        "of the base sweep (the selection-loss compensation surface)",
+    )
+    ap.add_argument(
+        "--combos",
+        type=str,
+        default=None,
+        help="comma-separated pr:sr:rerank combos to evaluate, e.g. "
+        "'0.99:0.95:140,0.95:0.95:200'",
+    )
     args = ap.parse_args()
 
     import jax
@@ -50,7 +70,7 @@ def main():
     from bench import ground_truth, make_dataset
 
     nq = args.batch
-    base, queries = make_dataset(args.n, args.dim, 1024, nq, seed=7)
+    base, queries = make_dataset(args.n, args.dim, 1024, nq, seed=args.seed)
     t0 = time.time()
     centroids = kmeans(
         base[: min(args.n, 200_000)], args.k, iters=8, key=jax.random.key(1)
@@ -99,8 +119,48 @@ def main():
         return rec, per
 
     base_p = SearchParams(
-        probe=args.probe, topk=args.topk, rerank=args.rerank
+        probe=args.probe,
+        topk=args.topk,
+        rerank=args.rerank,
+        select_passes=args.passes,
     )
+    if args.combos:
+        for spec in args.combos.split(","):
+            parts = spec.split(":")
+            pr, sr, rr = parts[:3]
+            reduce_on = bool(int(parts[3])) if len(parts) > 3 else True
+            passes = int(parts[4]) if len(parts) > 4 else args.passes
+            p = base_p._replace(
+                probe_recall=float(pr),
+                select_recall=float(sr),
+                rerank=int(rr),
+                select_reduce=reduce_on,
+                select_passes=passes,
+            )
+            rec, per = timed_recall(p)
+            log(
+                f"pr={pr} sr={sr} rerank={rr} fold={int(reduce_on)} "
+                f"passes={passes}: "
+                f"recall@{args.topk}={rec:.4f}  {per*1e3:6.2f} ms/batch "
+                f"= {args.batch/per:,.0f} QPS/chip"
+            )
+        return
+    if args.grid:
+        for sr in (0.9, 0.95):
+            for rr in (140, 200):
+                p = base_p._replace(
+                    probe_recall=0.95,
+                    select_recall=sr,
+                    rerank=rr,
+                )
+                rec, per = timed_recall(p)
+                log(
+                    f"sr={sr} rerank={rr}: "
+                    f"recall@{args.topk}={rec:.4f}  "
+                    f"{per*1e3:6.2f} ms/batch = "
+                    f"{args.batch/per:,.0f} QPS/chip"
+                )
+        return
     for pr, sr in (
         (0.99, 0.95),
         (0.95, 0.95),
