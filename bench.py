@@ -389,7 +389,7 @@ def main():
             ]
         )
     )
-    times = []
+    times_f, times_p = [], []
     for it in range(3):
         # Perturb per pass: the device runtime memoizes identical
         # (executable, inputs) executions, which would make repeat passes
@@ -397,12 +397,26 @@ def main():
         qp = q3 + np.float32(1e-5) * (it + 1)
         t0 = time.time()
         _ = np.asarray(search_many(index, qp, params)[1])
-        times.append(time.time() - t0)
-    qps = nq_pad / min(times)
+        times_f.append(time.time() - t0)
+        # Pipelined per-batch path: at large dim the fused path's
+        # up-front whole-set upload dominates (d2h/h2d ~30 MB/s through
+        # the tunnel), while per-batch dispatches overlap uploads with
+        # compute — the better of the two is the honest serving number.
+        qp2 = qd[:nq_pad] + np.float32(2e-5) * (it + 1)
+        t0 = time.time()
+        for _ in pipelined_map(
+            lambda qb: search(index, qb, params)[1],
+            (qp2[s : s + batch] for s in range(0, nq_pad, batch)),
+        ):
+            pass
+        times_p.append(time.time() - t0)
+    qps_fused = nq_pad / min(times_f)
+    qps_pipe = nq_pad / min(times_p)
+    qps = max(qps_fused, qps_pipe)
     recall = recall_f
     log(
         f"final: probe={probe} recall={recall:.4f} QPS={qps:.0f} "
-        f"(pipelined per-batch: {qps_pipe:.0f})"
+        f"(fused: {qps_fused:.0f}, pipelined: {qps_pipe:.0f})"
     )
 
     cfg = "quick" if args.quick else args.config
@@ -420,6 +434,7 @@ def main():
                     probe=probe,
                     recall=round(recall, 4),
                     batch=batch,
+                    qps_fused=round(qps_fused, 1),
                     qps_pipelined=round(qps_pipe, 1),
                     build_seconds=round(build_s, 1),
                     device=str(jax.devices()[0]),
