@@ -114,6 +114,13 @@ def bench_service(args):
             url, queries, truth, topk, probe, workers=workers, binary=True
         )
         wall = time.time() - t0
+        # Batched protocol (/query_bin_batch): one POST carries 64
+        # queries, amortizing the per-request round-trip.
+        from rabitq_tpu.service.client import run_batched
+
+        t0 = time.time()
+        recalls_b, _ = run_batched(url, queries, truth, topk, probe)
+        wall_b = time.time() - t0
     finally:
         server.shutdown()
         engine.close()
@@ -129,6 +136,8 @@ def bench_service(args):
                     p50_ms=round(float(np.percentile(lat, 50)), 2),
                     qps=round(nq / wall, 1),
                     recall=round(float(np.mean(recalls)), 4),
+                    qps_batched=round(nq / wall_b, 1),
+                    recall_batched=round(float(np.mean(recalls_b)), 4),
                 ),
             )
         )

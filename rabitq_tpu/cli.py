@@ -72,6 +72,10 @@ def cmd_run(args) -> None:
     params = SearchParams(
         probe=args.probe, topk=args.topk, rerank=args.rerank
     )
+    if getattr(args, "select_passes", None):
+        params = params._replace(select_passes=args.select_passes)
+    if getattr(args, "no_fold", False):
+        params = params._replace(select_reduce=False)
     trace_ctx = (
         device_trace(args.trace) if args.trace else contextlib.nullcontext()
     )
@@ -211,6 +215,19 @@ def main(argv=None) -> None:
         action="store_true",
         help="early-stop search: double probe until the result is "
         "geometrically certified (probe flag = starting probe)",
+    )
+    p_run.add_argument(
+        "--select-passes",
+        type=int,
+        default=None,
+        help="candidate-selection passes (2 = bucket-decorrelated union, "
+        "the default; 1 = single pass, faster at ~0.6pt recall cost)",
+    )
+    p_run.add_argument(
+        "--no-fold",
+        action="store_true",
+        help="disable the kernel lane-fold pre-selection "
+        "(SearchParams.select_reduce=False)",
     )
     p_run.add_argument(
         "--profile",

@@ -1,0 +1,117 @@
+"""End-to-end CLI tests (reference component #24, cli/src/main.rs).
+
+Drives `rabitq_tpu.cli.main(argv)` in-process (the session sitecustomize
+force-selects the tunneled TPU for subprocesses, so a subprocess CLI
+would race the benchmark runs; in-process inherits this suite's CPU
+backend) over tiny fvecs fixtures: build -> saved dir, run
+(load-or-build) -> recall/QPS report, and the search-knob flags added
+beyond the reference (--select-passes, --no-fold, --profile).
+"""
+
+import numpy as np
+import pytest
+
+from rabitq_tpu.cli import main as cli_main
+from rabitq_tpu.io import write_matrix
+
+
+def _make_fixtures(tmp_path, rng, n=600, dim=32, k=8, nq=20, topk=5):
+    centers = rng.standard_normal((k, dim)).astype(np.float32)
+    base = (
+        centers[rng.integers(0, k, n)]
+        + 0.15 * rng.standard_normal((n, dim))
+    ).astype(np.float32)
+    queries = base[:nq] + 0.01 * rng.standard_normal((nq, dim)).astype(
+        np.float32
+    )
+    d2 = ((base[None, :, :] - queries[:, None, :]) ** 2).sum(-1)
+    truth = np.argsort(d2, axis=1)[:, :topk].astype(np.int32)
+    paths = {
+        "base": tmp_path / "base.fvecs",
+        "centroids": tmp_path / "centroids.fvecs",
+        "query": tmp_path / "query.fvecs",
+        "truth": tmp_path / "truth.ivecs",
+        "saved": tmp_path / "saved",
+    }
+    write_matrix(paths["base"], base)
+    write_matrix(paths["centroids"], centers)
+    write_matrix(paths["query"], queries)
+    write_matrix(paths["truth"], truth)
+    return paths, topk
+
+
+def test_cli_build_then_run(tmp_path, rng, caplog, capsys):
+    paths, topk = _make_fixtures(tmp_path, rng)
+    cli_main(
+        [
+            "build",
+            "-b", str(paths["base"]),
+            "-c", str(paths["centroids"]),
+            "-s", str(paths["saved"]),
+        ]
+    )
+    assert (paths["saved"] / "x_binary_vec.u64vecs").exists()
+
+    import logging
+
+    with caplog.at_level(logging.INFO):
+        cli_main(
+            [
+                "run",
+                "-b", str(paths["base"]),
+                "-c", str(paths["centroids"]),
+                "-s", str(paths["saved"]),  # load-or-build: loads
+                "-q", str(paths["query"]),
+                "-t", str(paths["truth"]),
+                "-p", "8",
+                "-k", str(topk),
+                "--batch", "8",
+                "--profile",
+            ]
+        )
+    out = caplog.text + capsys.readouterr().out
+    assert "recall" in out.lower()
+    # --profile prints the phase timer report.
+    assert "load_or_build" in out
+
+
+def test_cli_run_search_knob_flags(tmp_path, rng, caplog):
+    paths, topk = _make_fixtures(tmp_path, rng)
+    import logging
+
+    with caplog.at_level(logging.INFO):
+        cli_main(
+            [
+                "run",
+                "-b", str(paths["base"]),
+                "-c", str(paths["centroids"]),
+                "-s", str(paths["saved"]),  # load-or-build: builds
+                "-q", str(paths["query"]),
+                "-t", str(paths["truth"]),
+                "-p", "8",
+                "-k", str(topk),
+                "--batch", "8",
+                "--select-passes", "1",
+                "--no-fold",
+            ]
+        )
+    rec = [
+        r for r in caplog.records if "recall" in r.getMessage().lower()
+    ]
+    assert rec, caplog.text
+
+
+def test_cli_run_rejects_bad_rerank_mode(tmp_path, rng):
+    paths, topk = _make_fixtures(tmp_path, rng)
+    with pytest.raises(SystemExit):
+        cli_main(
+            [
+                "run",
+                "-b", str(paths["base"]),
+                "-c", str(paths["centroids"]),
+                "-s", str(paths["saved"]),
+                "-q", str(paths["query"]),
+                "-t", str(paths["truth"]),
+                "--rerank-mode", "bogus",
+            ]
+        )
