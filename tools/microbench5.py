@@ -1,0 +1,95 @@
+"""Rerank gather locality: random vs per-row-sorted candidate positions.
+
+The rerank stage's dominant cost is the [B, R] row gather of 512 B base
+rows (~9 ns/row measured). Candidates cluster inside probed windows, so
+sorting positions per row might let the gather ride HBM bursts.
+
+Usage: python tools/microbench5.py
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    B, R, N, D = 2048, 140, 1_000_000, 128
+    ITERS = 20
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+    # Realistic positions: per row, R candidates spread over ~32 windows
+    # of ~500 contiguous rows each.
+    win = rng.integers(0, N - 512, (B, 32))
+    pos_np = (
+        win[:, rng.integers(0, 32, R)] + rng.integers(0, 500, (B, R))
+    ).astype(np.int32)
+    pos_rand = jnp.asarray(pos_np)
+    q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+
+    def timeit(name, fn, *fargs):
+        def make(iters):
+            @jax.jit
+            def loop(*a):
+                def body(i, acc):
+                    return acc + fn(i, *a)
+
+                return jax.lax.fori_loop(0, iters, body, 0.0)
+
+            return loop
+
+        ln, l1 = make(ITERS), make(1)
+        _ = float(ln(*fargs))
+        _ = float(l1(*fargs))
+
+        def best_of(f, reps=3):
+            ts = []
+            for _ in range(reps):
+                t0 = time.time()
+                _ = float(f(*fargs))
+                ts.append(time.time() - t0)
+            return min(ts)
+
+        t = (best_of(ln) - best_of(l1)) / (ITERS - 1)
+        log(f"{name:>44}: {t*1e3:8.3f} ms")
+        return t
+
+    def t_gather_rand(i, b, p, qq):
+        pp = jnp.roll(p, i, axis=0)
+        xb = b[pp]
+        diff = xb - qq[:, None, :]
+        return jnp.sum(diff * diff)
+
+    def t_gather_sorted(i, b, p, qq):
+        pp = jnp.sort(jnp.roll(p, i, axis=0), axis=-1)
+        xb = b[pp]
+        diff = xb - qq[:, None, :]
+        return jnp.sum(diff * diff)
+
+    def t_gather_flat_sorted(i, b, p, qq):
+        # Globally sorted flat gather (ignores row structure; measures
+        # the locality ceiling).
+        pp = jnp.sort(jnp.roll(p, i, axis=0).reshape(-1))
+        xb = b[pp]
+        return xb.sum()
+
+    timeit("rerank gather+dist, random pos", t_gather_rand, base, pos_rand, q)
+    timeit("rerank gather+dist, row-sorted pos", t_gather_sorted, base, pos_rand, q)
+    timeit("flat gather, globally sorted", t_gather_flat_sorted, base, pos_rand, q)
+
+
+if __name__ == "__main__":
+    main()
