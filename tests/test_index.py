@@ -145,3 +145,29 @@ def test_amk_two_pass_merge_is_exact_on_cpu(rng):
         assert np.array_equal(
             np.sort(np.asarray(rough)[r][fi[r]]), np.sort(lb_exact[r])
         )
+
+
+def test_search_many_matches_per_batch(rng):
+    """The fused whole-set dispatch (lax.map) must return exactly what
+    per-batch search returns."""
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import make_clustered_dataset
+    from rabitq_tpu import SearchParams, build_index
+    from rabitq_tpu.index.search import search, search_many
+
+    base, centers = make_clustered_dataset(rng, n=900, dim=48, k=8)
+    idx = build_index(base, centers, key=jax.random.key(5))
+    params = SearchParams(probe=4, topk=5, rerank=32)
+    q = jnp.asarray(base[:32] + 0.01)
+    q3 = q.reshape(4, 8, -1)
+
+    d_many, i_many = search_many(idx, q3, params)
+    d_ref, i_ref = search(idx, q, params)
+    np.testing.assert_array_equal(
+        np.asarray(i_many).reshape(32, -1), np.asarray(i_ref)
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_many).reshape(32, -1), np.asarray(d_ref), rtol=1e-6
+    )
