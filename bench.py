@@ -329,7 +329,7 @@ def main():
     batch = min(args.batch, nq)
     nq_pad = (nq // batch) * batch
     best = None
-    for probe in (4, 8, 16, 24, 32, 40, 48, 64, 96, 128):
+    for probe in (4, 8, 16, 24, 32, 40, 48, 64, 80, 96, 128):
         if probe > k:
             break
         # Scale the rerank budget with probe: a fixed budget dilutes as
