@@ -189,7 +189,7 @@ def bench_deep10m(args):
     log(f"ground truth in {time.time()-t0:.1f}s")
 
     best = None
-    for probe in (8, 16, 32, 48, 64, 96):
+    for probe in (8, 16, 32, 40, 48, 64, 96):
         params = SearchParams(probe=probe, topk=topk, rerank=150)
         t0 = time.time()
         dists, ids = search_with_store(index, queries, params, store)
@@ -329,7 +329,7 @@ def main():
     batch = min(args.batch, nq)
     nq_pad = (nq // batch) * batch
     best = None
-    for probe in (4, 8, 16, 24, 32, 40, 48, 64, 80, 96, 128):
+    for probe in (4, 8, 16, 24, 32, 36, 40, 48, 64, 80, 96, 128):
         if probe > k:
             break
         # Scale the rerank budget with probe: a fixed budget dilutes as
