@@ -51,6 +51,26 @@ def make_dataset(n, dim, n_centers, nq, seed=0):
     return x.astype(np.float32)[:n], x.astype(np.float32)[n:]
 
 
+def make_blobs_dataset(n, dim, n_centers, nq, seed=0):
+    """Adversarially skewed well-separated blobs (the generator behind
+    tools/tpu_checks.py --dataset blobs, promoted to a bench config).
+
+    Cluster populations follow a Zipf law — the hottest blob holds ~7% of
+    the corpus at n_centers=256 — and blobs are well separated, so
+    k-means centroids concentrate, cluster sizes skew hard against the
+    capacity balancer, and a query's candidates pile into FEW probed
+    clusters (adjacent selection columns): exactly the shapes that stress
+    capacity balancing and approx_min_k bucket collisions, which the
+    manifold generator's even cluster balance never exercises."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_centers, dim)).astype(np.float32)
+    w = 1.0 / np.arange(1, n_centers + 1, dtype=np.float64) ** 1.2
+    w /= w.sum()
+    lab = rng.choice(n_centers, size=n + nq, p=w)
+    x = centers[lab] + 0.3 * rng.standard_normal((n + nq, dim))
+    return x[:n].astype(np.float32), x[n:].astype(np.float32)
+
+
 def ground_truth(base, queries, topk, chunk=65536):
     import jax
     import jax.numpy as jnp
@@ -237,12 +257,14 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small fast run")
     ap.add_argument(
         "--config",
-        choices=["sift", "gist", "gist200k", "service", "deep10m"],
+        choices=["sift", "gist", "gist200k", "service", "deep10m", "blobs"],
         default="sift",
         help="sift: 1M x 128-d recall@10; gist: 1M x 960-d recall@100 "
         "(the north-star GIST1M shape); gist200k: 200k x 960-d recall@100; "
         "service: HTTP tier p50/p99 latency under concurrency; "
-        "deep10m: 10M x 96-d disk tier (codes in HBM, vectors host-mmap)",
+        "deep10m: 10M x 96-d disk tier (codes in HBM, vectors host-mmap); "
+        "blobs: 1M x 128-d with adversarially Zipf-skewed well-separated "
+        "clusters (capacity-balance + selection-collision stress)",
     )
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument(
@@ -289,12 +311,15 @@ def main():
         topk = args.topk or 100
         args.batch = min(args.batch, 1024)
     else:
+        # sift AND blobs: same scale, different generator below.
         # nq = 8 batches: enough dispatches for the pipelined sweep to
         # overlap AND the fused whole-set dispatch to amortize its
         # per-call tunnel cost to ~1/8 of a batch.
         n, dim, k, nq, n_centers = 1_000_000, 128, 4096, 16384, 1024
         train_cap = 260_000
         topk = args.topk or 10
+        if args.config == "blobs":
+            n_centers = 256  # few hot blobs -> hard Zipf skew at k=4096
     args.topk = topk
 
     # Absorb the environment's first-device-op stall (observed up to
@@ -307,7 +332,8 @@ def main():
 
     log(f"dataset: n={n} dim={dim} k={k} nq={nq}")
     t0 = time.time()
-    base, queries = make_dataset(n, dim, n_centers, nq)
+    gen = make_blobs_dataset if args.config == "blobs" else make_dataset
+    base, queries = gen(n, dim, n_centers, nq)
     log(f"generated in {time.time()-t0:.1f}s")
 
     t0 = time.time()
@@ -438,7 +464,11 @@ def main():
                 ),
                 value=round(qps, 1),
                 unit="queries/s",
-                vs_baseline=round(qps / BASELINE_QPS.get(cfg, qps), 3),
+                vs_baseline=(
+                    round(qps / BASELINE_QPS[cfg], 3)
+                    if cfg in BASELINE_QPS
+                    else None
+                ),
                 detail=dict(
                     probe=probe,
                     recall=round(recall, 4),

@@ -1,4 +1,4 @@
-"""Insert / delete / compact and the cosine metric."""
+"""Insert / update / delete / compact and the cosine metric."""
 
 import jax
 import jax.numpy as jnp
@@ -20,9 +20,14 @@ index = rq.insert(index, new_vec, ids=[123456])
 _, ids = rq.search(index, jnp.asarray(new_vec), params)
 assert 123456 in np.asarray(ids)[0], "inserted vector should be found"
 
+moved = rng.standard_normal((1, 64)).astype(np.float32)
+index = rq.update(index, moved, ids=[123456])  # replace, same id
+_, ids = rq.search(index, jnp.asarray(moved), params)
+assert 123456 in np.asarray(ids)[0], "updated vector keeps its id"
+
 index = rq.delete(index, [123456, 0, 1])
-_, ids = rq.search(index, jnp.asarray(new_vec), params)
+_, ids = rq.search(index, jnp.asarray(moved), params)
 assert 123456 not in np.asarray(ids)[0]
 
-index, old_ids = rq.compact(index)  # fold memtable + drop tombstones
-print("compacted to", index.n, "vectors; id map shape", old_ids.shape)
+index, live_ids = rq.compact(index)  # fold memtable + drop tombstones
+print("compacted to", index.n, "vectors (ids preserved)")

@@ -15,6 +15,7 @@ from rabitq_tpu.index import (
     compact,
     delete,
     insert,
+    update,
     search,
 )
 from rabitq_tpu.index.search import estimate_candidates
@@ -30,6 +31,7 @@ __all__ = [
     "build_index",
     "search",
     "insert",
+    "update",
     "delete",
     "compact",
     "estimate_candidates",

@@ -54,7 +54,11 @@ def cmd_run(args) -> None:
     import jax.numpy as jnp
 
     from rabitq_tpu.index.index import SearchParams
-    from rabitq_tpu.index.search import rough_scan, search, search_adaptive
+    from rabitq_tpu.index.search import (
+        rough_scan,
+        search_adaptive,
+        search_with_stats,
+    )
     from rabitq_tpu.io import read_matrix
     from rabitq_tpu.metrics import METRICS
     from rabitq_tpu.rerank import new_re_ranker
@@ -72,7 +76,7 @@ def cmd_run(args) -> None:
     params = SearchParams(
         probe=args.probe, topk=args.topk, rerank=args.rerank
     )
-    if getattr(args, "select_passes", None):
+    if getattr(args, "select_passes", None) is not None:
         params = params._replace(select_passes=args.select_passes)
     if getattr(args, "no_fold", False):
         params = params._replace(select_reduce=False)
@@ -121,9 +125,13 @@ def cmd_run(args) -> None:
         def run_batch(qb):
             if args.adaptive:
                 d, i, _ = search_adaptive(index, jnp.asarray(qb), params)
-                return i
-            return search(index, jnp.asarray(qb), params)[1]
+                return i, None
+            _, ids, stats = search_with_stats(
+                index, jnp.asarray(qb), params
+            )
+            return ids, stats
 
+        from rabitq_tpu.metrics import record_search_stats
         from rabitq_tpu.utils import pipelined_map
 
         # Warmup compile outside the timed loop; then a pipelined eval
@@ -131,10 +139,11 @@ def cmd_run(args) -> None:
         # back — the TPU version of the reference's serial timed loop,
         # cli/main.rs:69-82).
         with TIMER.phase("warmup_compile"):
-            run_batch(qpadded[:batch]).block_until_ready()
+            wi, _ = run_batch(qpadded[:batch])
+            wi.block_until_ready()
         start = time.perf_counter()
         with trace_ctx, TIMER.phase("search"):
-            for bi, ids in enumerate(
+            for bi, (ids, stats) in enumerate(
                 pipelined_map(
                     run_batch,
                     (
@@ -144,7 +153,10 @@ def cmd_run(args) -> None:
                 )
             ):
                 all_ids[bi * batch : (bi + 1) * batch] = ids
-                METRICS.add_query_count(batch)
+                valid = min(batch, nq - bi * batch)
+                METRICS.add_query_count(valid)
+                if stats is not None:
+                    record_search_stats(stats, valid)
         total_time = time.perf_counter() - start
         with TIMER.phase("recall"):
             for i in range(nq):
@@ -219,6 +231,7 @@ def main(argv=None) -> None:
     p_run.add_argument(
         "--select-passes",
         type=int,
+        choices=[1, 2],
         default=None,
         help="candidate-selection passes (2 = bucket-decorrelated union, "
         "the default; 1 = single pass, faster at ~0.6pt recall cost)",

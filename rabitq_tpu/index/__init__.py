@@ -1,7 +1,7 @@
 from rabitq_tpu.index.index import RaBitQIndex, SearchParams
 from rabitq_tpu.index.build import build_index
 from rabitq_tpu.index.search import search
-from rabitq_tpu.index.mutate import compact, delete, insert
+from rabitq_tpu.index.mutate import compact, delete, insert, update
 
 __all__ = [
     "RaBitQIndex",
@@ -9,6 +9,7 @@ __all__ = [
     "build_index",
     "search",
     "insert",
+    "update",
     "delete",
     "compact",
 ]

@@ -68,6 +68,11 @@ class RaBitQIndex:
     # None => the Pallas path is unavailable (jnp fallback still works).
     codes_pm1: Optional[jax.Array] = None  # [n_tiles, 128, D] int8
     factors_tiled: Optional[jax.Array] = None  # [n_tiles, 8, 128] f32
+    # Optional bf16 copy of `base` for the rerank gather (halves the
+    # [B, R, D] gather bytes; the top candidates are then re-verified
+    # against the f32 base — SearchParams.rerank_bf16). Derived via
+    # with_bf16_base, never serialized.
+    base_bf16: Optional[jax.Array] = None  # [N, D] bf16
     dim: int = dataclasses.field(metadata=dict(static=True), default=0)
     dim_orig: int = dataclasses.field(metadata=dict(static=True), default=0)
     capacity: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -158,6 +163,7 @@ jax.tree_util.register_dataclass(
         "extra_ids",
         "codes_pm1",
         "factors_tiled",
+        "base_bf16",
     ],
     meta_fields=["dim", "dim_orig", "capacity", "metric"],
 )
@@ -199,6 +205,17 @@ def with_scan_operands(index: "RaBitQIndex") -> "RaBitQIndex":
     codes, fac_tiled = derive_scan_operands(index.blob, index.words)
     return dataclasses.replace(
         index, codes_pm1=codes, factors_tiled=fac_tiled
+    )
+
+
+def with_bf16_base(index: "RaBitQIndex") -> "RaBitQIndex":
+    """Return the index with the bf16 rerank-gather copy populated
+    (no-op if set or if there is no device base). +50% base HBM for
+    ~2x less rerank gather traffic (SearchParams.rerank_bf16)."""
+    if index.base_bf16 is not None or index.base is None:
+        return index
+    return dataclasses.replace(
+        index, base_bf16=index.base.astype(jnp.bfloat16)
     )
 
 
@@ -275,3 +292,14 @@ class SearchParams(NamedTuple):
     # hold ~2.4 rows per lane (20k x 100-d, probe 16). Keep 2 unless the
     # average cluster size is well under 128.
     fold_depth: int = 2
+    # First probed-cluster rank to scan (exclusive window [probe_lo,
+    # probe)). 0 = normal search. search_adaptive sets this on escalation
+    # so each level scans ONLY the newly probed clusters and merges with
+    # the previous level's results instead of rescanning from rank 0.
+    probe_lo: int = 0
+    # Two-level rerank: gather candidate rows from a bf16 copy of the
+    # base (index.base_bf16, see with_bf16_base) — halving the [B, R, D]
+    # gather traffic — rank by bf16 distance, then re-verify the top
+    # ~4x-topk rows against the f32 base. Reported distances stay exact
+    # f32. Requires with_bf16_base; silently off otherwise.
+    rerank_bf16: bool = False

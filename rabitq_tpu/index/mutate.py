@@ -1,18 +1,21 @@
-"""Index mutation: insert, delete, compact.
+"""Index mutation: insert, update, delete, compact.
 
-The reference has no insert/update/delete (README.md unchecked items). The
-TPU-native design keeps the quantized index immutable (static shapes are
-what make the scan kernel fast) and layers mutations on top:
+The reference has no insert/update/delete (README.md:12-20 unchecked
+items). The TPU-native design keeps the quantized index immutable (static
+shapes are what make the scan kernel fast) and layers mutations on top:
 
 - ``insert``  — LSM-style memtable: new vectors live full-precision in a
   small ``extra_base`` buffer that every query scans exactly and merges
   into the top-k. O(M) per query; call ``compact`` when M grows large.
+- ``update``  — id-preserving replace: tombstone every row carrying the
+  id, then memtable-insert the new vector under the SAME id.
 - ``delete``  — tombstones: the victim's correction-factor row in the scan
   blob is set so the estimator yields +inf (never selected), its memtable
   slot (if any) is id-masked. O(deleted) one-time cost, zero query cost.
 - ``compact`` — rebuild: folds the memtable in and drops tombstones by
   reconstructing the corpus (un-rotating stored centroids) and re-running
-  the batched build.
+  the batched build. Original ids are PRESERVED, so updates survive
+  compaction under their old id.
 """
 
 from __future__ import annotations
@@ -61,6 +64,25 @@ def insert(
         new_base = jnp.asarray(vectors)
         new_ids = jnp.asarray(ids)
     return dataclasses.replace(index, extra_base=new_base, extra_ids=new_ids)
+
+
+def update(
+    index: RaBitQIndex, vectors: np.ndarray, ids
+) -> RaBitQIndex:
+    """Id-preserving replace: after ``update``, searching near the new
+    vector returns the SAME original id, and the old vector is gone.
+
+    Implemented as tombstone(ids) + memtable insert under the same ids
+    (the reference's unchecked insert/update/delete TODO triple,
+    /root/reference/README.md:12-20). Ids not present in the index are
+    simply inserted (upsert semantics). Updates survive ``compact``:
+    the rebuild preserves original ids.
+    """
+    vectors = np.asarray(vectors, dtype=np.float32)
+    ids = np.asarray(ids, dtype=np.int32)
+    assert vectors.ndim == 2 and ids.shape == (vectors.shape[0],)
+    assert np.unique(ids).shape == ids.shape, "duplicate ids in one update"
+    return insert(delete(index, ids), vectors, ids=ids)
 
 
 def delete(index: RaBitQIndex, ids) -> RaBitQIndex:
@@ -122,9 +144,10 @@ def compact(
 ) -> tuple[RaBitQIndex, np.ndarray]:
     """Fold the memtable in and drop tombstones by rebuilding.
 
-    Returns (new_index, id_map) where new_index uses dense positions and
-    id_map[new_original_id] = old original id (the rebuilt index numbers
-    vectors 0..n-1 in reconstruction order).
+    Original ids are PRESERVED: the rebuilt index's map_ids carry the
+    same ids as before the compaction, so inserts and updates keep
+    answering under their ids. Returns (new_index, live_ids) where
+    live_ids lists the surviving original ids in reconstruction order.
     """
     vectors, old_ids = reconstruct_corpus(index)
     centroids = np.asarray(
@@ -139,5 +162,10 @@ def compact(
         centroids,
         key=key if key is not None else jax.random.key(0),
         metric=index.metric,
+    )
+    # build_index numbers input rows 0..n-1; re-map to the original ids.
+    new_index = dataclasses.replace(
+        new_index,
+        map_ids=jnp.asarray(old_ids, dtype=jnp.int32)[new_index.map_ids],
     )
     return new_index, old_ids

@@ -39,7 +39,19 @@ from rabitq_tpu.ops import (
     quantize_query_residuals,
     rotate,
 )
-from rabitq_tpu.ops.scan_kernel import pallas_rough_scan
+from rabitq_tpu.consts import LANES
+from rabitq_tpu.ops.scan_kernel import (
+    effective_fold,
+    fold_slot_bits,
+    pallas_rough_scan,
+)
+
+
+def scan_span(cap: int) -> int:
+    """Kernel window span for a cluster capacity: whole 128-lane tiles
+    covering any cluster extent (+1 tile because a cluster may start at
+    an unaligned position within its first tile)."""
+    return ((cap + LANES - 1) // LANES) * LANES + LANES
 
 
 class Candidates(NamedTuple):
@@ -48,6 +60,21 @@ class Candidates(NamedTuple):
     pos: jax.Array          # [B, R] int32
     lower_bound: jax.Array  # [B, R] f32 rough-distance lower bounds (+inf pad)
     n_scanned: jax.Array    # [B] int32 estimator evaluations (metrics)
+
+
+class SearchStats(NamedTuple):
+    """Per-query pipeline counters for the device search path.
+
+    Mirrors the reference's global METRICS increments (metrics.rs:30-41,
+    rabitq.rs:347, rerank.rs:87): ``rough`` = estimator evaluations
+    (vectors scanned in probed clusters), ``precise`` = exact distances
+    computed in the rerank (finite-lower-bound candidates + live
+    memtable entries). Host boundaries that force results drain these
+    into METRICS via ``rabitq_tpu.metrics.record_search_stats``.
+    """
+
+    rough: jax.Array    # [B] int32
+    precise: jax.Array  # [B] int32
 
 
 class RoughScan(NamedTuple):
@@ -69,11 +96,14 @@ class RoughScan(NamedTuple):
 
 
 def _resolve(index: RaBitQIndex, params: SearchParams):
+    """Returns (probe, lo, cap, rerank): clusters ranked [lo, probe) are
+    scanned (lo > 0 only on search_adaptive escalations)."""
     k = index.offsets.shape[0] - 1
     probe = min(params.probe, k)
+    lo = min(params.probe_lo, probe)
     cap = index.capacity
-    rerank = max(params.topk, min(params.rerank, probe * cap))
-    return probe, cap, rerank
+    rerank = max(params.topk, min(params.rerank, (probe - lo) * cap))
+    return probe, lo, cap, rerank
 
 
 def _prep_queries(index: RaBitQIndex, queries: jax.Array) -> jax.Array:
@@ -158,8 +188,13 @@ def rough_scan(
     on. Without reduce (the default, and always on the jnp path) the
     position of slot j of probed cluster i is ``starts[b, i] + j``; see
     RoughScan for the reduce contract (kernel path only).
+
+    With ``params.probe_lo > 0`` only clusters ranked [probe_lo, probe)
+    are scanned (probe - probe_lo tasks per query) — the incremental
+    search_adaptive escalation path.
     """
-    probe, cap, _ = _resolve(index, params)
+    probe, lo, cap, _ = _resolve(index, params)
+    pe = probe - lo  # clusters actually scanned per query
     b = queries.shape[0]
     w = index.words
 
@@ -183,19 +218,23 @@ def rough_scan(
         )  # [B, probe] (native is_max_k=False — no negate pass)
     else:
         _, cids = jax.lax.top_k(-cdist, probe)  # [B, probe]
+    if lo:
+        # Incremental escalation: both selectors return rank-sorted
+        # columns, so [lo:] is exactly the newly probed clusters.
+        cids = cids[:, lo:]
 
-    yr = y[:, None, :] - index.centroids_rot[cids]  # [B, probe, D]
-    ycd = jnp.sum(yr * yr, axis=-1)  # [B, probe] exact
+    yr = y[:, None, :] - index.centroids_rot[cids]  # [B, pe, D]
+    ycd = jnp.sum(yr * yr, axis=-1)  # [B, pe] exact
     qq = quantize_query_residuals(
         yr, index.rand_bias if params.dither else None
     )
 
-    s = b * probe
-    starts = index.offsets[cids]  # [B, probe]
+    s = b * pe
+    starts = index.offsets[cids]  # [B, pe]
     sizes_all = index.offsets[cids + 1] - starts
     scal = jnp.stack(
         [qq.lower, qq.delta, qq.code_sum, ycd], axis=-1
-    )  # [B, probe, 4]
+    )  # [B, pe, 4]
 
     starts_f = starts.reshape(s)
     sizes_f = sizes_all.reshape(s)
@@ -209,9 +248,7 @@ def rough_scan(
         # The kernel scans a lane-aligned window per cluster; positions are
         # aligned_start + slot. span rounds capacity up so indexes built
         # with legacy non-lane-aligned capacities still work.
-        from rabitq_tpu.consts import LANES
-
-        span = ((cap + LANES - 1) // LANES) * LANES + LANES
+        span = scan_span(cap)
         qvals = qq.quantized.reshape(s, index.dim).astype(jnp.int8)
         rough, _, aligned = pallas_rough_scan(
             index.codes_pm1,
@@ -225,9 +262,9 @@ def rough_scan(
             reduce=reduce,
         )
         width = rough.shape[-1]
-        pos_base = aligned.reshape(b, probe)
+        pos_base = aligned.reshape(b, pe)
         return RoughScan(
-            rough=rough.reshape(b, probe * width),
+            rough=rough.reshape(b, pe * width),
             starts=pos_base,
             n_scanned=sizes_all.sum(axis=-1).astype(jnp.int32),
         )
@@ -242,7 +279,7 @@ def rough_scan(
         chunk=params.task_chunk,
     )
     return RoughScan(
-        rough=rough.reshape(b, probe * cap),
+        rough=rough.reshape(b, pe * cap),
         starts=starts,
         n_scanned=sizes_all.sum(axis=-1).astype(jnp.int32),
     )
@@ -257,31 +294,37 @@ def estimate_candidates(
     queries: [B, dim_orig] f32. Exposed separately so the host-store (disk)
     tier can rerank candidates off-device.
     """
-    probe, cap, rerank = _resolve(index, params)
+    probe, lo, cap, rerank = _resolve(index, params)
+    pe = probe - lo
 
     on_tpu = jax.default_backend() == "tpu"
     depth = max(1, min(2, int(getattr(params, "fold_depth", 2))))
+    # effective_fold gates the fold off for small windows (span <=
+    # depth*128) where the kernel writes RAW estimates — the slot-bit
+    # decode below must never run on those (capacity<=128 indexes).
+    depth = effective_fold(scan_span(cap), depth)
     reduce = (
         depth
         if (
-            on_tpu
+            depth
+            and on_tpu
             and params.approx_select
             and params.use_kernel
             and index.codes_pm1 is not None
             and params.select_reduce
             # folded width must fit the budget
-            and rerank <= probe * depth * 128
+            and rerank <= pe * depth * 128
         )
         else 0
     )
     scan = rough_scan(index, queries, params, reduce=reduce)
-    width = scan.rough.shape[-1] // probe
+    width = scan.rough.shape[-1] // pe
 
     if params.approx_select and on_tpu:
         passes = max(1, int(getattr(params, "select_passes", 1)))
-        if passes >= 2 and probe > 1:
+        if passes >= 2 and pe > 1:
             lb, flat_idx = _amk_two_pass(
-                scan.rough, probe, width, rerank, params.select_recall
+                scan.rough, pe, width, rerank, params.select_recall
             )
         else:
             # NOTE a single LANE-major pass was measured strictly worse
@@ -306,11 +349,7 @@ def estimate_candidates(
         # low mantissa bits (see pallas_rough_scan). Strip the slot bits
         # from the returned bounds — the stripped value floor-quantizes
         # the estimate, so it remains a valid lower bound.
-        from rabitq_tpu.consts import LANES as _L
-        from rabitq_tpu.ops.scan_kernel import fold_slot_bits
-
-        span = ((cap + _L - 1) // _L) * _L + _L
-        mask = (1 << fold_slot_bits(span)) - 1
+        mask = (1 << fold_slot_bits(scan_span(cap))) - 1
         bits = jax.lax.bitcast_convert_type(lb, jnp.int32)
         pos = base + (bits & mask)  # +inf entries decode to slot 0
         lb = jax.lax.bitcast_convert_type(bits & ~mask, jnp.float32)
@@ -364,7 +403,12 @@ def _amk_two_pass(
     fi2 = (fi2t % probe) * width + fi2t // probe
     lb_all = jnp.concatenate([lb1, lb2], axis=-1)  # [B, 2R]
     fi_all = jnp.concatenate([fi1, fi2], axis=-1)
-    lb_s, fi_s = jax.lax.sort_key_val(lb_all, fi_all, dimension=-1)
+    # Lexicographic (value, index) sort: a value-only key lets two
+    # distinct candidates with exactly equal values interleave with
+    # their own duplicates (i0,i1,i0,i1), hiding the duplicate pairs
+    # from the adjacency check below — the same id would then survive
+    # twice into the final top-k, displacing a true neighbor.
+    lb_s, fi_s = jax.lax.sort((lb_all, fi_all), dimension=-1, num_keys=2)
     dup = (lb_s[:, 1:] == lb_s[:, :-1]) & (fi_s[:, 1:] == fi_s[:, :-1])
     lb_d = jnp.concatenate(
         [lb_s[:, :1], jnp.where(dup, jnp.inf, lb_s[:, 1:])], axis=-1
@@ -395,29 +439,80 @@ def _take_int_onehot(
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def search(
+def search_with_stats(
     index: RaBitQIndex, queries: jax.Array, params: SearchParams
-) -> tuple[jax.Array, jax.Array]:
-    """Full device-side search: returns (distances [B, topk], ids [B, topk]).
+) -> tuple[jax.Array, jax.Array, SearchStats]:
+    """search() plus per-query SearchStats (rough/precise counters).
 
-    Invalid slots (fewer than topk reachable candidates) have distance +inf
-    and id -1. Requires index.base on device; use the store module for
-    host-resident rerank.
+    The counters are computed device-side (a couple of reductions over
+    arrays the pipeline already holds) and stay un-forced until the
+    caller transfers them, so the plain search() path pays nothing: XLA
+    dead-code-eliminates them when the stats output is unused.
     """
     assert index.base is not None, "index has no device base; use store tier"
     cand = estimate_candidates(index, queries, params)
     q_pad = _prep_queries(index, queries)
+    exact, pos_all = _exact_rerank(index, q_pad, cand, params)
 
+    # Exact distances actually computed & kept: finite-lower-bound rerank
+    # candidates plus live memtable entries (reference rerank.rs:87).
+    precise = jnp.sum(jnp.isfinite(exact), axis=1).astype(jnp.int32)
+
+    neg_d, ei = jax.lax.top_k(-exact, params.topk)
+    dists = -neg_d
+    psel = jnp.take_along_axis(pos_all, ei, axis=-1)
+    ids = _pos_to_ids(index, psel, dists)
+    return dists, ids, SearchStats(rough=cand.n_scanned, precise=precise)
+
+
+def _exact_rerank(
+    index: RaBitQIndex,
+    q_pad: jax.Array,
+    cand: Candidates,
+    params: SearchParams,
+    include_memtable: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact distances of the rerank candidates (+inf for invalid slots),
+    with the insert memtable merged in as virtual positions >= n.
+
+    With params.rerank_bf16 (and index.base_bf16 set): two-level rerank —
+    the [B, R, D] candidate gather reads the bf16 base copy (half the
+    HBM traffic of the dominant stage cost), candidates are ranked by
+    bf16 distance, and only the top ~4x-topk survivors are re-gathered
+    from the f32 base for exact distances. Reported distances stay f32-
+    exact; the risk is a true neighbor ranked below 4x-topk by bf16
+    rounding (bf16 keeps ~3 significant digits — far tighter than the
+    estimator error that chose the candidates).
+
+    Returns (exact [B, R(+M)], pos_all [B, R(+M)]).
+    """
+    if params.rerank_bf16 and index.base_bf16 is not None:
+        r = cand.pos.shape[1]
+        xb = index.base_bf16[cand.pos].astype(jnp.float32)  # [B, R, D]
+        diff = xb - q_pad[:, None, :]
+        approx = jnp.sum(diff * diff, axis=-1)
+        approx = jnp.where(
+            jnp.isfinite(cand.lower_bound), approx, jnp.inf
+        )
+        m = min(r, max(4 * params.topk, 32))
+        neg_a, ei = jax.lax.top_k(-approx, m)
+        cand = Candidates(
+            pos=jnp.take_along_axis(cand.pos, ei, axis=-1),
+            lower_bound=jnp.where(-neg_a < jnp.inf, -neg_a, jnp.inf),
+            n_scanned=cand.n_scanned,
+        )
     xb = index.base[cand.pos]  # [B, R, D]
     diff = xb - q_pad[:, None, :]
     exact = jnp.sum(diff * diff, axis=-1)  # [B, R]
     exact = jnp.where(jnp.isfinite(cand.lower_bound), exact, jnp.inf)
     pos_all = cand.pos
 
-    # Merge the insert memtable: exact distances to all buffered vectors
-    # (memtable entries get virtual positions >= n).
     n = index.n
-    if index.extra_base is not None and index.extra_base.shape[0] > 0:
+    if (
+        include_memtable
+        and index.extra_base is not None
+        and index.extra_base.shape[0] > 0
+    ):
         m = index.extra_ids.shape[0]
         ex_d = pairwise_l2sq(q_pad, index.extra_base)  # [B, M]
         ex_d = jnp.where(index.extra_ids[None, :] >= 0, ex_d, jnp.inf)
@@ -427,18 +522,36 @@ def search(
             [pos_all, jnp.broadcast_to(virt[None, :], (exact.shape[0], m))],
             axis=1,
         )
+    return exact, pos_all
 
-    neg_d, ei = jax.lax.top_k(-exact, params.topk)
-    dists = -neg_d
-    # Map positions -> original ids only for the topk winners ([B, topk]
-    # gathers) instead of every rerank candidate.
-    psel = jnp.take_along_axis(pos_all, ei, axis=-1)
+
+def _pos_to_ids(
+    index: RaBitQIndex, psel: jax.Array, dists: jax.Array
+) -> jax.Array:
+    """Map cluster-sorted positions (incl. memtable virtual positions
+    >= n) to original ids; slots with non-finite distance become -1.
+    Gathers only the [B, topk] winners, not every rerank candidate."""
+    n = index.n
     ids = index.map_ids[jnp.minimum(psel, n - 1)]
     if index.extra_base is not None and index.extra_base.shape[0] > 0:
         ids = jnp.where(
             psel >= n, index.extra_ids[jnp.maximum(psel - n, 0)], ids
         )
-    ids = jnp.where(jnp.isfinite(dists), ids, -1)
+    return jnp.where(jnp.isfinite(dists), ids, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def search(
+    index: RaBitQIndex, queries: jax.Array, params: SearchParams
+) -> tuple[jax.Array, jax.Array]:
+    """Full device-side search: returns (distances [B, topk], ids [B, topk]).
+
+    Invalid slots (fewer than topk reachable candidates) have distance +inf
+    and id -1. Requires index.base on device; use the store module for
+    host-resident rerank. For METRICS accounting at host boundaries use
+    search_with_stats.
+    """
+    dists, ids, _ = search_with_stats(index, queries, params)
     return dists, ids
 
 
@@ -460,23 +573,21 @@ def search_many(
     return jax.lax.map(lambda q: search(index, q, params), queries)
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def _search_with_certificate(
-    index: RaBitQIndex, queries: jax.Array, params: SearchParams
-):
-    """search() plus a per-query early-stop certificate.
+def _certificate_safe(
+    index: RaBitQIndex, y: jax.Array, probe: int, kth: jax.Array
+) -> jax.Array:
+    """Per-query early-stop certificate.
 
-    ``safe[b]`` is True when no *unprobed* cluster can geometrically contain
-    a vector closer than the current kth result: for cluster c with radius
-    r_c (distance of its farthest member to its centroid — the last row of
-    the cluster, since rows are sorted by centroid distance), every member x
-    satisfies d(q, x) >= max(0, d(q, c) - r_c) by the triangle inequality.
+    True when no *unprobed* cluster can geometrically contain a vector
+    closer than the current kth result: for cluster c with radius r_c
+    (distance of its farthest member to its centroid — the last row of
+    the cluster, since rows are sorted by centroid distance), every
+    member x satisfies d(q, x) >= max(0, d(q, c) - r_c) by the triangle
+    inequality. ``probed`` = the EXACT top-probe clusters by centroid
+    distance (a superset check of what approx selection scanned is fine:
+    a certificate may only be conservative the other way, so the probed
+    set here uses exact top_k).
     """
-    probe, _, _ = _resolve(index, params)
-    dists, ids = search(index, queries, params)
-
-    q_pad = _prep_queries(index, queries)
-    y = rotate(q_pad, index.orthogonal)
     cd = pairwise_l2sq(y, index.centroids_rot)  # [B, K]
     _, cids = jax.lax.top_k(-cd, probe)
 
@@ -490,7 +601,7 @@ def _search_with_certificate(
     radii = jnp.sqrt(jnp.maximum(radii_sq, 0.0))  # [K]
 
     bound = jnp.maximum(jnp.sqrt(cd) - radii[None, :], 0.0) ** 2  # [B, K]
-    b = queries.shape[0]
+    b = y.shape[0]
     probed = (
         jnp.zeros((b, k), bool)
         .at[jnp.arange(b)[:, None], cids]
@@ -498,10 +609,55 @@ def _search_with_certificate(
     )
     bound = jnp.where(probed | (sizes[None, :] == 0), jnp.inf, bound)
     min_unprobed = bound.min(axis=-1)  # [B]
-    kth = dists[:, -1]
     all_probed = probe >= k
-    safe = (kth <= min_unprobed) | all_probed
+    return (kth <= min_unprobed) | all_probed
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _search_with_certificate(
+    index: RaBitQIndex, queries: jax.Array, params: SearchParams
+):
+    """search() plus the early-stop certificate (see _certificate_safe).
+    Single-shot form; search_adaptive uses the incremental _adaptive_level."""
+    probe, _, _, _ = _resolve(index, params)
+    dists, ids = search(index, queries, params)
+    y = rotate(_prep_queries(index, queries), index.orthogonal)
+    safe = _certificate_safe(index, y, probe, dists[:, -1])
     return dists, ids, safe
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _adaptive_level(
+    index: RaBitQIndex,
+    queries: jax.Array,
+    params: SearchParams,
+    prev_dists: jax.Array,  # [B, topk] f32 (+inf on the first level)
+    prev_pos: jax.Array,    # [B, topk] int32
+):
+    """One incremental escalation of search_adaptive.
+
+    Scans ONLY clusters ranked [params.probe_lo, params.probe), reranks
+    the new candidates exactly, merges them with the previous level's
+    top-k (new clusters are disjoint from previously scanned ones, so no
+    dedup is needed), and certifies against all top-probe clusters. The
+    memtable joins at the first level only — later levels merely add
+    candidates, so anything it didn't place then never places later.
+    Returns (dists, pos, safe).
+    """
+    cand = estimate_candidates(index, queries, params)
+    q_pad = _prep_queries(index, queries)
+    exact, pos_all = _exact_rerank(
+        index, q_pad, cand, params, include_memtable=params.probe_lo == 0
+    )
+    all_d = jnp.concatenate([prev_dists, exact], axis=1)
+    all_p = jnp.concatenate([prev_pos, pos_all], axis=1)
+    neg_d, ei = jax.lax.top_k(-all_d, params.topk)
+    dists = -neg_d
+    pos = jnp.take_along_axis(all_p, ei, axis=-1)
+
+    y = rotate(q_pad, index.orthogonal)
+    safe = _certificate_safe(index, y, params.probe, dists[:, -1])
+    return dists, pos, safe
 
 
 def search_adaptive(
@@ -517,16 +673,24 @@ def search_adaptive(
 
     The reference lists early stop as an unchecked TODO (README.md:12-20);
     its dynamic per-candidate pruning doesn't map to XLA, so this uses a
-    whole-batch host loop over a jitted search+certificate step — each
-    probe level is one device call. ``params.probe`` is the starting probe.
+    whole-batch host loop over a jitted incremental step — each probe
+    level is one device call that scans ONLY the newly probed clusters
+    (ranks [probe_prev, probe)) and merges with the running top-k, so
+    total scan work is ~1x the final probe level (previously each level
+    rescanned from rank 0, ~2x). ``params.probe`` is the starting probe.
     Returns (dists, ids, probe_used).
     """
     k = index.offsets.shape[0] - 1
     cap_probe = min(max_probe or k, k)
     probe = min(params.probe, cap_probe)
+    b = queries.shape[0]
+    dists = jnp.full((b, params.topk), jnp.inf, jnp.float32)
+    pos = jnp.zeros((b, params.topk), jnp.int32)
+    lo = 0
     while True:
-        p = params._replace(probe=probe)
-        dists, ids, safe = _search_with_certificate(index, queries, p)
+        p = params._replace(probe=probe, probe_lo=lo)
+        dists, pos, safe = _adaptive_level(index, queries, p, dists, pos)
         if probe >= cap_probe or bool(safe.all()):
-            return dists, ids, probe
+            return dists, _pos_to_ids(index, pos, dists), probe
+        lo = probe
         probe = min(probe * 2, cap_probe)

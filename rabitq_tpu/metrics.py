@@ -60,3 +60,20 @@ class Metrics:
 
 
 METRICS = Metrics()
+
+
+def record_search_stats(stats, valid: int | None = None) -> None:
+    """Drain a device SearchStats pytree into the global METRICS.
+
+    ``valid`` limits accounting to the first N queries of the batch —
+    host boundaries pad batches (CLI pads to the batch size, the service
+    to a power-of-two bucket) and padded rows must not count. Sums run
+    in int64 on the host: per-query rough counts reach ~n and batch sums
+    overflow int32 at 10M-scale corpora.
+    """
+    import numpy as np
+
+    rough = np.asarray(stats.rough)[:valid]
+    precise = np.asarray(stats.precise)[:valid]
+    METRICS.add_rough_count(int(rough.sum(dtype=np.int64)))
+    METRICS.add_precise_count(int(precise.sum(dtype=np.int64)))

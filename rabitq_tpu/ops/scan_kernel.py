@@ -85,6 +85,7 @@ _NSCAL = 8
 def _kernel(
     tile0_ref,   # [G] int32 first tile of each group's window (prefetch)
     gsize_ref,   # [G] int32 valid tasks per group; 0 => padded (prefetch)
+    lead_ref,    # [G] int32 leader j2 of each group's window run (prefetch)
     qg_ref,      # [G2*QPC, D] int8 group-spread quantized queries (VMEM)
     scal_ref,    # [G2*QPC, 8] f32 per-task scalars (VMEM)
     codes_ref,   # [n_tiles, 128, D] int8 (HBM, manual DMA)
@@ -118,9 +119,16 @@ def _kernel(
         )
 
     def start_step(s):
+        # Window-run dedup: groups are sorted by (window start, size), so
+        # a hot cluster's task chunks are CONSECUTIVE groups sharing one
+        # window. Only the run's leader (lead_ref[g] == j2) DMAs the
+        # window; followers read the leader's buffer in the compute phase
+        # below. Leadership never crosses a grid step (the nbuf-deep
+        # prefetch would race a previous step's buffer).
         for j2 in range(g2):
+            g = s * g2 + j2
 
-            @pl.when(gsize_ref[s * g2 + j2] > 0)
+            @pl.when((gsize_ref[g] > 0) & (lead_ref[g] == j2))
             def _(j2=j2):
                 for c in copies(s, j2):
                     c.start()
@@ -146,9 +154,17 @@ def _kernel(
 
         @pl.when(gsize_ref[step * g2 + j2] > 0)
         def _(j2=j2):
-            for c in copies(step, j2):
-                c.wait()
-            codes = wbuf[slot, j2].reshape(
+            lj = lead_ref[step * g2 + j2]  # leader's j2 (== j2 if leader)
+
+            @pl.when(lj == j2)  # only the leader started (and waits) DMAs
+            def _():
+                for c in copies(step, j2):
+                    c.wait()
+
+            # Followers read the leader's buffer: the j2 loop is emitted
+            # sequentially, so the leader's wait (at a smaller j2) has
+            # already executed by the time a follower loads.
+            codes = wbuf[slot, lj].reshape(
                 tiles * LANES, -1
             )  # [span, D] int8
             rows = slice(j2 * qpc, (j2 + 1) * qpc)
@@ -191,7 +207,7 @@ def _kernel(
                 v1 = jnp.full((qpc, LANES), jnp.inf, jnp.float32)
                 v2 = jnp.full((qpc, LANES), jnp.inf, jnp.float32)  # fold>=2
 
-            fac = fbuf[slot, j2]  # [tiles, 8, 128] f32
+            fac = fbuf[slot, lj]  # [tiles, 8, 128] f32
             for ti in range(tiles):
                 fip = fac[ti, 0:1, :]   # [1, 128]
                 fppc = fac[ti, 1:2, :]
@@ -294,6 +310,19 @@ def fold_slot_bits(span: int) -> int:
     return max(1, (span - 1).bit_length())
 
 
+def effective_fold(span: int, depth: bool | int) -> int:
+    """Fold depth the kernel actually applies for a given window span.
+
+    The lane fold only pays when it shrinks the output, i.e. when the
+    window has more than ``depth`` lane tiles; otherwise the kernel
+    writes the raw [*, span] estimates (NOT slot-packed). Callers that
+    decode slot-packed values MUST gate on this, not on the requested
+    depth — keying the decode off the request alone corrupts candidate
+    positions for small-capacity indexes (span <= depth*128)."""
+    depth = 2 if depth is True else min(2, max(0, int(depth)))
+    return depth if (depth and span > depth * LANES) else 0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -366,6 +395,27 @@ def pallas_rough_scan(
     gsize_g = jnp.zeros((g_pad,), jnp.int32).at[gid].add(1)
     first_g = jnp.full((g_pad,), s, jnp.int32).at[gid].min(iota_s)
 
+    # Window-run leaders: consecutive groups of one grid step that share a
+    # window (a hot cluster's chunks — groups are sorted by window) elect
+    # the run's first j2 as leader; only it DMAs, followers read its
+    # buffer (the single biggest re-DMA leak at high task sharing). sizes
+    # join the key like in _group_tasks: equal tile0 with different
+    # extents still shares the DMA'd bytes (same tiles), so tile0 alone
+    # is the correct dedup key.
+    t_st = tile0_g.reshape(-1, g2)
+    gs_st = gsize_g.reshape(-1, g2)
+    lead_cols = [jnp.zeros(t_st.shape[0], jnp.int32)]
+    for j in range(1, g2):
+        same = (
+            (t_st[:, j] == t_st[:, j - 1])
+            & (gs_st[:, j] > 0)
+            & (gs_st[:, j - 1] > 0)
+        )
+        lead_cols.append(
+            jnp.where(same, lead_cols[j - 1], jnp.int32(j))
+        )
+    lead_g = jnp.stack(lead_cols, axis=1).reshape(-1)
+
     # Group-spread per-task operands via ROW gathers only: output row r
     # serves group r//qpc, slot r%qpc, whose sorted task is first_g +
     # slot. first_g[r//qpc] is a qpc-fold repeat — broadcast+reshape, NOT
@@ -402,8 +452,7 @@ def pallas_rough_scan(
     # reduce True (or 2): best-2-per-lane fold ([S, 256] out); reduce 1:
     # best-1 ([S, 128] out — halves the task-order gather and the
     # downstream selection input at a small collision-loss cost).
-    depth = 2 if reduce is True else min(2, max(0, int(reduce)))
-    fold = depth if (depth and span > depth * LANES) else 0
+    fold = effective_fold(span, reduce)
     owidth = fold * LANES if fold else span
     out_shape = [
         jax.ShapeDtypeStruct((g_pad * qpc, owidth), jnp.float32)
@@ -428,7 +477,7 @@ def pallas_rough_scan(
         ),
         out_shape=out_shape,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(g_pad // g2,),
             in_specs=[
                 pl.BlockSpec(
@@ -461,7 +510,7 @@ def pallas_rough_scan(
             * (tiles * LANES * (d + 32) + qpc * (d + 32 + owidth * 4)),
             transcendentals=0,
         ),
-    )(tile0_g, gsize_g, qg, scal8, codes_pm1, factors_tiled)
+    )(tile0_g, gsize_g, lead_g, qg, scal8, codes_pm1, factors_tiled)
 
     # Back to original task order (row gather; scatters are slow).
     inv_row = jnp.zeros((s,), jnp.int32).at[order].set(gid * qpc + slot)

@@ -1,7 +1,9 @@
 from rabitq_tpu.parallel.sharding import (
     make_mesh,
     shard_index,
+    shard_global_positions,
     sharded_search,
+    sharded_search_with_store,
     dp_build_chunk,
     sharded_lloyd_step,
 )
@@ -9,7 +11,9 @@ from rabitq_tpu.parallel.sharding import (
 __all__ = [
     "make_mesh",
     "shard_index",
+    "shard_global_positions",
     "sharded_search",
+    "sharded_search_with_store",
     "dp_build_chunk",
     "sharded_lloyd_step",
 ]

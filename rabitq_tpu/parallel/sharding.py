@@ -31,7 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rabitq_tpu.index.index import RaBitQIndex, SearchParams
-from rabitq_tpu.index.search import search
+from rabitq_tpu.index.search import estimate_candidates, search
 from rabitq_tpu.ops import pairwise_l2sq
 from rabitq_tpu.utils import round_up
 
@@ -61,18 +61,53 @@ def _greedy_partition(sizes: np.ndarray, s: int) -> list[list[int]]:
     return groups
 
 
+def _shard_layout(index: RaBitQIndex, s: int):
+    """Deterministic shard plan shared by shard_index and
+    shard_global_positions: LPT cluster groups + padded local shapes."""
+    sizes = index.cluster_sizes
+    groups = _greedy_partition(sizes, s)
+    k_max = max(1, max(len(g) for g in groups))
+    rows_max = max(
+        8, round_up(max(int(sizes[g].sum()) if g else 0 for g in groups), 8)
+    )
+    return groups, k_max, rows_max
+
+
+def shard_global_positions(index: RaBitQIndex, s: int) -> np.ndarray:
+    """[S, rows_max] int32: global cluster-sorted position of each
+    shard-local row (-1 on padding).
+
+    The disk tier's stores are indexed by GLOBAL position (the order
+    dump_to_dir writes base.fvecs); sharded_search_with_store maps each
+    shard's local candidate positions through this table so ONE store
+    serves every shard. Deterministic given the index (same LPT plan as
+    shard_index)."""
+    groups, _, rows_max = _shard_layout(index, s)
+    offsets = np.asarray(index.offsets)
+    gpos = np.full((s, rows_max), -1, np.int32)
+    for si, group in enumerate(groups):
+        row = 0
+        for c in group:
+            a, b = int(offsets[c]), int(offsets[c + 1])
+            gpos[si, row : row + (b - a)] = np.arange(a, b, dtype=np.int32)
+            row += b - a
+    return gpos
+
+
 def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
     """Partition an index across the mesh.
 
     Returns a RaBitQIndex whose arrays carry a leading shard axis [S, ...]
     with NamedSharding on it; inside shard_map each device sees its own
     valid single-shard index (same static metadata, local offsets, global
-    ids in map_ids).
+    ids in map_ids). Works with or without a device base (keep_base=False
+    indexes shard their quantized state only; rerank then goes through
+    sharded_search_with_store).
     """
     s = mesh.devices.size
     sizes = index.cluster_sizes
     k = sizes.shape[0]
-    groups = _greedy_partition(sizes, s)
+    groups, k_max, rows_max = _shard_layout(index, s)
 
     offsets = np.asarray(index.offsets)
     codes = np.asarray(index.codes)
@@ -80,11 +115,6 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
     map_ids = np.asarray(index.map_ids)
     centroids = np.asarray(index.centroids_rot)
     base = None if index.base is None else np.asarray(index.base)
-
-    k_max = max(1, max(len(g) for g in groups))
-    rows_max = max(
-        8, round_up(max(int(sizes[g].sum()) if g else 0 for g in groups), 8)
-    )
 
     from rabitq_tpu.index.index import make_blob
 
@@ -261,6 +291,118 @@ def _local_shard_search(stacked: RaBitQIndex, q: jax.Array, *, params):
     local = jax.tree.map(lambda a: a[0], stacked)
     d, i = search(local, q, params)
     return d[None], i[None]
+
+
+def _local_shard_estimate(stacked: RaBitQIndex, q: jax.Array, *, params):
+    local = jax.tree.map(lambda a: a[0], stacked)
+    cand = estimate_candidates(local, q, params)
+    return cand.pos[None], cand.lower_bound[None], cand.n_scanned[None]
+
+
+@functools.lru_cache(maxsize=64)
+def _make_sharded_estimate_fn(mesh: Mesh, treedef, lp: SearchParams):
+    specs = jax.tree_util.tree_unflatten(
+        treedef, [P(AXIS)] * treedef.num_leaves
+    )
+    local_fn = functools.partial(_local_shard_estimate, params=lp)
+    f = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(specs, P(None, None)),
+        out_specs=(
+            P(AXIS, None, None),
+            P(AXIS, None, None),
+            P(AXIS, None),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+def sharded_search_with_store(
+    sindex: RaBitQIndex,
+    queries,
+    params: SearchParams,
+    mesh: Mesh,
+    store,
+    global_pos: np.ndarray,
+    *,
+    exact: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed disk-tier search: sharded device estimator + ONE host
+    store serving every shard's rerank.
+
+    The composition of SURVEY §2 #21/#22 (host-store rerank) with
+    multi-chip sharding: each device scans its local clusters and selects
+    rerank candidates (shard-local positions); the host maps them to
+    global cluster-sorted positions via ``global_pos`` (see
+    shard_global_positions), gathers full-precision rows from the store
+    in ONE batched read per shard, computes exact distances, and merges
+    the per-shard lists into the final top-k. The device base is never
+    required — corpora larger than S x HBM keep only codes+factors
+    on-chip (the scaling claim at the top of this module).
+
+    The insert memtable (shard 0 only by construction) joins the merge
+    host-side exactly once. ``exact`` has sharded_search's semantics.
+    """
+    from rabitq_tpu.metrics import METRICS
+    from rabitq_tpu.utils import pad_last_dim
+
+    s = mesh.devices.size
+    k_local = sindex.offsets.shape[1] - 1
+    lp = _local_params(params, s, k_local, exact)
+    treedef = jax.tree_util.tree_structure(sindex)
+    fn = _make_sharded_estimate_fn(mesh, treedef, lp)
+
+    queries = np.asarray(queries, dtype=np.float32)
+    pos, lb, n_scanned = fn(sindex, jnp.asarray(queries))
+    pos = np.asarray(pos)  # [S, B, R] shard-local
+    lb = np.asarray(lb)
+    b, r = pos.shape[1], pos.shape[2]
+
+    qpad = pad_last_dim(queries, store.dim)
+    if sindex.metric == "cosine":
+        norms = np.linalg.norm(qpad, axis=-1, keepdims=True)
+        qpad = qpad / np.maximum(norms, 1e-30)
+
+    map_ids = np.asarray(sindex.map_ids)  # [S, rows_max]
+    rows_max = map_ids.shape[1]
+    exact_all, ids_all = [], []
+    for si in range(s):
+        p_loc = np.minimum(pos[si], rows_max - 1)
+        gpos = global_pos[si][p_loc]  # [B, R] global positions (-1 pad)
+        valid = np.isfinite(lb[si]) & (gpos >= 0)
+        rows = store.get_rows(np.maximum(gpos, 0).reshape(-1)).reshape(
+            b, r, store.dim
+        )
+        d = ((rows - qpad[:, None, :]) ** 2).sum(-1)
+        exact_all.append(np.where(valid, d, np.inf))
+        ids_all.append(map_ids[si][p_loc])
+        METRICS.add_precise_count(int(valid.sum()))
+    METRICS.add_rough_count(int(np.asarray(n_scanned).sum()))
+
+    exact = np.concatenate(exact_all, axis=1)  # [B, S*R]
+    cand_ids = np.concatenate(ids_all, axis=1)
+
+    # Memtable (host-side full precision; lives on shard 0 in the
+    # sharded layout, merged once here).
+    if sindex.extra_base is not None and sindex.extra_base.shape[-2] > 0:
+        ex_base = np.asarray(sindex.extra_base)[0]
+        ex_ids = np.asarray(sindex.extra_ids)[0]
+        ex_d = ((qpad[:, None, :] - ex_base[None, :, :]) ** 2).sum(-1)
+        ex_d = np.where(ex_ids[None, :] >= 0, ex_d, np.inf)
+        exact = np.concatenate([exact, ex_d], axis=1)
+        cand_ids = np.concatenate(
+            [cand_ids, np.broadcast_to(ex_ids[None, :], ex_d.shape)],
+            axis=1,
+        )
+
+    sel = np.argsort(exact, axis=1)[:, : params.topk]
+    dists = np.take_along_axis(exact, sel, axis=1)
+    ids = np.take_along_axis(cand_ids, sel, axis=1)
+    ids = np.where(np.isfinite(dists), ids, -1)
+    METRICS.add_query_count(b)
+    return dists.astype(np.float32), ids.astype(np.int32)
 
 
 # ---------------------------------------------------------------------------

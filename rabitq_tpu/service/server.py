@@ -11,6 +11,12 @@ thread drains the request queue every ``window_ms`` (or when ``max_batch``
 is reached), pads the batch to a power-of-two bucket (bounded jit cache),
 and issues ONE device call for the whole batch. Per-request probe/topk are
 grouped so each device call has uniform static params.
+
+Not-found contract (fewer than top_k reachable vectors): invalid slots
+never appear as results. Variable-length endpoints (JSON ``/query``,
+counted ``/query_bin``) return fewer entries; the fixed-stride
+``/query_bin_batch`` frame marks them id ``0xFFFFFFFF`` / score ``+inf``
+(see README "Service result contract").
 """
 
 from __future__ import annotations
@@ -162,7 +168,8 @@ class BatchingEngine:
         try:
             import jax.numpy as jnp
 
-            from rabitq_tpu.index.search import search
+            from rabitq_tpu.index.search import search_with_stats
+            from rabitq_tpu.metrics import record_search_stats
             from rabitq_tpu.store import search_with_store
 
             rows = [r.query.shape[0] for r in reqs]
@@ -182,9 +189,13 @@ class BatchingEngine:
                     self.index, q, params, self.store, count_queries=b
                 )
             else:
-                scores, ids = search(self.index, jnp.asarray(q), params)
+                scores, ids, stats = search_with_stats(
+                    self.index, jnp.asarray(q), params
+                )
                 scores, ids = np.asarray(scores), np.asarray(ids)
                 METRICS.add_query_count(b)
+                # Only the b real rows count (the bucket tail is padding).
+                record_search_stats(stats, b)
             at = 0
             for r in reqs:
                 m = r.query.shape[0]

@@ -85,15 +85,32 @@ class FileBlockSource:
 
 class HttpRangeSource:
     """HTTP Range-GET source (S3-compatible presigned URLs / any object
-    store). Mirrors the reference's S3 ranged GETs (cache.rs:115-125)."""
+    store). Mirrors the reference's S3 ranged GETs (cache.rs:115-125).
 
-    def __init__(self, url: str, size: int | None = None) -> None:
+    Auth scope — a deliberate redesign vs the reference: the reference
+    pulls the full AWS SDK credential chain (cache.rs:24-54,76); this
+    source speaks plain HTTP so it works against ANY object store via
+    (a) presigned/public URLs, or (b) static ``headers`` (e.g.
+    ``{"Authorization": "Bearer ..."}`` or an S3 sigv4 header set minted
+    by an external signer). Rotating-signature schemes (native sigv4 per
+    request) are out of scope — front them with a presigner or proxy.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        size: int | None = None,
+        headers: dict[str, str] | None = None,
+    ) -> None:
         import urllib.request
 
         self._url = url
         self._urllib = urllib.request
+        self._headers = dict(headers or {})
         if size is None:
-            req = self._urllib.Request(url, method="HEAD")
+            req = self._urllib.Request(
+                url, method="HEAD", headers=self._headers
+            )
             with self._urllib.urlopen(req) as resp:
                 size = int(resp.headers["Content-Length"])
         self.size = size
@@ -101,7 +118,10 @@ class HttpRangeSource:
     def read_range(self, start: int, length: int) -> bytes:
         req = self._urllib.Request(
             self._url,
-            headers={"Range": f"bytes={start}-{start + length - 1}"},
+            headers={
+                **self._headers,
+                "Range": f"bytes={start}-{start + length - 1}",
+            },
         )
         with self._urllib.urlopen(req) as resp:
             return resp.read()
@@ -268,7 +288,11 @@ META_FILES = (
 OPTIONAL_META_FILES = ("meta.json", "extra_base.fvecs", "extra_ids.ivecs")
 
 
-def download_meta(url_prefix: str, dest_dir: str | Path) -> Path:
+def download_meta(
+    url_prefix: str,
+    dest_dir: str | Path,
+    headers: dict[str, str] | None = None,
+) -> Path:
     """Bootstrap a local index directory from an object store.
 
     Fetches the index metadata files from ``{url_prefix}/{name}`` into
@@ -276,7 +300,9 @@ def download_meta(url_prefix: str, dest_dir: str | Path) -> Path:
     load-time behavior of the reference's download_meta_from_s3
     (/root/reference/crates/disk/src/cache.rs:24-54). base.fvecs is NOT
     downloaded: raw vectors stay remote and stream through the block
-    cache on rerank misses.
+    cache on rerank misses. ``headers`` carries static auth (see
+    HttpRangeSource's auth-scope note: presigned URLs or static headers;
+    no AWS SDK credential chain by design).
     """
     import urllib.error
     import urllib.request
@@ -291,7 +317,8 @@ def download_meta(url_prefix: str, dest_dir: str | Path) -> Path:
             continue
         url = f"{prefix}/{name}"
         try:
-            with urllib.request.urlopen(url) as resp:
+            req = urllib.request.Request(url, headers=dict(headers or {}))
+            with urllib.request.urlopen(req) as resp:
                 data = resp.read()
         except urllib.error.HTTPError as e:
             if name in OPTIONAL_META_FILES and e.code == 404:

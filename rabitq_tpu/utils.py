@@ -51,10 +51,20 @@ def pipelined_map(fn, batches, depth: int = 2):
     """
     from collections import deque
 
+    def force(x):
+        if x is None:
+            return None
+        if isinstance(x, tuple):
+            forced = [force(v) for v in x]
+            if hasattr(x, "_fields"):  # preserve NamedTuple subclasses
+                return type(x)(*forced)
+            return tuple(forced)
+        return np.asarray(x)
+
     pending: "deque" = deque()
     for b in batches:
         pending.append(fn(b))
         if len(pending) > depth:
-            yield np.asarray(pending.popleft())
+            yield force(pending.popleft())
     while pending:
-        yield np.asarray(pending.popleft())
+        yield force(pending.popleft())

@@ -37,6 +37,84 @@ def test_adaptive_stops_early_on_easy_queries(rng):
     assert (np.asarray(ids)[:, 0] == np.arange(8)).all()
 
 
+def test_probe_lo_scans_only_the_slice(rng):
+    """rough_scan with probe_lo must return exactly the columns
+    [probe_lo, probe) of the full scan — the incremental escalation
+    never rescans earlier ranks."""
+    from rabitq_tpu.index.search import rough_scan
+
+    base, centers = make_clustered_dataset(rng, n=1500, dim=32, k=16)
+    idx = build_index(base, centers, key=jax.random.key(5))
+    q = jnp.asarray(base[:6])
+    cap = idx.capacity
+    full = rough_scan(idx, q, SearchParams(probe=8, topk=5, rerank=64))
+    part = rough_scan(
+        idx, q, SearchParams(probe=8, topk=5, rerank=64, probe_lo=5)
+    )
+    b = 6
+    assert part.rough.shape == (b, 3 * cap)
+    assert part.starts.shape == (b, 3)
+    np.testing.assert_array_equal(
+        np.asarray(part.rough),
+        np.asarray(full.rough).reshape(b, 8, cap)[:, 5:].reshape(b, -1),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(part.starts), np.asarray(full.starts)[:, 5:]
+    )
+    # n_scanned counts only the slice (drained into METRICS as rough).
+    sizes_full = int(np.asarray(full.n_scanned).sum())
+    sizes_part = int(np.asarray(part.n_scanned).sum())
+    assert 0 < sizes_part < sizes_full
+
+
+def test_adaptive_incremental_matches_single_shot(rng):
+    """Escalating through levels must end with exactly the single-shot
+    result at the final probe (new clusters merge losslessly), including
+    with a memtable present; and the per-level scan work sums to ~1x the
+    final probe (each cluster rank scanned once)."""
+    import importlib
+
+    from rabitq_tpu import insert, search
+
+    S = importlib.import_module("rabitq_tpu.index.search")
+
+    base, centers = make_clustered_dataset(rng, n=2000, dim=32, k=16, spread=0.4)
+    idx = build_index(base, centers, key=jax.random.key(6))
+    extra = rng.standard_normal((4, 32)).astype(np.float32)
+    idx = insert(idx, extra)
+    nq = 8
+    queries = jnp.asarray(rng.standard_normal((nq, 32)).astype(np.float32))
+    # rerank=1999 keeps these (params, shape) combos out of other tests'
+    # jit caches, so the rough_scan spy below sees every trace.
+    params = SearchParams(probe=2, topk=10, rerank=1999)
+
+    scanned_windows = []
+    orig = S.rough_scan
+
+    def spy(index, q, p, reduce=False):
+        scanned_windows.append((p.probe_lo, min(p.probe, index.k)))
+        return orig(index, q, p, reduce=reduce)
+
+    S.rough_scan = spy
+    try:
+        dists, ids, probe_used = search_adaptive(idx, queries, params)
+    finally:
+        S.rough_scan = orig
+
+    # Levels partition [0, probe_used): no rank scanned twice.
+    scanned_windows.sort()
+    assert scanned_windows[0][0] == 0
+    for (lo1, hi1), (lo2, hi2) in zip(scanned_windows, scanned_windows[1:]):
+        assert lo2 == hi1, scanned_windows
+    assert scanned_windows[-1][1] == probe_used
+
+    d1, i1 = search(idx, queries, params._replace(probe=probe_used))
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(i1))
+    np.testing.assert_allclose(
+        np.asarray(dists), np.asarray(d1), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_adaptive_expands_probe_when_needed(rng):
     base, centers = make_clustered_dataset(rng, n=2000, dim=32, k=16, spread=0.4)
     idx = build_index(base, centers, key=jax.random.key(3))

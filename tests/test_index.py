@@ -130,6 +130,12 @@ def test_amk_two_pass_merge_is_exact_on_cpu(rng):
     # Force repeated values (the dedup must use (value, index) pairs).
     rough[:, 1] = rough[:, 0]
     rough[0, 10:14] = 7.5
+    # Ties that LAND IN THE TOP-R: distinct columns with exactly equal
+    # minimal values each survive both passes; a value-only merge sort
+    # can interleave them (i0,i1,i0,i1) so the adjacent-pair duplicate
+    # check misses the duplicates and the same index survives twice.
+    rough[1, 5:9] = -7.5
+    rough[2, ::width] = -3.25  # one tied minimum per task column
     rough = jnp.asarray(rough)
 
     lb, fi = _amk_two_pass(rough, probe, width, rerank, 0.95)
@@ -145,6 +151,86 @@ def test_amk_two_pass_merge_is_exact_on_cpu(rng):
         assert np.array_equal(
             np.sort(np.asarray(rough)[r][fi[r]]), np.sort(lb_exact[r])
         )
+
+
+def test_search_with_stats_counters(rng):
+    """search_with_stats must return the same results as search() plus
+    per-query counters: rough = total size of probed clusters, precise =
+    finite-lower-bound rerank candidates (both positive, precise <=
+    rerank budget)."""
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import make_clustered_dataset
+    from rabitq_tpu import SearchParams, build_index
+    from rabitq_tpu.index.search import search, search_with_stats
+
+    base, centers = make_clustered_dataset(rng, n=800, dim=32, k=8)
+    idx = build_index(base, centers, key=jax.random.key(9))
+    q = jnp.asarray(base[:6])
+    params = SearchParams(probe=4, topk=5, rerank=64)
+    d1, i1 = search(idx, q, params)
+    d2, i2, stats = search_with_stats(idx, q, params)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    rough = np.asarray(stats.rough)
+    precise = np.asarray(stats.precise)
+    assert rough.shape == precise.shape == (6,)
+    assert (rough > 0).all() and (precise > 0).all()
+    assert (precise <= 64).all()
+    assert (precise <= rough).all()
+
+    # rough equals the probed clusters' total size, computed directly.
+    from rabitq_tpu.ops import pairwise_l2sq, rotate
+
+    q_pad = jnp.pad(q, ((0, 0), (0, idx.dim - q.shape[1])))
+    y = rotate(q_pad, idx.orthogonal)
+    cd = pairwise_l2sq(y, idx.centroids_rot)
+    _, cids = jax.lax.top_k(-cd, 4)
+    sizes = np.asarray(idx.offsets[cids + 1] - idx.offsets[cids])
+    np.testing.assert_array_equal(rough, sizes.sum(axis=1))
+
+
+def test_rerank_bf16_two_level(rng):
+    """rerank_bf16 gathers candidates from the bf16 base copy and
+    re-verifies the top slice in f32: results must stay high-recall and
+    reported distances must be f32-exact for the returned ids."""
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import brute_force_topk, make_clustered_dataset
+    from rabitq_tpu import SearchParams, build_index, calculate_recall
+    from rabitq_tpu.index.index import with_bf16_base
+    from rabitq_tpu.index.search import search
+
+    base, centers = make_clustered_dataset(rng, n=1200, dim=32, k=8)
+    idx = with_bf16_base(build_index(base, centers, key=jax.random.key(11)))
+    assert idx.base_bf16 is not None and idx.base_bf16.dtype == jnp.bfloat16
+    q = base[:16]
+    truth = brute_force_topk(base, q, 10)
+    params = SearchParams(probe=8, topk=10, rerank=100, rerank_bf16=True)
+    dists, ids = search(idx, jnp.asarray(q), params)
+    dists, ids = np.asarray(dists), np.asarray(ids)
+    rec = np.mean([calculate_recall(truth[i], ids[i], 10) for i in range(16)])
+    assert rec >= 0.95, rec
+    # Reported distances are exact f32 distances of the returned ids.
+    pos_of = {int(v): p for p, v in enumerate(np.asarray(idx.map_ids))}
+    qpad = np.zeros((16, idx.dim), np.float32)
+    qpad[:, :32] = q
+    bnp = np.asarray(idx.base)
+    for i in range(16):
+        for j in range(10):
+            if ids[i, j] < 0:
+                continue
+            d = float(((bnp[pos_of[int(ids[i, j])]] - qpad[i]) ** 2).sum())
+            np.testing.assert_allclose(dists[i, j], d, rtol=1e-5, atol=1e-5)
+    # Without the derived copy the flag is silently inert.
+    from rabitq_tpu import build_index as _b
+
+    idx2 = build_index(base, centers, key=jax.random.key(11))
+    d2, i2 = search(idx2, jnp.asarray(q), params)
+    assert np.isfinite(np.asarray(d2)).all()
 
 
 def test_search_many_matches_per_batch(rng):

@@ -63,15 +63,69 @@ def test_compact_folds_memtable_and_tombstones(rng):
     extra = rng.standard_normal((10, 32)).astype(np.float32)
     idx = insert(idx, extra)
     idx = delete(idx, [5, 6, 7])
-    new_idx, old_ids = compact(idx)
+    new_idx, live_ids = compact(idx)
     assert new_idx.extra_base is None
     assert new_idx.n == 400 + 10 - 3
-    assert not np.isin(old_ids, [5, 6, 7]).any()
-    # Search works and finds the (renumbered) inserted vectors.
+    assert not np.isin(live_ids, [5, 6, 7]).any()
+    # Original ids are preserved across the rebuild: the first inserted
+    # vector still answers under id 400, deleted ids stay gone.
     params = SearchParams(probe=8, topk=3, rerank=50)
     ids = _ids(new_idx, extra[:1], params)[0]
-    new_pos_of_extra0 = int(np.nonzero(old_ids == 400)[0][0])
-    assert new_pos_of_extra0 in ids.tolist()
+    assert 400 in ids.tolist()
+    assert sorted(np.asarray(new_idx.map_ids).tolist()) == sorted(
+        live_ids.tolist()
+    )
+
+
+def test_update_replaces_under_same_id(rng):
+    """update(v, id) must (a) return the NEW vector under the OLD id,
+    (b) drop the old vector, (c) survive compact unchanged."""
+    from rabitq_tpu import update
+
+    base, centers = make_clustered_dataset(rng, n=400, dim=32, k=8)
+    idx = build_index(base, centers, key=jax.random.key(7))
+    params = SearchParams(probe=8, topk=3, rerank=60)
+
+    # Move vector 42 to a far-away location.
+    new_v = base[42] + np.float32(25.0)
+    idx2 = update(idx, new_v[None, :], ids=[42])
+
+    near_new = _ids(idx2, new_v[None, :], params)[0].tolist()
+    assert near_new[0] == 42  # the new location answers with the old id
+    near_old = _ids(idx2, base[42][None, :], params)[0].tolist()
+    assert 42 not in near_old  # the old location no longer has it
+
+    # Updating an absent id behaves as an insert (upsert).
+    v2 = rng.standard_normal(32).astype(np.float32)
+    idx3 = update(idx2, v2[None, :], ids=[9999])
+    assert 9999 in _ids(idx3, v2[None, :], params)[0].tolist()
+
+    # The update survives compaction under the same id.
+    idx4, _ = compact(idx3)
+    assert idx4.extra_base is None
+    assert _ids(idx4, new_v[None, :], params)[0].tolist()[0] == 42
+    assert 42 not in _ids(idx4, base[42][None, :], params)[0].tolist()
+    assert 9999 in _ids(idx4, v2[None, :], params)[0].tolist()
+
+
+def test_update_twice_single_live_copy(rng):
+    """Repeated updates of one id leave exactly one live row: the latest
+    vector, under that id (no duplicate id in any result)."""
+    from rabitq_tpu import update
+
+    base, centers = make_clustered_dataset(rng, n=300, dim=24, k=4)
+    idx = build_index(base, centers, key=jax.random.key(8))
+    params = SearchParams(probe=4, topk=5, rerank=40)
+    v1 = base[7] + np.float32(10.0)
+    v2 = base[7] - np.float32(10.0)
+    idx = update(idx, v1[None, :], ids=[7])
+    idx = update(idx, v2[None, :], ids=[7])
+    got = _ids(idx, v2[None, :], params)[0].tolist()
+    assert got[0] == 7 and got.count(7) == 1
+    assert 7 not in _ids(idx, v1[None, :], params)[0].tolist()
+    # Live memtable holds exactly one row for id 7.
+    ex = np.asarray(idx.extra_ids)
+    assert (ex == 7).sum() == 1
 
 
 def test_cosine_metric(rng):

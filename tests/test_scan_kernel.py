@@ -332,6 +332,44 @@ def test_lane_fold_empty_and_small_clusters(scan_inputs):
         assert np.isfinite(full[t]).sum() == 1
 
 
+def test_effective_fold_gate():
+    """The lane fold must be disabled whenever it would not shrink the
+    output (span <= depth*128) — and every slot-bit decoder must key off
+    effective_fold, not the requested depth (capacity<=128 indexes hit
+    span==256 at the default fold_depth=2)."""
+    from rabitq_tpu.index.search import scan_span
+    from rabitq_tpu.ops.scan_kernel import effective_fold
+
+    assert effective_fold(256, 2) == 0
+    assert effective_fold(256, True) == 0
+    assert effective_fold(384, 2) == 2
+    assert effective_fold(256, 1) == 1
+    assert effective_fold(128, 1) == 0
+    assert effective_fold(512, 0) == 0
+    # The default capacity-128 index maps to the no-fold span.
+    assert scan_span(128) == 256
+    assert effective_fold(scan_span(128), 2) == 0
+    assert effective_fold(scan_span(129), 2) == 2
+
+
+def test_reduce_noop_on_small_window_returns_raw(scan_inputs):
+    """When span <= depth*128 the kernel ignores reduce and returns the
+    RAW full-width scan — values must be bit-identical to reduce=False
+    (no slot packing), so a decoder gated on effective_fold is exact."""
+    bits, factors, codes_pm1, facs, starts, sizes, quant, scal, cap = (
+        scan_inputs
+    )
+    span = cap + 128  # 256: fold depth 2 cannot shrink this
+    raw, _, a1 = _run(codes_pm1, facs, starts, sizes, quant, scal, span)
+    red, none, a2 = _run(
+        codes_pm1, facs, starts, sizes, quant, scal, span, reduce=True
+    )
+    assert none is None
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert red.shape == raw.shape == (starts.shape[0], span)
+    np.testing.assert_array_equal(np.asarray(raw), np.asarray(red))
+
+
 @pytest.mark.parametrize("qpc,g2", [(8, 1), (8, 4), (32, 2), (64, 4)])
 def test_qpc_g2_variants_identical(rng, qpc, g2):
     """Grouping geometry (tasks per window matmul, groups per grid step)

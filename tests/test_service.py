@@ -52,6 +52,25 @@ def test_health_and_metrics(served):
         assert r.status == 200
 
 
+def test_metrics_count_rough_precise_on_device_path(served):
+    """In-memory (device-path) queries must increment rough/precise, not
+    just query — the reference counts both on every query
+    (/root/reference/src/rabitq.rs:347, rerank.rs:87), so /metrics'
+    rough/precise ratio must be nonzero after serving."""
+    from rabitq_tpu.metrics import METRICS
+
+    url, base = served
+    METRICS.reset()
+    status, _ = _post(url, dict(query=base[3].tolist(), top_k=5, probe=8))
+    assert status == 200
+    with urllib.request.urlopen(url + "/metrics") as r:
+        text = r.read().decode()
+    assert METRICS.query >= 1
+    assert METRICS.rough > 0, text
+    assert METRICS.precise > 0, text
+    assert "ratio: 0.00" not in text
+
+
 def test_query_roundtrip(served):
     url, base = served
     status, body = _post(

@@ -1,0 +1,198 @@
+"""Scan-kernel-only microbench on the real TPU.
+
+Synthesizes pallas_rough_scan operands directly at headline scale (no
+index build, no tunnel-heavy corpus upload) and times the kernel with the
+differential fori_loop method (BASELINE.md): one dispatch, N device-side
+iterations with perturbed query bytes, minus a 1-iteration run.
+
+Task->cluster assignment models the real pipeline: each of B queries
+probes `probe` DISTINCT clusters, either uniformly (manifold-like) or
+Zipf-skewed (blobs-like, hot clusters >> qpc tasks). Use --sweep to
+compare (qpc, g2) grouping geometries.
+
+Usage: python tools/kbench.py [--n 1000000] [--k 4096] [--batch 2048]
+       [--probe 32] [--skew 0] [--sweep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_operands(n, dim, k, cap, seed=0):
+    """Random codes/factors in the kernel's tiled layouts + a cluster
+    table with sizes ~ n/k (capped at cap), like a balanced build."""
+    rng = np.random.default_rng(seed)
+    n_tiles = (n + 127) // 128
+    codes = rng.choice(
+        np.array([-1, 1], np.int8), size=(n_tiles, 128, dim)
+    )
+    facs = np.zeros((n_tiles, 8, 128), np.float32)
+    facs[:, 0] = rng.standard_normal((n_tiles, 128)) * 0.1  # ip
+    facs[:, 1] = rng.standard_normal((n_tiles, 128)) * 0.1  # ppc
+    facs[:, 2] = np.abs(rng.standard_normal((n_tiles, 128))) * 0.1  # err
+    facs[:, 3] = np.abs(rng.standard_normal((n_tiles, 128)))  # cdsq
+
+    sizes = np.minimum(
+        rng.poisson(n / k, size=k).astype(np.int32), cap
+    )
+    total = int(sizes.sum())
+    assert total <= n, (total, n)
+    starts = np.zeros(k, np.int32)
+    starts[1:] = np.cumsum(sizes)[:-1]
+    return codes, facs, starts, sizes
+
+
+def make_tasks(b, probe, k, starts, sizes, skew, seed=1):
+    """[b*probe] tasks: per query, `probe` distinct clusters (uniform or
+    Zipf-skewed rank sampling over a random per-query permutation)."""
+    rng = np.random.default_rng(seed)
+    if skew > 0:
+        w = 1.0 / np.arange(1, k + 1, dtype=np.float64) ** skew
+        w /= w.sum()
+        cl = np.empty((b, probe), np.int32)
+        perm = rng.permutation(k)
+        for i in range(b):
+            # Hot clusters shared across queries (same perm), distinct
+            # within a query - the real blobs-case shape.
+            cl[i] = perm[
+                rng.choice(k, size=probe, replace=False, p=w)
+            ]
+    else:
+        cl = np.empty((b, probe), np.int32)
+        for i in range(b):
+            cl[i] = rng.choice(k, size=probe, replace=False)
+    cl = cl.reshape(-1)
+    return starts[cl], sizes[cl]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--cap", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--probe", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--skew", type=float, default=0.0)
+    ap.add_argument("--reduce", type=int, default=2)
+    ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--qpc", type=int, default=None)
+    ap.add_argument("--g2", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu.ops.scan_kernel import _G2, _pick_qpc, pallas_rough_scan
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+
+    span = ((args.cap + 127) // 128) * 128 + 128
+    codes, facs, starts_k, sizes_k = make_operands(
+        args.n, args.dim, args.k, args.cap
+    )
+    s = args.batch * args.probe
+    t_starts, t_sizes = make_tasks(
+        args.batch, args.probe, args.k, starts_k, sizes_k, args.skew
+    )
+    rng = np.random.default_rng(3)
+    qvals = rng.integers(0, 16, size=(s, args.dim)).astype(np.int8)
+    scal = np.abs(rng.standard_normal((s, 4))).astype(np.float32)
+
+    dist = len(np.unique(t_starts))
+    log(
+        f"S={s} tasks over {dist} distinct windows "
+        f"(sharing {s/dist:.1f}); span={span} "
+        f"bytes/window={span*(args.dim+32)}"
+    )
+
+    codes_d = jnp.asarray(codes)
+    facs_d = jnp.asarray(facs)
+    st_d = jnp.asarray(t_starts)
+    sz_d = jnp.asarray(t_sizes)
+    qv_d = jnp.asarray(qvals)
+    sc_d = jnp.asarray(scal)
+
+    def timed(qpc, g2):
+        @jax.jit
+        def loop(qv, iters):
+            def body(i, acc):
+                r, _, _ = pallas_rough_scan(
+                    codes_d,
+                    facs_d,
+                    st_d,
+                    sz_d,
+                    qv + (i % 3).astype(jnp.int8),
+                    sc_d,
+                    span=span,
+                    k_max=args.k,
+                    reduce=args.reduce,
+                    qpc=qpc,
+                    g2=g2,
+                )
+                return acc + jnp.where(jnp.isfinite(r), r, 0.0).sum()
+
+            return jax.lax.fori_loop(0, iters, body, 0.0)
+
+        _ = float(loop(qv_d, args.iters))
+        _ = float(loop(qv_d, 1))
+
+        def best(itr, reps=3):
+            ts = []
+            for r in range(reps):
+                qp = qv_d + np.int8(r % 2)
+                t0 = time.time()
+                _ = float(loop(qp, itr))
+                ts.append(time.time() - t0)
+            return min(ts)
+
+        per = (best(args.iters) - best(1)) / (args.iters - 1)
+        return per
+
+    if args.sweep:
+        results = {}
+        for qpc in (8, 16, 32, 64):
+            for g2 in (2, 4, 8):
+                try:
+                    per = timed(qpc, g2)
+                except Exception as e:
+                    log(f"qpc={qpc} g2={g2}: FAIL {type(e).__name__}: {e}")
+                    continue
+                results[(qpc, g2)] = per
+                log(f"qpc={qpc:3d} g2={g2}: {per*1e3:7.3f} ms/scan")
+        bestk = min(results, key=results.get)
+        log(f"best: qpc={bestk[0]} g2={bestk[1]} {results[bestk]*1e3:.3f} ms")
+        print(
+            "{"
+            + ", ".join(
+                f'"q{q}_g{g}_ms": {v*1e3:.3f}'
+                for (q, g), v in sorted(results.items())
+            )
+            + "}"
+        )
+    else:
+        qpc = args.qpc or _pick_qpc(s, args.k)
+        g2 = args.g2 or _G2
+        per = timed(qpc, g2)
+        log(f"scan: {per*1e3:.3f} ms (qpc={qpc} g2={g2})")
+        print(
+            f'{{"scan_ms": {per*1e3:.3f}, "qpc": {qpc}, "g2": {g2}, '
+            f'"s": {s}, "distinct": {dist}}}'
+        )
+
+
+if __name__ == "__main__":
+    main()
