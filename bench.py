@@ -413,6 +413,18 @@ def main():
         select_reduce=bool(args.fold) if args.fold is not None else True,
     )
     q3 = qd[:nq_pad].reshape(nq_pad // batch, batch, -1)
+    # Drain pipeline counters for the chosen setting (one batch is
+    # representative — rough/precise are per-query) so the bench reports
+    # the same pruning-effectiveness ratio the reference CLI logs at exit.
+    from rabitq_tpu.index.search import search_with_stats
+    from rabitq_tpu.metrics import METRICS, record_search_stats
+
+    METRICS.reset()
+    _, _, stats = search_with_stats(index, qd[:batch], params)
+    record_search_stats(stats)
+    METRICS.add_query_count(batch)
+    log(f"metrics: {METRICS.to_str()}")
+
     ids_f = np.asarray(search_many(index, q3, params)[1])  # compile
     recall_f = float(
         np.mean(

@@ -80,6 +80,11 @@ def cmd_run(args) -> None:
         params = params._replace(select_passes=args.select_passes)
     if getattr(args, "no_fold", False):
         params = params._replace(select_reduce=False)
+    if getattr(args, "rerank_bf16", False):
+        from rabitq_tpu.index.index import with_bf16_base
+
+        index = with_bf16_base(index)
+        params = params._replace(rerank_bf16=True)
     trace_ctx = (
         device_trace(args.trace) if args.trace else contextlib.nullcontext()
     )
@@ -241,6 +246,12 @@ def main(argv=None) -> None:
         action="store_true",
         help="disable the kernel lane-fold pre-selection "
         "(SearchParams.select_reduce=False)",
+    )
+    p_run.add_argument(
+        "--rerank-bf16",
+        action="store_true",
+        help="two-level rerank: bf16 candidate gather + f32 re-verify of "
+        "the top ~4x-topk (+50%% base HBM, ~2x less gather traffic)",
     )
     p_run.add_argument(
         "--profile",

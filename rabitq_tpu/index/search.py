@@ -260,6 +260,10 @@ def rough_scan(
             span=span,
             k_max=index.k,
             reduce=reduce,
+            # cids are distinct per row (top-k/approx_min_k indices) and
+            # cluster starts are monotone in cid — the structured
+            # grouping applies (sort-free, ~2x less glue cost).
+            cids=cids,
         )
         width = rough.shape[-1]
         pos_base = aligned.reshape(b, pe)

@@ -143,9 +143,14 @@ def _kernel(
     def _():
         start_step(step + nbuf - 1)
 
-    # Rows of padded groups are never read downstream (inv_row indexes
-    # real tasks only), but the block must be defined.
-    out_ref[...] = jnp.full_like(out_ref, jnp.inf)
+    # NOTE: no blanket out init. Rows of padded groups (and the clamped
+    # tail rows of partial groups) are NEVER read downstream — the
+    # task-order gather (inv_row) indexes real tasks only — so leaving
+    # them unwritten is safe and halves the kernel's HBM write traffic
+    # (the fold previously wrote every row twice: inf then values).
+    # Valid lanes of valid groups are always fully written below: the
+    # fold writes whole [qpc, 128] value rows, the no-fold path writes
+    # every tile slice.
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     kind = jax.lax.broadcasted_iota(jnp.int32, (1, _NSCAL), 1)
@@ -304,6 +309,198 @@ def _pick_nbuf(tiles: int, d: int, g2: int) -> int:
     return max(2, min(6, _WBUF_BUDGET // max(1, g2 * window)))
 
 
+def _window_run_leaders(
+    tile0_g: jax.Array, gsize_g: jax.Array, g2: int
+) -> jax.Array:
+    """Leader j2 per group: consecutive groups of one grid step that
+    share a window (same first tile — a hot cluster's chunks, or small
+    adjacent clusters inside one tile region) elect the run's first j2;
+    only it DMAs, followers read its buffer (see _kernel). Equal tile0
+    with different extents still shares the DMA'd bytes (same tiles),
+    so tile0 alone is the correct dedup key. Leadership never crosses a
+    grid step (the nbuf-deep prefetch overwrites the previous step's
+    buffers mid-step)."""
+    t_st = tile0_g.reshape(-1, g2)
+    gs_st = gsize_g.reshape(-1, g2)
+    lead_cols = [jnp.zeros(t_st.shape[0], jnp.int32)]
+    for j in range(1, g2):
+        same = (
+            (t_st[:, j] == t_st[:, j - 1])
+            & (gs_st[:, j] > 0)
+            & (gs_st[:, j - 1] > 0)
+        )
+        lead_cols.append(
+            jnp.where(same, lead_cols[j - 1], jnp.int32(j))
+        )
+    return jnp.stack(lead_cols, axis=1).reshape(-1)
+
+
+def prepare_groups(
+    starts: jax.Array,
+    sizes: jax.Array,
+    qvals: jax.Array,
+    scal: jax.Array,
+    *,
+    qpc: int,
+    g2: int,
+    g_pad: int,
+):
+    """XLA-side grouping glue feeding the kernel (exposed for profiling).
+
+    Returns (tile0_g, gsize_g, lead_g [g_pad] int32, qg [g_pad*qpc, D]
+    int8, scal8 [g_pad*qpc, 8] f32, inv_row [S] int32).
+    """
+    s = starts.shape[0]
+    order, gid, slot = _group_tasks(starts, sizes, qpc)
+    ss = starts[order]
+    tile0_s = ss // LANES
+    iota_s = jnp.arange(s, dtype=jnp.int32)
+
+    # Per-group metadata: 1-D scatters over [g_pad] are cheap (unlike row
+    # scatters of wide payloads, which XLA serializes).
+    tile0_g = jnp.zeros((g_pad,), jnp.int32).at[gid].set(tile0_s)
+    gsize_g = jnp.zeros((g_pad,), jnp.int32).at[gid].add(1)
+    first_g = jnp.full((g_pad,), s, jnp.int32).at[gid].min(iota_s)
+
+    lead_g = _window_run_leaders(tile0_g, gsize_g, g2)
+
+    # Group-spread per-task operands via ROW gathers only: output row r
+    # serves group r//qpc, slot r%qpc, whose sorted task is first_g +
+    # slot. first_g[r//qpc] is a qpc-fold repeat — broadcast+reshape, NOT
+    # a gather. Per-task operands are built ELEMENTWISE in task order,
+    # row-gathered into sorted order, then row-gathered again by
+    # src_sorted — row gathers (even 8-lane rows) run ~10-50x faster than
+    # the same traffic as 1-D element gathers (measured ~0.2 ms for
+    # [127k, 8] f32 rows vs ~1 ms per [127k] element gather).
+    rows = jnp.arange(g_pad * qpc, dtype=jnp.int32)
+    first_rep = jnp.broadcast_to(
+        first_g[:, None], (g_pad, qpc)
+    ).reshape(-1)
+    src_sorted = jnp.minimum(first_rep + rows % qpc, s - 1)
+    qg = qvals[order][src_sorted].astype(jnp.int8)
+
+    # Window extent bounds are per-task values (elementwise in the
+    # unsorted task list); win_lo < 128 always.
+    win_lo_u = starts % LANES
+    scal8_u = jnp.stack(
+        [
+            scal[:, 0],
+            scal[:, 1],
+            scal[:, 3],
+            jnp.sqrt(scal[:, 3]),
+            win_lo_u.astype(jnp.float32),
+            (win_lo_u + sizes).astype(jnp.float32),
+            jnp.zeros((s,), jnp.float32),
+            jnp.zeros((s,), jnp.float32),
+        ],
+        axis=-1,
+    )  # [s, 8] f32
+    scal8 = scal8_u[order][src_sorted]  # [g_pad*qpc, 8] f32
+
+    inv_row = jnp.zeros((s,), jnp.int32).at[order].set(gid * qpc + slot)
+    return tile0_g, gsize_g, lead_g, qg, scal8, inv_row
+
+
+def prepare_groups_structured(
+    cids: jax.Array,    # [B, probe] int32, DISTINCT within each row
+    starts: jax.Array,  # [S] int32 (S = B*probe, row-major flatten)
+    sizes: jax.Array,   # [S] int32
+    qvals: jax.Array,   # [S, D] int8/int32
+    scal: jax.Array,    # [S, 4] f32
+    *,
+    k: int,
+    qpc: int,
+    g2: int,
+    g_pad: int,
+):
+    """Sort-free grouping for the structured task list the query pipeline
+    produces (each query probes ``probe`` DISTINCT clusters).
+
+    The generic prepare_groups lexsorts the flat task list — ~3.4 ms of
+    the 7.7 ms scan stage at batch 2048 x probe 32 (tools/scanprof.py).
+    With the [B, probe] structure the sorted order is computable in
+    closed form, because clusters are laid out in id order (offsets are
+    monotone in cid, so cid order == window-start order):
+
+      rank(b, p)  = #queries b' < b probing cid[b,p]   (cumsum of a
+                    one-hot membership matrix — distinctness within a
+                    row makes the within-row contribution zero)
+      gid         = group_start[cid] + rank // qpc
+      slot        = rank % qpc
+      row_of_task = gid*qpc + slot  — which is ALSO the inverse
+                    permutation the output un-gather needs, for free.
+
+    Every per-task lookup of a [k]-table is a one-hot contraction
+    (HIGHEST precision — counts reach B and group ids reach g_max, far
+    beyond bf16's exact-integer range), never an element gather; the
+    group spread is ONE row gather via task_of_row (a 1-D scatter),
+    replacing the sort path's two chained row gathers. Produces the
+    same (tile0_g, gsize_g, lead_g, qg, scal8, inv_row) contract as
+    prepare_groups, with groups in window-start order so the leader
+    dedup applies unchanged.
+    """
+    b, probe = cids.shape
+    s = b * probe
+    hi = jax.lax.Precision.HIGHEST
+    cid_f = cids.reshape(s)
+
+    oh = (
+        cids[..., None] == jnp.arange(k, dtype=cids.dtype)[None, None, :]
+    ).astype(jnp.float32)  # [B, probe, k] — fused into each einsum below
+    m = jnp.einsum("bpc->bc", oh)  # [B, k] 0/1 membership
+    cum_inc = jnp.cumsum(m, axis=0)
+    counts = cum_inc[-1]  # [k] tasks per cluster (exact: integers < 2^24)
+    cum_exc = cum_inc - m
+
+    groups_per_c = (counts.astype(jnp.int32) + qpc - 1) // qpc  # [k]
+    gstart_c = jnp.cumsum(groups_per_c) - groups_per_c  # exclusive
+    # One fused lookup pass for both per-task tables: payload channel 0 =
+    # within-cluster rank source, channel 1 = the cluster's first group.
+    payload = jnp.stack(
+        [
+            cum_exc,
+            jnp.broadcast_to(
+                gstart_c.astype(jnp.float32)[None, :], cum_exc.shape
+            ),
+        ],
+        axis=-1,
+    )  # [B, k, 2]
+    looked = jnp.einsum(
+        "bpc,bcx->bpx", oh, payload, precision=hi
+    )  # [B, probe, 2]
+    rank = looked[..., 0].reshape(s).astype(jnp.int32)
+    gstart = looked[..., 1].reshape(s).astype(jnp.int32)
+    gid = gstart + rank // qpc
+    slot = rank % qpc
+    row_of_task = gid * qpc + slot  # [s] — also the output inv_row
+
+    iota_s = jnp.arange(s, dtype=jnp.int32)
+    task_of_row = (
+        jnp.zeros((g_pad * qpc,), jnp.int32).at[row_of_task].set(iota_s)
+    )
+    tile0_g = jnp.zeros((g_pad,), jnp.int32).at[gid].set(starts // LANES)
+    gsize_g = jnp.zeros((g_pad,), jnp.int32).at[gid].add(1)
+    lead_g = _window_run_leaders(tile0_g, gsize_g, g2)
+
+    qg = qvals[task_of_row].astype(jnp.int8)
+    win_lo_u = starts % LANES
+    scal8_u = jnp.stack(
+        [
+            scal[:, 0],
+            scal[:, 1],
+            scal[:, 3],
+            jnp.sqrt(scal[:, 3]),
+            win_lo_u.astype(jnp.float32),
+            (win_lo_u + sizes).astype(jnp.float32),
+            jnp.zeros((s,), jnp.float32),
+            jnp.zeros((s,), jnp.float32),
+        ],
+        axis=-1,
+    )
+    scal8 = scal8_u[task_of_row]
+    return tile0_g, gsize_g, lead_g, qg, scal8, row_of_task
+
+
 def fold_slot_bits(span: int) -> int:
     """Mantissa bits the fold path's slot packing occupies for a given
     window span (see _kernel): enough to hold any window slot."""
@@ -344,6 +541,9 @@ def pallas_rough_scan(
     k_max: int | None = None,  # static bound on distinct starts (index.k)
     reduce: bool | int = False,  # True/2: best-2 fold; 1: best-1 fold
     interpret: bool = False,
+    cids: jax.Array | None = None,  # [B, probe] cluster ids, distinct per
+    # row, with S == B*probe row-major and starts monotone in cid: enables
+    # the sort-free structured grouping (requires k_max == #clusters).
 ) -> tuple[jax.Array, None, jax.Array]:
     """Returns (rough, None, window_starts [S]).
 
@@ -383,71 +583,25 @@ def pallas_rough_scan(
 
     g_max = _group_bound(s, qpc, k_max)
     g_pad = ((g_max + g2 - 1) // g2) * g2
-
-    order, gid, slot = _group_tasks(starts, sizes, qpc)
-    ss = starts[order]
-    tile0_s = ss // LANES
-    iota_s = jnp.arange(s, dtype=jnp.int32)
-
-    # Per-group metadata: 1-D scatters over [g_pad] are cheap (unlike row
-    # scatters of wide payloads, which XLA serializes).
-    tile0_g = jnp.zeros((g_pad,), jnp.int32).at[gid].set(tile0_s)
-    gsize_g = jnp.zeros((g_pad,), jnp.int32).at[gid].add(1)
-    first_g = jnp.full((g_pad,), s, jnp.int32).at[gid].min(iota_s)
-
-    # Window-run leaders: consecutive groups of one grid step that share a
-    # window (a hot cluster's chunks — groups are sorted by window) elect
-    # the run's first j2 as leader; only it DMAs, followers read its
-    # buffer (the single biggest re-DMA leak at high task sharing). sizes
-    # join the key like in _group_tasks: equal tile0 with different
-    # extents still shares the DMA'd bytes (same tiles), so tile0 alone
-    # is the correct dedup key.
-    t_st = tile0_g.reshape(-1, g2)
-    gs_st = gsize_g.reshape(-1, g2)
-    lead_cols = [jnp.zeros(t_st.shape[0], jnp.int32)]
-    for j in range(1, g2):
-        same = (
-            (t_st[:, j] == t_st[:, j - 1])
-            & (gs_st[:, j] > 0)
-            & (gs_st[:, j - 1] > 0)
+    if cids is not None:
+        assert cids.shape[0] * cids.shape[1] == s, (cids.shape, s)
+        (tile0_g, gsize_g, lead_g, qg, scal8, inv_row) = (
+            prepare_groups_structured(
+                cids,
+                starts,
+                sizes,
+                qvals,
+                scal,
+                k=k_max,
+                qpc=qpc,
+                g2=g2,
+                g_pad=g_pad,
+            )
         )
-        lead_cols.append(
-            jnp.where(same, lead_cols[j - 1], jnp.int32(j))
+    else:
+        (tile0_g, gsize_g, lead_g, qg, scal8, inv_row) = prepare_groups(
+            starts, sizes, qvals, scal, qpc=qpc, g2=g2, g_pad=g_pad
         )
-    lead_g = jnp.stack(lead_cols, axis=1).reshape(-1)
-
-    # Group-spread per-task operands via ROW gathers only: output row r
-    # serves group r//qpc, slot r%qpc, whose sorted task is first_g +
-    # slot. first_g[r//qpc] is a qpc-fold repeat — broadcast+reshape, NOT
-    # a gather. Per-task operands are built ELEMENTWISE in task order,
-    # row-gathered into sorted order, then row-gathered again by
-    # src_sorted — row gathers (even 8-lane rows) run ~10-50x faster than
-    # the same traffic as 1-D element gathers (measured ~0.2 ms for
-    # [127k, 8] f32 rows vs ~1 ms per [127k] element gather).
-    rows = jnp.arange(g_pad * qpc, dtype=jnp.int32)
-    first_rep = jnp.broadcast_to(
-        first_g[:, None], (g_pad, qpc)
-    ).reshape(-1)
-    src_sorted = jnp.minimum(first_rep + rows % qpc, s - 1)
-    qg = qvals[order][src_sorted].astype(jnp.int8)
-
-    # Window extent bounds are per-task values (elementwise in the
-    # unsorted task list); win_lo < 128 always.
-    win_lo_u = starts % LANES
-    scal8_u = jnp.stack(
-        [
-            scal[:, 0],
-            scal[:, 1],
-            scal[:, 3],
-            jnp.sqrt(scal[:, 3]),
-            win_lo_u.astype(jnp.float32),
-            (win_lo_u + sizes).astype(jnp.float32),
-            jnp.zeros((s,), jnp.float32),
-            jnp.zeros((s,), jnp.float32),
-        ],
-        axis=-1,
-    )  # [s, 8] f32
-    scal8 = scal8_u[order][src_sorted]  # [g_pad*qpc, 8] f32
 
     # reduce True (or 2): best-2-per-lane fold ([S, 256] out); reduce 1:
     # best-1 ([S, 128] out — halves the task-order gather and the
@@ -513,6 +667,5 @@ def pallas_rough_scan(
     )(tile0_g, gsize_g, lead_g, qg, scal8, codes_pm1, factors_tiled)
 
     # Back to original task order (row gather; scatters are slow).
-    inv_row = jnp.zeros((s,), jnp.int32).at[order].set(gid * qpc + slot)
     aligned = (starts // LANES) * LANES
     return result[0][inv_row], None, aligned

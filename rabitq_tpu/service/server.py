@@ -68,12 +68,18 @@ class BatchingEngine:
         max_batch: int = 64,
         window_ms: float = 2.0,
         default_rerank: int = 128,
+        rerank_bf16: bool = False,
     ):
+        if rerank_bf16 and store is None:
+            from rabitq_tpu.index.index import with_bf16_base
+
+            index = with_bf16_base(index)
         self.index = index
         self.store = store
         self.max_batch = max_batch
         self.window_s = window_ms / 1e3
         self.default_rerank = default_rerank
+        self.rerank_bf16 = rerank_bf16 and store is None
         self._q: queue.Queue[_Request] = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -90,7 +96,10 @@ class BatchingEngine:
         top_k = min(int(top_k), MAX_TOPK)
         probe = min(int(probe), MAX_PROBE, k)
         return SearchParams(
-            probe=probe, topk=top_k, rerank=max(self.default_rerank, top_k)
+            probe=probe,
+            topk=top_k,
+            rerank=max(self.default_rerank, top_k),
+            rerank_bf16=self.rerank_bf16,
         )
 
     def submit(self, query, top_k: int, probe: int, timeout_s: float = 120.0):
@@ -386,8 +395,15 @@ def serve(
     window_ms=2.0,
     default_probe=100,
     default_topk=10,
+    rerank_bf16=False,
 ):
-    engine = BatchingEngine(index, store, max_batch=max_batch, window_ms=window_ms)
+    engine = BatchingEngine(
+        index,
+        store,
+        max_batch=max_batch,
+        window_ms=window_ms,
+        rerank_bf16=rerank_bf16,
+    )
     # Warm the default-params compile before accepting traffic, so the first
     # requests don't eat the jit latency.
     logger.info("warming up (first compile)...")
@@ -440,6 +456,12 @@ def main(argv=None):
     ap.add_argument("--cache-db", default=None, help="sqlite block cache path")
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--window-ms", type=float, default=2.0)
+    ap.add_argument(
+        "--rerank-bf16",
+        action="store_true",
+        help="two-level rerank: bf16 candidate gather + f32 re-verify "
+        "(device store only; +50%% base HBM, ~2x less gather traffic)",
+    )
     args = ap.parse_args(argv)
 
     from rabitq_tpu.index.serialize import load_from_dir
@@ -479,6 +501,7 @@ def main(argv=None):
         store=store,
         max_batch=args.max_batch,
         window_ms=args.window_ms,
+        rerank_bf16=args.rerank_bf16,
     )
 
 

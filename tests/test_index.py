@@ -226,8 +226,6 @@ def test_rerank_bf16_two_level(rng):
             d = float(((bnp[pos_of[int(ids[i, j])]] - qpad[i]) ** 2).sum())
             np.testing.assert_allclose(dists[i, j], d, rtol=1e-5, atol=1e-5)
     # Without the derived copy the flag is silently inert.
-    from rabitq_tpu import build_index as _b
-
     idx2 = build_index(base, centers, key=jax.random.key(11))
     d2, i2 = search(idx2, jnp.asarray(q), params)
     assert np.isfinite(np.asarray(d2)).all()

@@ -332,6 +332,130 @@ def test_lane_fold_empty_and_small_clusters(scan_inputs):
         assert np.isfinite(full[t]).sum() == 1
 
 
+def _structured_tasks(rng, n, k, cap, b, probe):
+    """A [B, probe] task table like the query pipeline's: per-query
+    DISTINCT cluster ids over a cluster layout with starts monotone in
+    cid (offsets)."""
+    sizes_k = rng.integers(
+        0, min(cap, max(2, n // k)) + 1, size=k
+    ).astype(np.int32)
+    while sizes_k.sum() > n:
+        sizes_k = sizes_k // 2
+    offsets = np.zeros(k + 1, np.int32)
+    offsets[1:] = np.cumsum(sizes_k)
+    cids = np.stack(
+        [rng.choice(k, size=probe, replace=False) for _ in range(b)]
+    ).astype(np.int32)
+    starts = offsets[cids].reshape(-1)
+    sizes = sizes_k[cids].reshape(-1)
+    return cids, starts, sizes
+
+
+@pytest.mark.parametrize("skew", [False, True])
+def test_structured_grouping_matches_sort_path(rng, skew):
+    """pallas_rough_scan(cids=...) (sort-free grouping) must return
+    exactly the same per-task estimates as the lexsort grouping."""
+    n, d, cap, b, probe, k = 900, 64, 128, 12, 5, 24
+    bits = rng.integers(0, 2, size=(n, d)).astype(np.int32)
+    factors = np.abs(rng.standard_normal((n, 4))).astype(np.float32)
+    codes_pm1, facs = _operands(bits, factors, cap)
+    cids, _, _ = _structured_tasks(rng, n, k, cap, b, probe)
+    if skew:
+        # Concentrate most queries on 3 hot clusters (runs >> qpc),
+        # keeping rows DISTINCT (the structured-grouping precondition):
+        # the remaining slots draw from the non-hot pool.
+        hot = rng.choice(k, size=3, replace=False)
+        cold = np.setdiff1d(np.arange(k), hot)
+        for i in range(b):
+            if rng.random() < 0.8:
+                cids[i, :3] = hot
+                cids[i, 3:] = rng.choice(
+                    cold, size=probe - 3, replace=False
+                )
+    # Flat task arrays from cids against one fixed cluster layout.
+    sizes_k = rng.integers(
+        0, min(cap, max(2, n // k)) + 1, size=k
+    ).astype(np.int32)
+    while sizes_k.sum() > n:
+        sizes_k = sizes_k // 2
+    offsets = np.zeros(k + 1, np.int32)
+    offsets[1:] = np.cumsum(sizes_k)
+    starts = offsets[cids].reshape(-1)
+    sizes = sizes_k[cids].reshape(-1)
+
+    s = b * probe
+    quant = rng.integers(0, 16, size=(s, d)).astype(np.int32)
+    scal = _scal(rng, s, quant)
+    span = cap + 128
+    ref, _, a1 = _run(
+        codes_pm1, facs, starts, sizes, quant, scal, span, k_max=k
+    )
+    got, _, a2 = pallas_rough_scan(
+        codes_pm1,
+        facs,
+        jnp.asarray(starts),
+        jnp.asarray(sizes),
+        jnp.asarray(quant.astype(np.int8)),
+        jnp.asarray(scal),
+        span=span,
+        k_max=k,
+        interpret=True,
+        cids=jnp.asarray(cids),
+    )
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_structured_grouping_valid_and_bounded(rng):
+    """prepare_groups_structured must produce in-bounds group ids,
+    collision-free (gid, slot) pairs, and window-start-ordered groups
+    (the leader dedup's precondition)."""
+    from rabitq_tpu.ops.scan_kernel import (
+        _group_bound,
+        prepare_groups_structured,
+    )
+
+    for trial in range(20):
+        k = int(rng.integers(2, 40))
+        b = int(rng.integers(1, 30))
+        probe = int(rng.integers(1, min(k, 9)))
+        cap = 64
+        sizes_k = rng.integers(0, cap + 1, size=k).astype(np.int32)
+        offsets = np.zeros(k + 1, np.int32)
+        offsets[1:] = np.cumsum(sizes_k)
+        cids = np.stack(
+            [rng.choice(k, size=probe, replace=False) for _ in range(b)]
+        ).astype(np.int32)
+        starts = offsets[cids].reshape(-1)
+        sizes = sizes_k[cids].reshape(-1)
+        s = b * probe
+        for qpc in (1, 3, 8):
+            g2 = 4
+            g_max = _group_bound(s, qpc, k)
+            g_pad = ((g_max + g2 - 1) // g2) * g2
+            t0, gs, lead, qg, scal8, inv = prepare_groups_structured(
+                jnp.asarray(cids),
+                jnp.asarray(starts),
+                jnp.asarray(sizes),
+                jnp.asarray(
+                    rng.integers(0, 16, (s, 32)).astype(np.int8)
+                ),
+                jnp.asarray(_scal(rng, s, np.zeros((s, 32), np.int32))),
+                k=k,
+                qpc=qpc,
+                g2=g2,
+                g_pad=g_pad,
+            )
+            inv = np.asarray(inv)
+            assert inv.max() < g_pad * qpc
+            assert len(np.unique(inv)) == s  # no (gid, slot) collision
+            gs_np = np.asarray(gs)
+            assert gs_np.sum() == s
+            # Groups in window-start order (ignoring padded groups).
+            t0_np = np.asarray(t0)[gs_np > 0]
+            assert (np.diff(t0_np) >= 0).all()
+
+
 def test_effective_fold_gate():
     """The lane fold must be disabled whenever it would not shrink the
     output (span <= depth*128) — and every slot-bit decoder must key off

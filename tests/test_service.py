@@ -176,6 +176,25 @@ def test_store_backed_service(tmp_path):
         engine.close()
 
 
+def test_engine_rerank_bf16_flag(rng):
+    """BatchingEngine(rerank_bf16=True) derives the bf16 base copy and
+    serves correct results through the two-level rerank."""
+    import jax
+
+    from rabitq_tpu import build_index as bi
+
+    base, centers = make_clustered_dataset(rng, n=600, dim=32, k=8)
+    index = bi(base, centers, key=jax.random.key(21))
+    engine = BatchingEngine(index, max_batch=8, rerank_bf16=True)
+    try:
+        assert engine.index.base_bf16 is not None
+        scores, ids = engine.submit(base[9], 5, 8)
+        assert ids[0] == 9
+        assert scores[0] < 1e-5
+    finally:
+        engine.close()
+
+
 def test_bad_requests(served):
     url, _ = served
     status, body = _post(url, dict(top_k=5))  # missing query

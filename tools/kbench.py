@@ -45,10 +45,11 @@ def make_operands(n, dim, k, cap, seed=0):
     facs[:, 3] = np.abs(rng.standard_normal((n_tiles, 128)))  # cdsq
 
     sizes = np.minimum(
-        rng.poisson(n / k, size=k).astype(np.int32), cap
+        rng.poisson(n * 0.98 / k, size=k).astype(np.int32), cap
     )
+    while int(sizes.sum()) > n:  # trim overshoot deterministically
+        sizes[np.argmax(sizes)] -= 8
     total = int(sizes.sum())
-    assert total <= n, (total, n)
     starts = np.zeros(k, np.int32)
     starts[1:] = np.cumsum(sizes)[:-1]
     return codes, facs, starts, sizes

@@ -1,0 +1,221 @@
+"""Attribute the rough_scan stage cost on the real TPU.
+
+The kernel-only microbench (kbench.py) measures ~2.6 ms at the headline
+shape while the pipeline's scan stage costs ~7.7 ms — kbench's loop
+varies only the query bytes, so XLA hoists every start/size-dependent
+computation (grouping sort, operand spreads, leader election) out of
+the timing loop. This script times nested prefixes of the REAL scan
+stage with per-iteration query variation (so nothing hoists):
+
+  prep     rotate -> cdist -> probe select -> residuals -> quantize
+  group    + prepare_groups (sort, spreads, leaders)
+  kernel   + pallas kernel (no output un-gather)
+  full     + inv_row un-gather == rough_scan
+
+Marginal(stage) = prefix(stage) - prefix(previous).
+
+Usage: python tools/scanprof.py [--n 1000000] [--k 4096] [--batch 2048]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--probe", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu import SearchParams, build_index
+    from rabitq_tpu.consts import LANES
+    from rabitq_tpu.index.search import _prep_queries, rough_scan, scan_span
+    from rabitq_tpu.kmeans import kmeans
+    from rabitq_tpu.ops import (
+        pairwise_l2sq,
+        quantize_query_residuals,
+        rotate,
+    )
+    from rabitq_tpu.ops.scan_kernel import (
+        _G2,
+        _group_bound,
+        _pick_qpc,
+        pallas_rough_scan,
+        prepare_groups,
+    )
+
+    assert jax.default_backend() == "tpu"
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    from bench import make_dataset
+
+    base, queries = make_dataset(args.n, args.dim, 1024, args.batch, seed=7)
+    t0 = time.time()
+    centroids = kmeans(
+        base[: min(args.n, 200_000)], args.k, iters=8, key=jax.random.key(1)
+    )
+    index = build_index(base, centroids, key=jax.random.key(2))
+    log(f"built in {time.time()-t0:.1f}s capacity={index.capacity}")
+
+    params = SearchParams(probe=args.probe, topk=10, rerank=140)
+    probe = args.probe
+    cap = index.capacity
+    span = scan_span(cap)
+    s = args.batch * probe
+    qpc = _pick_qpc(s, index.k)
+    g2 = _G2
+    g_max = _group_bound(s, qpc, index.k)
+    g_pad = ((g_max + g2 - 1) // g2) * g2
+    qb = jnp.asarray(queries[: args.batch])
+
+    def fin_sum(x):
+        return jnp.where(jnp.isfinite(x), x, 0.0).sum()
+
+    def prep(idx, qs):
+        q_pad = _prep_queries(idx, qs)
+        y = rotate(q_pad, idx.orthogonal)
+        cdist = pairwise_l2sq(y, idx.centroids_rot)
+        _, cids = jax.lax.approx_min_k(
+            cdist, probe, recall_target=params.probe_recall
+        )
+        yr = y[:, None, :] - idx.centroids_rot[cids]
+        ycd = jnp.sum(yr * yr, axis=-1)
+        qq = quantize_query_residuals(yr)
+        starts = idx.offsets[cids].reshape(s)
+        sizes = (idx.offsets[cids + 1] - idx.offsets[cids]).reshape(s)
+        scal = jnp.stack(
+            [qq.lower, qq.delta, qq.code_sum, ycd], axis=-1
+        ).reshape(s, 4)
+        qvals = qq.quantized.reshape(s, idx.dim).astype(jnp.int8)
+        return starts, sizes, qvals, scal
+
+    def stage_prep(idx, qs):
+        starts, sizes, qvals, scal = prep(idx, qs)
+        return (
+            fin_sum(scal)
+            + qvals.astype(jnp.int32).sum().astype(jnp.float32)
+            + starts.sum().astype(jnp.float32)
+            + sizes.sum().astype(jnp.float32)
+        )
+
+    def prep_cids(idx, qs):
+        q_pad = _prep_queries(idx, qs)
+        y = rotate(q_pad, idx.orthogonal)
+        cdist = pairwise_l2sq(y, idx.centroids_rot)
+        _, cids = jax.lax.approx_min_k(
+            cdist, probe, recall_target=params.probe_recall
+        )
+        return cids
+
+    def stage_group(idx, qs):
+        starts, sizes, qvals, scal = prep(idx, qs)
+        t0g, gs, lead, qg, scal8, inv = prepare_groups(
+            starts, sizes, qvals, scal, qpc=qpc, g2=g2, g_pad=g_pad
+        )
+        return (
+            fin_sum(scal8)
+            + qg.astype(jnp.int32).sum().astype(jnp.float32)
+            + (t0g.sum() + gs.sum() + lead.sum() + inv.sum()).astype(
+                jnp.float32
+            )
+        )
+
+    def stage_group_str(idx, qs):
+        from rabitq_tpu.ops.scan_kernel import prepare_groups_structured
+
+        starts, sizes, qvals, scal = prep(idx, qs)
+        cids = prep_cids(idx, qs)
+        t0g, gs, lead, qg, scal8, inv = prepare_groups_structured(
+            cids,
+            starts,
+            sizes,
+            qvals,
+            scal,
+            k=index.k,
+            qpc=qpc,
+            g2=g2,
+            g_pad=g_pad,
+        )
+        return (
+            fin_sum(scal8)
+            + qg.astype(jnp.int32).sum().astype(jnp.float32)
+            + (t0g.sum() + gs.sum() + lead.sum() + inv.sum()).astype(
+                jnp.float32
+            )
+        )
+
+    def stage_full(idx, qs):
+        sc = rough_scan(idx, qs, params, reduce=2)
+        return fin_sum(sc.rough) + sc.starts.sum().astype(jnp.float32)
+
+    def time_stage(fn):
+        def make(iters):
+            @jax.jit
+            def loop(idx, qs):
+                def body(i, acc):
+                    return acc + fn(idx, qs + i.astype(jnp.float32) * 1e-6)
+
+                return jax.lax.fori_loop(0, iters, body, 0.0)
+
+            return loop
+
+        ln, l1 = make(args.iters), make(1)
+        _ = float(ln(index, qb))
+        _ = float(l1(index, qb))
+
+        def best(f, reps=3):
+            ts = []
+            for r in range(reps):
+                qp = qb + np.float32(1e-5) * (r + 1)
+                t0 = time.time()
+                _ = float(f(index, qp))
+                ts.append(time.time() - t0)
+            return min(ts)
+
+        return (best(ln) - best(l1)) / (args.iters - 1)
+
+    t_prep = time_stage(stage_prep)
+    t_sort = time_stage(stage_group)
+    t_str = time_stage(stage_group_str)
+    t_full = time_stage(stage_full)
+    out = {
+        "prep": t_prep,
+        "group_sort_marginal": t_sort - t_prep,
+        "group_structured_marginal": t_str - t_prep,
+        "full_scan_prefix": t_full,
+        "kernel_after_group_marginal": t_full - t_str,
+    }
+    prev = t_full
+    for name, v in out.items():
+        log(f"{name:>28}: {v*1e3:7.2f} ms")
+    log(
+        f"(kernel-only from kbench at this shape: ~2.6 ms; "
+        f"full-prefix {prev*1e3:.2f} ms)"
+    )
+    print(
+        "{"
+        + ", ".join(f'"{k}_ms": {v*1e3:.3f}' for k, v in out.items())
+        + "}"
+    )
+
+
+if __name__ == "__main__":
+    main()

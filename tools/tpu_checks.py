@@ -47,6 +47,12 @@ def main():
     )
     ap.add_argument("--skip-timing", action="store_true")
     ap.add_argument(
+        "--rerank-bf16",
+        action="store_true",
+        help="time the two-level bf16 rerank path (with_bf16_base + "
+        "SearchParams.rerank_bf16) instead of the f32 gather",
+    )
+    ap.add_argument(
         "--stages",
         action="store_true",
         help="additionally time each pipeline stage (cluster select / "
@@ -94,6 +100,10 @@ def main():
         base[: min(args.n, 200_000)], args.k, iters=8, key=jax.random.key(1)
     )
     index = build_index(base, centroids, key=jax.random.key(2))
+    if args.rerank_bf16:
+        from rabitq_tpu.index.index import with_bf16_base
+
+        index = with_bf16_base(index)
     log(f"built n={args.n} k={args.k} in {time.time()-t0:.1f}s")
 
     # --- Parity: compiled Pallas kernel vs portable jnp scan ------------
@@ -103,6 +113,8 @@ def main():
     )
     if args.probe_recall is not None:
         pk = pk._replace(probe_recall=args.probe_recall)
+    if args.rerank_bf16:
+        pk = pk._replace(rerank_bf16=True)
     pj = pk._replace(use_kernel=False)
     sk = rough_scan(index, qd, pk)
     sj = rough_scan(index, qd, pj)
