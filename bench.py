@@ -277,6 +277,24 @@ def main():
     )
     ap.add_argument("--topk", type=int, default=None)
     ap.add_argument("--target-recall", type=float, default=0.95)
+    ap.add_argument(
+        "--probe-rank",
+        choices=["centroid", "annulus"],
+        default=None,
+        help="cluster ranking key (default centroid; annulus ranks by "
+        "the geometric lower bound to each cluster's member-radius "
+        "band — discriminates split-segment ties on skewed corpora)",
+    )
+    ap.add_argument(
+        "--rerank",
+        type=int,
+        default=None,
+        help="override the rerank budget (default: max(140, 3*probe, "
+        "4*topk)). Near-duplicate-heavy data (--config blobs) needs "
+        "far larger budgets: the 1-bit estimator cannot rank near-ties, "
+        "so the true neighbors hide among thousands of candidates "
+        "within its error band.",
+    )
     args = ap.parse_args()
 
     import jax
@@ -355,7 +373,11 @@ def main():
     batch = min(args.batch, nq)
     nq_pad = (nq // batch) * batch
     best = None
-    for probe in (4, 8, 16, 24, 32, 36, 40, 48, 64, 80, 96, 128):
+    # The tail probes only run when the target recall hasn't been hit —
+    # near-duplicate-heavy corpora (blobs) need deep probes.
+    for probe in (
+        4, 8, 16, 24, 32, 36, 40, 48, 64, 80, 96, 128, 192, 256, 384, 512,
+    ):
         if probe > k:
             break
         # Scale the rerank budget with probe: a fixed budget dilutes as
@@ -366,8 +388,9 @@ def main():
         params = SearchParams(
             probe=probe,
             topk=args.topk,
-            rerank=max(140, 3 * probe, 4 * args.topk),
+            rerank=args.rerank or max(140, 3 * probe, 4 * args.topk),
             select_reduce=bool(args.fold) if args.fold is not None else True,
+            probe_rank=args.probe_rank or "centroid",
         )
         _ = np.asarray(search(index, qd[:batch], params)[1])  # compile
         # Pipelined eval: batch N+1's dispatch is issued before batch N's
@@ -409,8 +432,9 @@ def main():
     params = SearchParams(
         probe=probe,
         topk=args.topk,
-        rerank=max(140, 3 * probe, 4 * args.topk),
+        rerank=args.rerank or max(140, 3 * probe, 4 * args.topk),
         select_reduce=bool(args.fold) if args.fold is not None else True,
+        probe_rank=args.probe_rank or "centroid",
     )
     q3 = qd[:nq_pad].reshape(nq_pad // batch, batch, -1)
     # Drain pipeline counters for the chosen setting (one batch is

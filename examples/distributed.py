@@ -30,3 +30,35 @@ dists, ids = sharded_search(
     mesh,
 )
 print("ids:", np.asarray(ids))
+
+# Sharded DISK tier: drop the device base everywhere; ONE host store
+# (indexed by global cluster-sorted position, i.e. base.fvecs order)
+# serves every shard's rerank through a position map.
+import dataclasses
+
+from rabitq_tpu.parallel import shard_global_positions, sharded_search_with_store
+
+
+class ArrayStore:
+    def __init__(self, mat):
+        self._m = np.asarray(mat)
+        self.dim = int(self._m.shape[1])
+
+    def get_rows(self, pos):
+        return self._m[pos]
+
+
+store = ArrayStore(np.asarray(index.base))  # stands in for MmapStore
+baseless = dataclasses.replace(index, base=None, base_bf16=None)
+sharded_disk = shard_index(baseless, mesh)
+gpos = shard_global_positions(baseless, mesh.devices.size)
+d2, i2 = sharded_search_with_store(
+    sharded_disk,
+    queries,
+    rq.SearchParams(probe=16, topk=5, rerank=100),
+    mesh,
+    store,
+    gpos,
+)
+assert np.array_equal(np.asarray(ids)[:, 0], i2[:, 0])
+print("sharded disk-tier ids:", i2)

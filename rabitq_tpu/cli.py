@@ -85,6 +85,8 @@ def cmd_run(args) -> None:
 
         index = with_bf16_base(index)
         params = params._replace(rerank_bf16=True)
+    if getattr(args, "probe_rank", None):
+        params = params._replace(probe_rank=args.probe_rank)
     trace_ctx = (
         device_trace(args.trace) if args.trace else contextlib.nullcontext()
     )
@@ -252,6 +254,14 @@ def main(argv=None) -> None:
         action="store_true",
         help="two-level rerank: bf16 candidate gather + f32 re-verify of "
         "the top ~4x-topk (+50%% base HBM, ~2x less gather traffic)",
+    )
+    p_run.add_argument(
+        "--probe-rank",
+        choices=["centroid", "annulus"],
+        default=None,
+        help="cluster probe ranking: centroid distance (default) or the "
+        "annulus lower bound (better on skewed corpora with split "
+        "oversized clusters)",
     )
     p_run.add_argument(
         "--profile",

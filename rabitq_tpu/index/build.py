@@ -150,6 +150,43 @@ def balance_assignments(
     return cur
 
 
+def split_oversized_clusters(
+    offsets: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Split clusters larger than ``cap`` into consecutive segments.
+
+    Pure metadata surgery: row positions (the blob layout, map_ids, the
+    sorted base) are untouched — only the offsets table grows and each
+    extra segment duplicates its source centroid. This HARD-bounds the
+    scan window span even when eviction balancing cannot spread the mass
+    (well-separated dense blobs: every nearby centroid is also over-full,
+    so top-M eviction stalls and a single 48k-row cluster would set the
+    span for EVERY probed cluster). Segments inherit the within-cluster
+    centroid-distance sort, so segment j's last row still bounds its
+    members' centroid distance (the adaptive certificate's radius) and
+    earlier segments hold the nearer rows. Duplicated centroids tie in
+    the probe ranking; exact top_k breaks ties toward lower ids = nearer
+    segments (approx_min_k may take an arbitrary subset when a tie group
+    straddles the probe cutoff — scanning somewhat farther rows of the
+    right cluster, which the rerank absorbs).
+
+    Returns (new_offsets [k'+1], seg_src [k'] source cluster per segment).
+    """
+    sizes = offsets[1:] - offsets[:-1]
+    k = sizes.shape[0]
+    segs = np.maximum(1, -(-sizes // cap))  # ceil, empties keep 1 slot
+    seg_src = np.repeat(np.arange(k, dtype=np.int32), segs)
+    new_offsets = np.empty(int(segs.sum()) + 1, np.int32)
+    new_offsets[0] = 0
+    at = 1
+    for c in range(k):
+        a, b = int(offsets[c]), int(offsets[c + 1])
+        for j in range(int(segs[c])):
+            new_offsets[at] = min(a + (j + 1) * cap, b)
+            at += 1
+    return new_offsets, seg_src
+
+
 def build_index(
     base: np.ndarray,
     centroids: np.ndarray,
@@ -160,6 +197,7 @@ def build_index(
     keep_base: bool = True,
     metric: str = "l2",
     balance: float | None = 2.0,
+    split: bool = True,
 ) -> RaBitQIndex:
     """Build a RaBitQ index from base vectors and pre-trained centroids.
 
@@ -178,6 +216,14 @@ def build_index(
                 (the max cluster size sets the scan window span, i.e. the
                 per-probed-cluster cost). None disables balancing (pure
                 nearest-centroid assignment like the reference).
+    split:      hard backstop when eviction balancing stalls (dense
+                well-separated blobs): split still-oversized clusters
+                into capacity-bounded segments with duplicated centroids
+                (split_oversized_clusters). Keep on — unsplit giant
+                windows cannot fit VMEM at large dim; on small-dim
+                near-duplicate corpora turning it off trades bounded
+                span for whole-pile scans (see DESIGN.md adversarial-
+                skew notes and pair with probe_rank="annulus" when on).
     """
     import time as _time
 
@@ -274,6 +320,33 @@ def build_index(
     # Capacity rounds to the lane width so every cluster-scan tile is
     # lane-aligned (128 f32/u32 lanes).
     capacity = max(LANES, round_up(int(sizes.max(initial=1)), LANES))
+
+    if balance and split:
+        # Hard capacity backstop: eviction balancing stalls on dense
+        # well-separated blobs (every alternative centroid is over-full
+        # too); split the stragglers into capacity-bounded segments with
+        # duplicated centroids instead of letting one hot cluster set
+        # the scan span for everything (observed: a 48k-row cluster on
+        # the Zipf blobs bench -> 376-tile windows for every probe).
+        cap_target = max(
+            LANES, round_up(int(np.ceil(balance * n / k)), LANES)
+        )
+        if capacity > cap_target:
+            offsets, seg_src = split_oversized_clusters(
+                offsets, cap_target
+            )
+            centroids_rot = centroids_rot[jnp.asarray(seg_src)]
+            new_sizes = offsets[1:] - offsets[:-1]
+            capacity = max(
+                LANES, round_up(int(new_sizes.max(initial=1)), LANES)
+            )
+            logger.info(
+                "build: split oversized clusters: k %d -> %d, "
+                "capacity %d",
+                k,
+                offsets.shape[0] - 1,
+                capacity,
+            )
 
     base_sorted = None
     if keep_base:

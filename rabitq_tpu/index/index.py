@@ -303,3 +303,14 @@ class SearchParams(NamedTuple):
     # ~4x-topk rows against the f32 base. Reported distances stay exact
     # f32. Requires with_bf16_base; silently off otherwise.
     rerank_bf16: bool = False
+    # Probe ranking key. "centroid" (default): squared distance to the
+    # centroid — classic IVF. "annulus": the exact geometric lower bound
+    # on any member's distance, i.e. the squared distance from d(q, c)
+    # to the cluster's member-radius band [r_lo, r_hi] (rows are sorted
+    # by centroid distance, so the first/last rows' cdsq bound the
+    # band). Discriminates the otherwise-tied segments of a split
+    # oversized cluster (build.split_oversized_clusters) — the segments
+    # whose band contains d(q, c) hold the query's neighbors — and
+    # skips empty clusters outright. search_adaptive's certificate uses
+    # the matching probed set either way.
+    probe_rank: str = "centroid"

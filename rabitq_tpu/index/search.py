@@ -106,6 +106,67 @@ def _resolve(index: RaBitQIndex, params: SearchParams):
     return probe, lo, cap, rerank
 
 
+def _cluster_radius_band(index: RaBitQIndex) -> tuple[jax.Array, jax.Array]:
+    """Per-cluster member centroid-distance band (r_lo, r_hi), [K] each.
+
+    Rows are sorted by centroid distance within a cluster, so the first
+    and last rows' center_distance_square factors bound every member's
+    d(x, c). Read straight off the blob — two [K]-element gathers."""
+    off = index.offsets
+    first = off[:-1]
+    last = jnp.maximum(off[1:] - 1, 0)
+    w3 = index.words + 3
+
+    def cdsq_at(pos):
+        return jax.lax.bitcast_convert_type(
+            index.blob[pos // 128, w3, pos % 128], jnp.float32
+        )
+
+    r_lo = jnp.sqrt(jnp.maximum(cdsq_at(first), 0.0))
+    r_hi = jnp.sqrt(jnp.maximum(cdsq_at(last), 0.0))
+    return r_lo, r_hi
+
+
+def _annulus_bound(index: RaBitQIndex, cdist: jax.Array) -> jax.Array:
+    """Exact lower bound on any member's squared distance per cluster:
+    squared distance from d(q, c) to the member-radius band [r_lo, r_hi]
+    (triangle inequality both ways). Empty clusters bound to +inf."""
+    sizes = index.offsets[1:] - index.offsets[:-1]
+    r_lo, r_hi = _cluster_radius_band(index)
+    d = jnp.sqrt(jnp.maximum(cdist, 0.0))
+    gap = jnp.maximum(
+        jnp.maximum(d - r_hi[None, :], r_lo[None, :] - d), 0.0
+    )
+    return jnp.where(sizes[None, :] == 0, jnp.inf, gap * gap)
+
+
+def _rank_clusters(
+    index: RaBitQIndex,
+    cdist: jax.Array,
+    probe: int,
+    params: SearchParams,
+) -> jax.Array:
+    """Top-probe cluster ids by the configured ranking key (see
+    SearchParams.probe_rank), rank-sorted best-first."""
+    key = (
+        _annulus_bound(index, cdist)
+        if params.probe_rank == "annulus"
+        else cdist
+    )
+    k = key.shape[-1]
+    if (
+        params.approx_select
+        and jax.default_backend() == "tpu"
+        and probe < k
+    ):
+        _, cids = jax.lax.approx_min_k(
+            key, probe, recall_target=params.probe_recall
+        )  # (native is_max_k=False — no negate pass)
+    else:
+        _, cids = jax.lax.top_k(-key, probe)
+    return cids
+
+
 def _prep_queries(index: RaBitQIndex, queries: jax.Array) -> jax.Array:
     """Pad to the index dim; L2-normalize for cosine-metric indexes."""
     q = jnp.pad(queries, ((0, 0), (0, index.dim - queries.shape[1])))
@@ -201,23 +262,14 @@ def rough_scan(
     q_pad = _prep_queries(index, queries)
     y = rotate(q_pad, index.orthogonal)  # [B, D]
 
-    # IVF probe selection (rabitq.rs:285-297): matmul identity only ranks
-    # clusters; the estimator's ||y-c||^2 is recomputed exactly below.
-    # approx_max_k is ~40x cheaper than exact top_k here (which lowers to
+    # IVF probe selection (rabitq.rs:285-297): the ranking key (centroid
+    # distance or annulus bound, see _rank_clusters) only RANKS clusters;
+    # the estimator's ||y-c||^2 is recomputed exactly below.
+    # approx_min_k is ~40x cheaper than exact top_k here (which lowers to
     # a full sort); with 2x-probe headroom its per-element recall target
     # makes missed clusters rare, and the bench shows no recall change.
     cdist = pairwise_l2sq(y, index.centroids_rot)  # [B, K]
-    k = cdist.shape[-1]
-    if (
-        params.approx_select
-        and jax.default_backend() == "tpu"
-        and probe < k
-    ):
-        _, cids = jax.lax.approx_min_k(
-            cdist, probe, recall_target=params.probe_recall
-        )  # [B, probe] (native is_max_k=False — no negate pass)
-    else:
-        _, cids = jax.lax.top_k(-cdist, probe)  # [B, probe]
+    cids = _rank_clusters(index, cdist, probe, params)  # [B, probe]
     if lo:
         # Incremental escalation: both selectors return rank-sorted
         # columns, so [lo:] is exactly the newly probed clusters.
@@ -578,40 +630,34 @@ def search_many(
 
 
 def _certificate_safe(
-    index: RaBitQIndex, y: jax.Array, probe: int, kth: jax.Array
+    index: RaBitQIndex,
+    y: jax.Array,
+    probe: int,
+    kth: jax.Array,
+    params: SearchParams,
 ) -> jax.Array:
     """Per-query early-stop certificate.
 
     True when no *unprobed* cluster can geometrically contain a vector
-    closer than the current kth result: for cluster c with radius r_c
-    (distance of its farthest member to its centroid — the last row of
-    the cluster, since rows are sorted by centroid distance), every
-    member x satisfies d(q, x) >= max(0, d(q, c) - r_c) by the triangle
-    inequality. ``probed`` = the EXACT top-probe clusters by centroid
-    distance (a superset check of what approx selection scanned is fine:
-    a certificate may only be conservative the other way, so the probed
-    set here uses exact top_k).
+    closer than the current kth result: every member x of cluster c
+    satisfies d(q, x)^2 >= the annulus bound (distance from d(q, c) to
+    the cluster's member-radius band, _annulus_bound). The probed set
+    uses the SAME ranking as the search (within one jitted level the two
+    _rank_clusters calls CSE to identical results), so escalation and
+    certificate agree on what was scanned.
     """
     cd = pairwise_l2sq(y, index.centroids_rot)  # [B, K]
-    _, cids = jax.lax.top_k(-cd, probe)
+    cids = _rank_clusters(index, cd, probe, params)
 
     k = index.offsets.shape[0] - 1
-    sizes = index.offsets[1:] - index.offsets[:-1]  # [K]
-    last_row = jnp.maximum(index.offsets[1:] - 1, 0)
-    radii_sq = jax.lax.bitcast_convert_type(
-        index.blob[last_row // 128, index.words + 3, last_row % 128],
-        jnp.float32,
-    )
-    radii = jnp.sqrt(jnp.maximum(radii_sq, 0.0))  # [K]
-
-    bound = jnp.maximum(jnp.sqrt(cd) - radii[None, :], 0.0) ** 2  # [B, K]
+    bound = _annulus_bound(index, cd)  # [B, K]; empty clusters +inf
     b = y.shape[0]
     probed = (
         jnp.zeros((b, k), bool)
         .at[jnp.arange(b)[:, None], cids]
         .set(True)
     )
-    bound = jnp.where(probed | (sizes[None, :] == 0), jnp.inf, bound)
+    bound = jnp.where(probed, jnp.inf, bound)
     min_unprobed = bound.min(axis=-1)  # [B]
     all_probed = probe >= k
     return (kth <= min_unprobed) | all_probed
@@ -626,7 +672,7 @@ def _search_with_certificate(
     probe, _, _, _ = _resolve(index, params)
     dists, ids = search(index, queries, params)
     y = rotate(_prep_queries(index, queries), index.orthogonal)
-    safe = _certificate_safe(index, y, probe, dists[:, -1])
+    safe = _certificate_safe(index, y, probe, dists[:, -1], params)
     return dists, ids, safe
 
 
@@ -660,7 +706,9 @@ def _adaptive_level(
     pos = jnp.take_along_axis(all_p, ei, axis=-1)
 
     y = rotate(q_pad, index.orthogonal)
-    safe = _certificate_safe(index, y, params.probe, dists[:, -1])
+    safe = _certificate_safe(
+        index, y, params.probe, dists[:, -1], params
+    )
     return dists, pos, safe
 
 

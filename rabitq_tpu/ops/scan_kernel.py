@@ -658,6 +658,15 @@ def pallas_rough_scan(
             ],
         ),
         interpret=interpret,
+        # XLA may place the whole kernel output in scoped VMEM when the
+        # [g_pad*qpc, owidth] total is small (low-probe compiles); the
+        # default 16 MiB scoped limit then fails the compile (observed at
+        # probe=4: a 58.75 MiB f32[36864,256] output). v5e has 128 MiB of
+        # VMEM; allow up to 100 MiB so those placements compile (larger
+        # outputs fall back to HBM placement as usual).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * g_max * qpc * span * d,
             bytes_accessed=g_max

@@ -49,12 +49,13 @@ class _Request:
     error: str | None = None
 
 
-# Server-side caps on client-supplied knobs: every distinct (top_k, probe)
-# pair compiles a fresh XLA executable and rerank scales with top_k, so
-# unclamped values let an untrusted client grow device memory without
+# Server-side caps on client-supplied knobs: every distinct (top_k, probe,
+# rerank) triple compiles a fresh XLA executable and rerank scales device
+# memory, so unclamped values let an untrusted client grow both without
 # bound (round-1 advisor finding).
 MAX_TOPK = 1024
 MAX_PROBE = 4096
+MAX_RERANK = 8192
 
 
 class BatchingEngine:
@@ -89,35 +90,57 @@ class BatchingEngine:
         self._stop.set()
         self._thread.join(timeout=5)
 
-    def _make_params(self, top_k: int, probe: int) -> SearchParams:
+    def _make_params(
+        self, top_k: int, probe: int, rerank: int | None = None
+    ) -> SearchParams:
         if top_k <= 0 or probe <= 0:
             raise ValueError("top_k and probe must be positive")
+        if rerank is not None and rerank <= 0:
+            raise ValueError("rerank must be positive")
         k = self.index.offsets.shape[0] - 1
         top_k = min(int(top_k), MAX_TOPK)
         probe = min(int(probe), MAX_PROBE, k)
+        rerank = (
+            max(self.default_rerank, top_k)
+            if rerank is None
+            else min(max(int(rerank), top_k), MAX_RERANK)
+        )
         return SearchParams(
             probe=probe,
             topk=top_k,
-            rerank=max(self.default_rerank, top_k),
+            rerank=rerank,
             rerank_bf16=self.rerank_bf16,
         )
 
-    def submit(self, query, top_k: int, probe: int, timeout_s: float = 120.0):
+    def submit(
+        self,
+        query,
+        top_k: int,
+        probe: int,
+        timeout_s: float = 120.0,
+        rerank: int | None = None,
+    ):
         scores, ids = self.submit_many(
             np.asarray(query, dtype=np.float32)[None, :],
             top_k,
             probe,
             timeout_s=timeout_s,
+            rerank=rerank,
         )
         return scores[0], ids[0]
 
     def submit_many(
-        self, queries, top_k: int, probe: int, timeout_s: float = 120.0
+        self,
+        queries,
+        top_k: int,
+        probe: int,
+        timeout_s: float = 120.0,
+        rerank: int | None = None,
     ):
         """Batch entry point: [m, dim] queries in one request. Rows ride
         the same micro-batch bucket; requests wider than the bucket are
         split and pipelined through consecutive device calls."""
-        params = self._make_params(top_k, probe)
+        params = self._make_params(top_k, probe, rerank)
         queries = np.asarray(queries, dtype=np.float32)
         assert queries.ndim == 2
         reqs = [
@@ -271,13 +294,20 @@ def make_handler(engine: BatchingEngine, default_probe: int, default_topk: int):
                 query = payload["query"]
                 top_k = int(payload.get("top_k", default_topk))
                 probe = int(payload.get("probe", default_probe))
+                # Optional per-request rerank budget (clamped server-side;
+                # near-duplicate-heavy corpora need budgets far above the
+                # default — see bench.py --rerank).
+                rerank = payload.get("rerank")
+                rerank = None if rerank is None else int(rerank)
                 batched = bool(query) and isinstance(query[0], (list, tuple))
                 if batched:
                     # Multi-query request: one POST carries a whole batch,
                     # amortizing the per-request network round-trip the
                     # same way the engine amortizes device dispatch.
                     qarr = np.asarray(query, dtype=np.float32)
-                    scores, ids = engine.submit_many(qarr, top_k, probe)
+                    scores, ids = engine.submit_many(
+                        qarr, top_k, probe, rerank=rerank
+                    )
                     self._send(
                         200,
                         json.dumps(
@@ -294,7 +324,9 @@ def make_handler(engine: BatchingEngine, default_probe: int, default_topk: int):
                         "application/json",
                     )
                     return
-                scores, ids = engine.submit(query, top_k, probe)
+                scores, ids = engine.submit(
+                    query, top_k, probe, rerank=rerank
+                )
                 keep = ids >= 0
                 self._send(
                     200,

@@ -101,6 +101,33 @@ def test_cli_run_search_knob_flags(tmp_path, rng, caplog):
     assert rec, caplog.text
 
 
+def test_cli_run_rerank_bf16_and_adaptive(tmp_path, rng, caplog):
+    """--rerank-bf16 and --adaptive run end-to-end and report recall."""
+    paths, topk = _make_fixtures(tmp_path, rng)
+    import logging
+
+    with caplog.at_level(logging.INFO):
+        cli_main(
+            [
+                "run",
+                "-b", str(paths["base"]),
+                "-c", str(paths["centroids"]),
+                "-s", str(paths["saved"]),
+                "-q", str(paths["query"]),
+                "-t", str(paths["truth"]),
+                "-p", "4",
+                "-k", str(topk),
+                "--batch", "8",
+                "--rerank-bf16",
+                "--adaptive",
+            ]
+        )
+    rec = [
+        r for r in caplog.records if "recall" in r.getMessage().lower()
+    ]
+    assert rec, caplog.text
+
+
 def test_cli_run_rejects_bad_rerank_mode(tmp_path, rng):
     paths, topk = _make_fixtures(tmp_path, rng)
     with pytest.raises(SystemExit):

@@ -192,6 +192,119 @@ def test_search_with_stats_counters(rng):
     np.testing.assert_array_equal(rough, sizes.sum(axis=1))
 
 
+def test_oversized_cluster_split_bounds_capacity(rng):
+    """A dense well-separated hot blob (eviction balancing stalls: all
+    alternative centroids over-full) must not blow up the scan span —
+    the build splits it into capacity-bounded segments with duplicated
+    centroids, and search still works at full recall for easy queries."""
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu import SearchParams, build_index
+    from rabitq_tpu.index.search import search
+
+    n, dim, k = 4000, 32, 16
+    rng_l = np.random.default_rng(3)
+    # 75% of the corpus in ONE tight far-away blob that contains only 4
+    # centroids (= the balancer's top-M candidate width): every hot
+    # point's alternates are all over-full, so eviction stalls exactly
+    # like the Zipf blobs bench (observed 48k-row cluster there).
+    hot = rng_l.standard_normal((3000, dim)).astype(np.float32)
+    hot = hot * 0.05 + 30.0
+    cold = rng_l.standard_normal((n - hot.shape[0], dim)).astype(
+        np.float32
+    )
+    base = np.concatenate([hot, cold]).astype(np.float32)
+    centers = np.concatenate(
+        [hot[:4], cold[:: max(1, cold.shape[0] // (k - 4))][: k - 4]]
+    )
+    idx = build_index(base, centers, key=jax.random.key(5), balance=2.0)
+    cap_target = int(np.ceil(2.0 * n / k))  # 500; 4 hot clusters hold 3000
+    assert idx.capacity <= ((cap_target + 127) // 128) * 128, idx.capacity
+    assert idx.k > k  # hot clusters actually split
+    # Segment offsets cover every row exactly once, monotonically.
+    off = np.asarray(idx.offsets)
+    assert off[0] == 0 and off[-1] == n
+    assert (np.diff(off) >= 0).all()
+    assert (np.diff(off) <= idx.capacity).all()
+
+    # Search across the split (probe spans many segments of the blob).
+    q = base[:8]
+    d, i = search(idx, jnp.asarray(q), SearchParams(probe=idx.k, topk=5, rerank=400))
+    i = np.asarray(i)
+    assert (i[:, 0] == np.arange(8)).all()
+
+    # Serialization round-trips the split offsets/duplicated centroids.
+    from rabitq_tpu.index.serialize import dump_to_npz, load_from_npz
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as td:
+        dump_to_npz(idx, Path(td) / "i.npz")
+        idx2 = load_from_npz(Path(td) / "i.npz")
+        d2, i2 = search(
+            idx2, jnp.asarray(q), SearchParams(probe=idx.k, topk=5, rerank=400)
+        )
+        np.testing.assert_array_equal(i, np.asarray(i2))
+
+
+def test_annulus_probe_ranking_on_split_clusters(rng):
+    """On an index with split oversized clusters, annulus ranking (lower
+    bound to the member-radius band) must discriminate the tied segments
+    and beat centroid ranking at equal partial probe; at full probe both
+    are exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import brute_force_topk
+    from rabitq_tpu import SearchParams, build_index, calculate_recall
+    from rabitq_tpu.index.search import search
+
+    n, dim, k = 4000, 32, 16
+    rng_l = np.random.default_rng(7)
+    hot = (rng_l.standard_normal((3200, dim)) * 1.5 + 30.0).astype(
+        np.float32
+    )
+    cold = rng_l.standard_normal((n - 3200, dim)).astype(np.float32)
+    base = np.concatenate([hot, cold]).astype(np.float32)
+    centers = np.concatenate(
+        [hot[:4], cold[:: max(1, cold.shape[0] // (k - 4))][: k - 4]]
+    )
+    idx = build_index(base, centers, key=jax.random.key(6), balance=2.0)
+    assert idx.k > k  # split happened
+
+    nq = 16
+    queries = hot[rng_l.choice(3200, nq, replace=False)] + (
+        0.01 * rng_l.standard_normal((nq, dim)).astype(np.float32)
+    )
+    truth = brute_force_topk(base, queries, 10)
+    probe = max(4, idx.k // 4)  # partial: segment choice matters
+    rec = {}
+    for mode in ("centroid", "annulus"):
+        params = SearchParams(
+            probe=probe, topk=10, rerank=2000, probe_rank=mode
+        )
+        _, ids = search(idx, jnp.asarray(queries), params)
+        ids = np.asarray(ids)
+        rec[mode] = np.mean(
+            [calculate_recall(truth[i], ids[i], 10) for i in range(nq)]
+        )
+    # Measured on this fixture: annulus 0.86 vs centroid 0.66.
+    assert rec["annulus"] >= rec["centroid"] + 0.1, rec
+    assert rec["annulus"] >= 0.8, rec
+
+    # Full probe: both modes scan everything -> exact.
+    pf = SearchParams(probe=idx.k, topk=10, rerank=4000, probe_rank="annulus")
+    _, idf = search(idx, jnp.asarray(queries), pf)
+    recf = np.mean(
+        [
+            calculate_recall(truth[i], np.asarray(idf)[i], 10)
+            for i in range(nq)
+        ]
+    )
+    assert recf == 1.0, recf
+
+
 def test_rerank_bf16_two_level(rng):
     """rerank_bf16 gathers candidates from the bf16 base copy and
     re-verifies the top slice in f32: results must stay high-recall and

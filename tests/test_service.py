@@ -176,6 +176,25 @@ def test_store_backed_service(tmp_path):
         engine.close()
 
 
+def test_per_request_rerank_budget(served):
+    """The JSON endpoint accepts an optional rerank budget; invalid
+    values are rejected, huge ones are clamped server-side."""
+    url, base = served
+    status, body = _post(
+        url, dict(query=base[5].tolist(), top_k=5, probe=8, rerank=400)
+    )
+    assert status == 200 and body["ids"][0] == 5
+    status, body = _post(
+        url,
+        dict(query=base[5].tolist(), top_k=5, probe=8, rerank=10**9),
+    )
+    assert status == 200  # clamped to MAX_RERANK, not an error
+    status, body = _post(
+        url, dict(query=base[5].tolist(), top_k=5, probe=8, rerank=0)
+    )
+    assert status == 400
+
+
 def test_engine_rerank_bf16_flag(rng):
     """BatchingEngine(rerank_bf16=True) derives the bf16 base copy and
     serves correct results through the two-level rerank."""
