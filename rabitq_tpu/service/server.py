@@ -485,6 +485,16 @@ def main(argv=None):
         "(reference: download_meta_from_s3, cache.rs:24-54) and, with "
         "--store http, base.fvecs is range-read from it on rerank misses",
     )
+    ap.add_argument(
+        "--store-header",
+        action="append",
+        default=None,
+        metavar="NAME: VALUE",
+        help="static HTTP header sent with every object-store request "
+        "(repeatable), e.g. 'Authorization: Bearer ...'. Covers "
+        "token-auth and sigv4-presigned setups; there is deliberately "
+        "no AWS SDK credential chain (see README auth-scope note)",
+    )
     ap.add_argument("--cache-db", default=None, help="sqlite block cache path")
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--window-ms", type=float, default=2.0)
@@ -505,8 +515,17 @@ def main(argv=None):
         download_meta,
     )
 
+    store_headers = None
+    if args.store_header:
+        store_headers = {}
+        for h in args.store_header:
+            name, sep, value = h.partition(":")
+            if not sep or not name.strip():
+                ap.error(f"--store-header must be 'Name: value', got {h!r}")
+            store_headers[name.strip()] = value.strip()
+
     if args.url_prefix:
-        download_meta(args.url_prefix, args.dir)
+        download_meta(args.url_prefix, args.dir, headers=store_headers)
     if args.store == "http" and not args.url_prefix:
         ap.error("--store http requires --url-prefix")
 
@@ -522,7 +541,10 @@ def main(argv=None):
         )
     elif args.store == "http":
         store = BlockCachedStore(
-            HttpRangeSource(args.url_prefix.rstrip("/") + "/base.fvecs"),
+            HttpRangeSource(
+                args.url_prefix.rstrip("/") + "/base.fvecs",
+                headers=store_headers,
+            ),
             index.dim,
             sqlite_path=args.cache_db,
         )

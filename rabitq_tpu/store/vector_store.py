@@ -124,7 +124,19 @@ class HttpRangeSource:
             },
         )
         with self._urllib.urlopen(req) as resp:
-            return resp.read()
+            body = resp.read()
+            if resp.status == 206:
+                return body
+        # The server ignored Range and sent the whole object (plain HTTP
+        # servers, some proxies). Slice locally — silently returning the
+        # full body would make every cache block parse as block 0 (valid
+        # fvecs headers, wrong rows: corrupt rerank results, no error).
+        if resp.status == 200 and len(body) >= start + length:
+            return body[start : start + length]
+        raise OSError(
+            f"range read {start}+{length} of {self._url}: got status "
+            f"{resp.status} with {len(body)} bytes"
+        )
 
 
 class BlockCachedStore:

@@ -344,3 +344,75 @@ def test_object_store_bootstrap(tmp_path):
         assert METRICS.miss == 0  # warm
     finally:
         httpd.shutdown()
+
+
+def test_object_store_auth_headers(tmp_path):
+    """Static auth headers (service --store-header) reach every object-
+    store request: bootstrap and range reads succeed against a token-
+    checking store, and fail without the token (the documented auth
+    scope: presigned URLs or static headers, no AWS credential chain —
+    reference cache.rs:24-54 uses the SDK chain instead)."""
+    import functools
+    import http.server
+    import urllib.error
+
+    import jax
+
+    from rabitq_tpu import SearchParams
+    from rabitq_tpu.index.serialize import dump_to_dir, load_from_dir
+    from rabitq_tpu.store import (
+        BlockCachedStore,
+        HttpRangeSource,
+        download_meta,
+        search_with_store,
+    )
+
+    rng = np.random.default_rng(41)
+    base, centers = make_clustered_dataset(rng, n=700, dim=24, k=8)
+    idx = build_index(base, centers, key=jax.random.key(42))
+    remote = tmp_path / "remote"
+    dump_to_dir(idx, remote)
+
+    token = "Bearer sekrit-42"
+
+    class AuthHandler(http.server.SimpleHTTPRequestHandler):
+        def _authed(self):
+            if self.headers.get("Authorization") != token:
+                self.send_error(403, "missing or bad token")
+                return False
+            return True
+
+        def do_GET(self):
+            if self._authed():
+                super().do_GET()
+
+        def do_HEAD(self):
+            if self._authed():
+                super().do_HEAD()
+
+        def log_message(self, *a):
+            pass
+
+    handler = functools.partial(AuthHandler, directory=str(remote))
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    prefix = f"http://127.0.0.1:{httpd.server_port}"
+    hdrs = {"Authorization": token}
+    try:
+        with pytest.raises(urllib.error.HTTPError):
+            download_meta(prefix, tmp_path / "denied")
+        local = tmp_path / "local"
+        download_meta(prefix, local, headers=hdrs)
+        lean = load_from_dir(local, keep_base=False)
+        store = BlockCachedStore(
+            HttpRangeSource(prefix + "/base.fvecs", headers=hdrs), lean.dim
+        )
+        qs = base[5:9]
+        _, ids = search_with_store(
+            lean, qs, SearchParams(probe=8, topk=3, rerank=64), store
+        )
+        np.testing.assert_array_equal(np.asarray(ids)[:, 0], np.arange(5, 9))
+        with pytest.raises(urllib.error.HTTPError):
+            HttpRangeSource(prefix + "/base.fvecs")  # HEAD without token
+    finally:
+        httpd.shutdown()

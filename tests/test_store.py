@@ -9,6 +9,7 @@ from rabitq_tpu.store import (
     BlockCachedStore,
     DeviceStore,
     FileBlockSource,
+    HttpRangeSource,
     MmapStore,
     search_with_store,
 )
@@ -223,3 +224,81 @@ def test_store_cosine_scores_match_device(rng):
     )
     np.testing.assert_array_equal(np.asarray(i_dev), i_st)
     np.testing.assert_allclose(np.asarray(d_dev), d_st, rtol=1e-4, atol=1e-5)
+
+
+def test_http_range_source_range_and_full_body_servers(corpus, index_dir):
+    """HttpRangeSource must be correct against BOTH a Range-honoring
+    server (206 partial content) and one that ignores Range and replies
+    200 with the whole object (plain file servers, some proxies).
+
+    Regression: the source used to return the response body verbatim, so
+    a 200-with-full-body server made EVERY cache block parse as block 0
+    — valid fvecs headers, wrong vectors, silently corrupt rerank
+    results for any position >= num_per_block (the corpus here spans
+    multiple 512KiB blocks)."""
+    import functools
+    import http.server
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    base, idx = corpus
+    mmap_rows = MmapStore(index_dir / "base.fvecs")
+
+    class RangeHandler(http.server.SimpleHTTPRequestHandler):
+        """Honors bytes= ranges with 206 (object-store behavior)."""
+
+        def do_GET(self):
+            rng_hdr = self.headers.get("Range")
+            path = index_dir / "base.fvecs"
+            data = path.read_bytes()
+            if rng_hdr and rng_hdr.startswith("bytes="):
+                a, b = rng_hdr[len("bytes=") :].split("-")
+                lo, hi = int(a), min(int(b), len(data) - 1)
+                body = data[lo : hi + 1]
+                self.send_response(206)
+                self.send_header(
+                    "Content-Range", f"bytes {lo}-{hi}/{len(data)}"
+                )
+            else:
+                body = data
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_HEAD(self):
+            size = (index_dir / "base.fvecs").stat().st_size
+            self.send_response(200)
+            self.send_header("Content-Length", str(size))
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    class QuietFull(http.server.SimpleHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+    for handler in (
+        RangeHandler,
+        functools.partial(QuietFull, directory=str(index_dir)),
+    ):
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            src = HttpRangeSource(
+                f"http://127.0.0.1:{httpd.server_port}/base.fvecs"
+            )
+            store = BlockCachedStore(src, idx.dim)
+            n = base.shape[0]
+            assert n > store.num_per_block  # multi-block, or no regression
+            pos = np.array(
+                [0, 1, store.num_per_block, n - 1], dtype=np.int64
+            )
+            np.testing.assert_array_equal(
+                store.get_rows(pos), mmap_rows.get_rows(pos)
+            )
+            _check_store(store, base, idx)
+        finally:
+            httpd.shutdown()
+            httpd.server_close()

@@ -47,7 +47,6 @@ def main():
     import jax.numpy as jnp
 
     from rabitq_tpu import SearchParams, build_index
-    from rabitq_tpu.consts import LANES
     from rabitq_tpu.index.search import _prep_queries, rough_scan, scan_span
     from rabitq_tpu.kmeans import kmeans
     from rabitq_tpu.ops import (
@@ -59,7 +58,6 @@ def main():
         _G2,
         _group_bound,
         _pick_qpc,
-        pallas_rough_scan,
         prepare_groups,
     )
 
