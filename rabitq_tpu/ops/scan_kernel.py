@@ -71,7 +71,10 @@ _QPC_MIN = 8
 _QPC_MAX = 16
 
 # Groups per grid step (amortizes per-step bookkeeping + output copy).
-_G2 = 4
+# Swept on-chip at the headline shape (tools/kbench.py --sweep): g2=8
+# beats 4 at every qpc (more window-run dedup reach per step + fewer
+# grid steps); kernel-only 2.65 vs 2.71 ms at qpc=16.
+_G2 = 8
 
 # Max VMEM bytes for the window pipeline buffers; sets the DMA depth
 # nbuf (>= 2) for a given window size.
