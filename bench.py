@@ -286,6 +286,16 @@ def main():
         "band — discriminates split-segment ties on skewed corpora)",
     )
     ap.add_argument(
+        "--bits",
+        type=int,
+        default=1,
+        choices=range(1, 8),
+        help="residual code bits/dim (build_index(bits=...)): 1 = classic "
+        "RaBitQ sign codes; >1 = extended odd-grid codes at identical "
+        "scan cost but ~2^(bits-1)x lower estimator error, so the rerank "
+        "budget (and the candidate-selection width) shrinks ~4x at 4",
+    )
+    ap.add_argument(
         "--rerank",
         type=int,
         default=None,
@@ -361,9 +371,17 @@ def main():
     log(f"kmeans {k} centroids in {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    index = build_index(base, centroids, key=jax.random.key(2))
+    index = build_index(base, centroids, key=jax.random.key(2), bits=args.bits)
     build_s = time.time() - t0
     log(f"index built in {build_s:.1f}s (capacity={index.capacity})")
+
+    # The rerank budget exists to cover the estimator's ranking error;
+    # multi-bit codes shrink that error ~2^(bits-1)x, so the default
+    # budget (and with it the dominant post-scan gather) shrinks too.
+    def default_rerank(probe):
+        if args.bits >= 3:
+            return max(48, 4 * args.topk)
+        return max(140, 3 * probe, 4 * args.topk)
 
     t0 = time.time()
     truth = ground_truth(base, queries, args.topk)
@@ -388,7 +406,7 @@ def main():
         params = SearchParams(
             probe=probe,
             topk=args.topk,
-            rerank=args.rerank or max(140, 3 * probe, 4 * args.topk),
+            rerank=args.rerank or default_rerank(probe),
             select_reduce=bool(args.fold) if args.fold is not None else True,
             probe_rank=args.probe_rank or "centroid",
         )
@@ -432,7 +450,7 @@ def main():
     params = SearchParams(
         probe=probe,
         topk=args.topk,
-        rerank=args.rerank or max(140, 3 * probe, 4 * args.topk),
+        rerank=args.rerank or default_rerank(probe),
         select_reduce=bool(args.fold) if args.fold is not None else True,
         probe_rank=args.probe_rank or "centroid",
     )

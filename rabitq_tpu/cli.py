@@ -44,7 +44,12 @@ def _load_or_build(args) -> "object":
     log.info("building index from %s", args.base)
     base = read_matrix(args.base)
     centroids = read_matrix(args.centroids)
-    index = build_index(base, centroids, key=jax.random.key(args.seed))
+    index = build_index(
+        base,
+        centroids,
+        key=jax.random.key(args.seed),
+        bits=getattr(args, "bits", 1),
+    )
     log.info("saving index to %s", saved)
     dump_to_dir(index, saved)
     return index
@@ -213,6 +218,15 @@ def main(argv=None) -> None:
         p.add_argument("-c", "--centroids", required=True)
         p.add_argument("-s", "--saved", required=True, help="index dir")
         p.add_argument("--seed", type=int, default=0)
+        p.add_argument(
+            "--bits",
+            type=int,
+            default=1,
+            choices=range(1, 8),
+            help="residual code bits/dim (1 = reference-compatible sign "
+            "codes; >1 = extended grid codes, ~2^(bits-1)x lower "
+            "estimator error at identical scan cost)",
+        )
 
     p_run = sub.add_parser("run", help="build-or-load index and evaluate")
     add_index_args(p_run)

@@ -18,6 +18,26 @@ Factor math parity (rabitq.rs:199-229):
   error_bound  = 2*EPSILON/sqrt(D-1) * sqrt((|r|/x_dot)^2 - |r|^2)
   factor_ip    = -2/sqrt(D) * |r|/x_dot
   factor_ppc   = factor_ip * <1, sign(r)> = factor_ip * (2*popcount - D)
+
+Multi-bit codes (``bits`` > 1, beyond the reference). The 1-bit code is the
+hypercube direction u_bar = sign(r)/sqrt(D); the SAME estimator algebra
+holds for ANY quantized direction v (u_bar = v/|v|):
+
+  d(q, x)^2 ~ cdsq + ycd - 2 |r| <u_bar, q - c> / <x_bar, u_bar>
+
+with x_dot = <x_bar, u_bar> = <r, v>/(|r| |v|) and the query-side affine
+reconstruction q - c ~ lo * 1 + delta * qvals giving
+
+  est = cdsq + ycd + F*lo*sum(v) + F*delta*<qvals, v> - err*sqrt(ycd),
+  F   = -2 |r| / (x_dot * |v|)   (== factor_ip: |v| = sqrt(D) at 1 bit).
+
+v lives on the odd-integer grid v = 2u - (2^bits - 1), u in [0, 2^bits-1]
+(stored as u bit-planes; the scan kernel's int8 code array holds v and its
+int8 MXU matmul computes <qvals, v> directly — multi-bit codes scan at
+IDENTICAL cost). Per vector, a small grid search picks the scale t
+maximizing cos(r, v(t)) (v(t) = clip-round of t*r to the grid) — x_dot
+rises from ~0.80 (1 bit) to ~0.99 (4 bits), shrinking the estimator error
+(and with it the rerank budget) ~2^(bits-1)x.
 """
 
 from __future__ import annotations
@@ -63,11 +83,52 @@ def _assign_chunk(x_pad, orthogonal, centroids_rot, dim: int, top: int):
     return labels.astype(jnp.int32), -neg
 
 
-@functools.partial(jax.jit, static_argnames=("dim",))
-def _build_chunk(x_pad, label, orthogonal, centroids_rot, dim: int):
+# Scale-search candidates for the multi-bit grid (relative to the scale
+# mapping max|r| onto the grid edge). Slight over-scaling (clipping the
+# few largest components) usually wins; build-time only, vectorized.
+_SCALE_GRID = (0.55, 0.65, 0.75, 0.85, 0.95, 1.05, 1.15, 1.25)
+
+
+def _quantize_grid(r, bits: int):
+    """Best odd-integer-grid code of each residual row.
+
+    r: [C, D] f32. Returns (v [C, D] int32 in [-(2^bits-1), 2^bits-1] odd,
+    x_dot [C] = cos(r, v) guarded, v_norm [C], v_sum [C]): per row, the
+    scale t in max|r|-relative _SCALE_GRID maximizing cos(r, v(t)) where
+    v(t) = 2*clip(round((t*r + m)/2), 0, m) - m, m = 2^bits - 1.
+    """
+    m = jnp.float32((1 << bits) - 1)
+    absmax = jnp.max(jnp.abs(r), axis=-1, keepdims=True)  # [C, 1]
+    base_t = m / jnp.maximum(absmax, _MIN_NORMAL_F32)
+    ts = jnp.asarray(_SCALE_GRID, jnp.float32)  # [S]
+    scaled = r[:, None, :] * (base_t[:, :, None] * ts[None, :, None])
+    u = jnp.clip(jnp.round((scaled + m) * 0.5), 0.0, m)  # [C, S, D]
+    v = 2.0 * u - m
+    rv = jnp.sum(r[:, None, :] * v, axis=-1)  # [C, S]
+    vsq = jnp.sum(v * v, axis=-1)  # [C, S]
+    # cos^2 with sign: compare rv/|v| via rv*|rv|/vsq to avoid sqrt.
+    score = rv * jnp.abs(rv) / jnp.maximum(vsq, 1.0)
+    pick = jnp.argmax(score, axis=-1)  # [C]
+    sel = jax.nn.one_hot(pick, ts.shape[0], dtype=jnp.float32)  # [C, S]
+    v_best = jnp.sum(v * sel[:, :, None], axis=1)  # [C, D]
+    rv_b = jnp.sum(rv * sel, axis=1)
+    vn_b = jnp.sqrt(jnp.sum(vsq * sel, axis=1))
+    rn = jnp.sqrt(jnp.sum(r * r, axis=-1))
+    denom = rn * vn_b
+    x_dot = jnp.where(
+        jnp.isfinite(denom) & (denom >= _MIN_NORMAL_F32) & (rv_b > 0),
+        rv_b / jnp.maximum(denom, _MIN_NORMAL_F32),
+        jnp.float32(DEFAULT_X_DOT_PRODUCT),
+    )
+    return v_best.astype(jnp.int32), x_dot, vn_b, jnp.sum(v_best, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("dim", "bits"))
+def _build_chunk(x_pad, label, orthogonal, centroids_rot, dim: int, bits=1):
     """Quantize one chunk of padded base vectors against assigned centroids.
 
-    x_pad: [C, D] f32; label: [C] int32. Returns code words + factor quad.
+    x_pad: [C, D] f32; label: [C] int32. Returns code words ([C, W*bits]
+    u32, plane-major bit-planes of u = (v + m)/2) + factor quad.
     """
     d = jnp.float32(dim)
     sqrt_d = jnp.sqrt(d)
@@ -76,40 +137,53 @@ def _build_chunk(x_pad, label, orthogonal, centroids_rot, dim: int):
 
     r = x_rot - centroids_rot[label]  # [C, D]
     cdsq = jnp.sum(r * r, axis=-1)  # exact, not the matmul identity
-    l1 = jnp.sum(jnp.abs(r), axis=-1)
-    code = pack_bits_u32(r > 0.0)  # [C, W]
-    pop = popcount(code).sum(axis=-1).astype(jnp.float32)  # [C]
-
     norm = jnp.sqrt(cdsq)
-    denom = norm * sqrt_d
-    x_dot = jnp.where(
-        jnp.isfinite(denom) & (denom >= _MIN_NORMAL_F32),
-        l1 / jnp.maximum(denom, _MIN_NORMAL_F32),
-        jnp.float32(DEFAULT_X_DOT_PRODUCT),
-    )
+
+    if bits == 1:
+        # Classic sign codes — bit-identical to the reference math.
+        l1 = jnp.sum(jnp.abs(r), axis=-1)
+        code = pack_bits_u32(r > 0.0)  # [C, W]
+        pop = popcount(code).sum(axis=-1).astype(jnp.float32)  # [C]
+        denom = norm * sqrt_d
+        x_dot = jnp.where(
+            jnp.isfinite(denom) & (denom >= _MIN_NORMAL_F32),
+            l1 / jnp.maximum(denom, _MIN_NORMAL_F32),
+            jnp.float32(DEFAULT_X_DOT_PRODUCT),
+        )
+        v_norm = sqrt_d
+        v_sum = 2.0 * pop - d  # <1, sign(r)> with sign(0) = -1
+    else:
+        v, x_dot, v_norm, v_sum = _quantize_grid(r, bits)
+        m = (1 << bits) - 1
+        u = (v + m) // 2  # [C, D] int32 in [0, m]
+        code = jnp.concatenate(
+            [pack_bits_u32((u >> p) & 1 > 0) for p in range(bits)],
+            axis=-1,
+        )  # [C, W*bits] plane-major
 
     x_c_over_ip = norm / x_dot
     error_base = 2.0 * jnp.float32(EPSILON) / jnp.sqrt(d - 1.0)
     error_bound = error_base * jnp.sqrt(
         jnp.maximum(x_c_over_ip * x_c_over_ip - cdsq, 0.0)
     )
-    factor_ip = -2.0 / sqrt_d * x_c_over_ip
-    sum_signs = 2.0 * pop - d  # <1, sign(r)> with sign(0) = -1
-    factor_ppc = factor_ip * sum_signs
+    factor_ip = -2.0 / v_norm * x_c_over_ip
+    factor_ppc = factor_ip * v_sum
 
     factors = jnp.stack([factor_ip, factor_ppc, error_bound, cdsq], axis=-1)
     return cdsq, code, factors
 
 
-@functools.partial(jax.jit, static_argnames=("dim",))
-def assign_and_quantize_chunk(x_pad, orthogonal, centroids_rot, dim: int):
+@functools.partial(jax.jit, static_argnames=("dim", "bits"))
+def assign_and_quantize_chunk(
+    x_pad, orthogonal, centroids_rot, dim: int, bits: int = 1
+):
     """Fused nearest-centroid assignment + quantization for one chunk (the
     data-parallel build step; the host build uses the two-pass variant so
     it can balance assignments in between)."""
     labels, _ = _assign_chunk(x_pad, orthogonal, centroids_rot, dim, 1)
     label = labels[:, 0]
     cdsq, code, factors = _build_chunk(
-        x_pad, label, orthogonal, centroids_rot, dim
+        x_pad, label, orthogonal, centroids_rot, dim, bits
     )
     return label, cdsq, code, factors
 
@@ -198,6 +272,7 @@ def build_index(
     metric: str = "l2",
     balance: float | None = 2.0,
     split: bool = True,
+    bits: int = 1,
 ) -> RaBitQIndex:
     """Build a RaBitQ index from base vectors and pre-trained centroids.
 
@@ -216,6 +291,13 @@ def build_index(
                 (the max cluster size sets the scan window span, i.e. the
                 per-probed-cluster cost). None disables balancing (pure
                 nearest-centroid assignment like the reference).
+    bits:       bits per dimension of the residual code. 1 (default) =
+                classic RaBitQ sign codes, byte-compatible with the
+                reference's serialization. 2..8 = extended odd-integer-grid
+                codes (see module docstring): ~2^(bits-1)x lower estimator
+                error at IDENTICAL scan cost (the kernel's int8 code array
+                simply holds larger values), so the rerank budget — the
+                dominant post-scan cost — shrinks ~4x at bits=4.
     split:      hard backstop when eviction balancing stalls (dense
                 well-separated blobs): split still-oversized clusters
                 into capacity-bounded segments with duplicated centroids
@@ -230,6 +312,9 @@ def build_index(
     from rabitq_tpu.utils import normalize_rows
 
     assert metric in ("l2", "cosine"), metric
+    # bits <= 7 keeps the grid |v| <= 127 inside int8 for the MXU operand
+    # (and the kernel's int32 accumulator far from overflow).
+    assert 1 <= bits <= 7, bits
     t_start = _time.perf_counter()
     base = np.asarray(base, dtype=np.float32)
     centroids = np.asarray(centroids, dtype=np.float32)
@@ -298,7 +383,7 @@ def build_index(
     labels_pad = np.pad(labels, (0, (-n) % chunk))
     for start, stop, xd in chunk_iter():
         lab = jnp.asarray(labels_pad[start : start + chunk])
-        pending.append(_build_chunk(xd, lab, p, centroids_rot, dim))
+        pending.append(_build_chunk(xd, lab, p, centroids_rot, dim, bits))
         if len(pending) % 64 == 0:
             jax.block_until_ready(pending[-64][0])
     cdists = np.asarray(jnp.concatenate([o[0] for o in pending]))[:n]
@@ -374,5 +459,6 @@ def build_index(
             dim_orig=d_orig,
             capacity=capacity,
             metric=metric,
+            code_bits=bits,
         )
     )

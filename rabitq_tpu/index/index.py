@@ -6,11 +6,15 @@ device arrays:
 
 - ``blob``      [n_tiles, R, 128] uint32 — the scan-time layout, tiled by
                 lane groups: tile t, row r, lane l holds word r of vector
-                128*t + l. Rows 0..W-1 are packed 1-bit residual sign codes
-                (W = dim // 32), rows W..W+3 the per-vector correction quad
-                (reference Factor order, rabitq.rs:23-32: ip, ppc,
-                error_bound, center_distance_square) bitcast to uint32;
-                R rounds W+4 up to the sublane multiple of 8. Vectors are
+                128*t + l. Rows 0..W*B-1 are packed residual code planes
+                (W = dim // 32 words per plane, B = code_bits planes,
+                plane-major: rows [p*W, (p+1)*W) hold bit p of the code
+                values u in [0, 2^B - 1]; B = 1 is the reference's packed
+                sign codes exactly), rows W*B..W*B+3 the per-vector
+                correction quad (reference Factor order, rabitq.rs:23-32:
+                ip, ppc, error_bound, center_distance_square) bitcast to
+                uint32; R rounds W*B+4 up to the sublane multiple of 8.
+                Vectors are
                 sorted by (cluster, distance-to-centroid) like the
                 reference's cluster-sort (rabitq.rs:232-252). The tiling
                 makes one probed cluster's scan window a single CONTIGUOUS
@@ -77,6 +81,16 @@ class RaBitQIndex:
     dim_orig: int = dataclasses.field(metadata=dict(static=True), default=0)
     capacity: int = dataclasses.field(metadata=dict(static=True), default=0)
     metric: str = dataclasses.field(metadata=dict(static=True), default="l2")
+    # Bits per dimension of the residual code. 1 = classic RaBitQ sign
+    # codes (the reference's only mode, byte-compatible serialization).
+    # B > 1 = extended multi-bit codes on the odd-integer grid
+    # v = 2u - (2^B - 1), u in [0, 2^B - 1]: the SAME estimator algebra
+    # holds with <r, v> in place of <r, sign(r)> (see index/build.py), the
+    # MXU scan kernel is unchanged (codes_pm1 already stores full int8
+    # values per dim — multi-bit codes ride at identical scan cost), and
+    # the estimator error shrinks ~2^(B-1)x, cutting the rerank budget
+    # (and its HBM gather, the dominant post-scan stage) by ~4x at B=4.
+    code_bits: int = dataclasses.field(metadata=dict(static=True), default=1)
 
     @property
     def n(self) -> int:
@@ -92,6 +106,16 @@ class RaBitQIndex:
     def words(self) -> int:
         return self.dim // WORD_BITS
 
+    @property
+    def code_rows(self) -> int:
+        """Code-plane word rows in the blob (W words x code_bits planes)."""
+        return self.words * self.code_bits
+
+    @property
+    def code_max(self) -> int:
+        """Largest code-grid magnitude: v in [-code_max, code_max]."""
+        return (1 << self.code_bits) - 1
+
     def _untiled(self) -> jax.Array:
         """[R, n_tiles*128] row-major view of the tiled blob."""
         t, r, lanes = self.blob.shape
@@ -99,14 +123,15 @@ class RaBitQIndex:
 
     @property
     def codes(self) -> jax.Array:
-        """Row-major packed codes [N, W] (serialization/debug view)."""
-        return self._untiled()[: self.words, : self.n].T
+        """Row-major packed codes [N, W*B] (serialization/debug view)."""
+        return self._untiled()[: self.code_rows, : self.n].T
 
     @property
     def factors(self) -> jax.Array:
         """Row-major factor quads [N, 4] (serialization/debug view)."""
+        cr = self.code_rows
         return jax.lax.bitcast_convert_type(
-            self._untiled()[self.words : self.words + 4, : self.n].T,
+            self._untiled()[cr : cr + 4, : self.n].T,
             jnp.float32,
         )
 
@@ -165,34 +190,45 @@ jax.tree_util.register_dataclass(
         "factors_tiled",
         "base_bf16",
     ],
-    meta_fields=["dim", "dim_orig", "capacity", "metric"],
+    meta_fields=["dim", "dim_orig", "capacity", "metric", "code_bits"],
 )
 
 
-@functools.partial(jax.jit, static_argnames=("words",))
+@functools.partial(jax.jit, static_argnames=("words", "code_bits"))
 def derive_scan_operands(
-    blob: jax.Array, words: int
+    blob: jax.Array, words: int, code_bits: int = 1
 ) -> tuple[jax.Array, jax.Array]:
     """Derive the MXU scan operands from the tiled blob.
 
-    Returns (codes_pm1 [n_tiles, 128, D] int8 with values +-1,
+    Returns (codes_pm1 [n_tiles, 128, D] int8 with grid values
+    v = 2u - (2^code_bits - 1) (i.e. +-1 for the classic 1-bit codes),
     factors_tiled [n_tiles, 8, 128] f32 with rows ip, ppc, err, cdsq,
-    0...). Blob tile padding carries code words 0 -> codes -1 and factors
-    0; such positions are masked by cluster extents at scan time.
+    0...). Blob tile padding carries code words 0 -> codes -(2^B - 1) and
+    factors 0; such positions are masked by cluster extents at scan time.
     """
     n_tiles, r, lanes = blob.shape
     shifts = jnp.arange(WORD_BITS, dtype=jnp.uint32)
-    w = blob[:, :words, :]  # [n_tiles, W, 128]
-    bits = (w[:, :, :, None] >> shifts) & jnp.uint32(1)  # [T, W, 128, 32]
-    codes = (
-        bits.astype(jnp.int8).transpose(0, 2, 1, 3).reshape(
-            n_tiles, lanes, words * WORD_BITS
-        )
-        * 2
-        - 1
+    cr = words * code_bits
+    w = blob[:, :cr, :]  # [n_tiles, W*B, 128]
+    bits = (w[:, :, :, None] >> shifts) & jnp.uint32(1)  # [T, W*B, 128, 32]
+    # Plane-major rows: plane p occupies word rows [p*W, (p+1)*W).
+    planes = (
+        bits.astype(jnp.int8)
+        .reshape(n_tiles, code_bits, words, lanes, WORD_BITS)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(n_tiles, code_bits, lanes, words * WORD_BITS)
     )
+    weights = (1 << jnp.arange(code_bits, dtype=jnp.int32)).astype(jnp.int8)
+    u = jnp.sum(
+        planes.astype(jnp.int32) * weights[None, :, None, None].astype(
+            jnp.int32
+        ),
+        axis=1,
+    )
+    m = (1 << code_bits) - 1
+    codes = (2 * u - m).astype(jnp.int8)
     fac = jax.lax.bitcast_convert_type(
-        blob[:, words : words + 4, :], jnp.float32
+        blob[:, cr : cr + 4, :], jnp.float32
     )  # [n_tiles, 4, 128]
     fac_tiled = jnp.pad(fac, ((0, 0), (0, 4), (0, 0)))
     return codes, fac_tiled
@@ -202,7 +238,9 @@ def with_scan_operands(index: "RaBitQIndex") -> "RaBitQIndex":
     """Return the index with MXU scan operands populated (no-op if set)."""
     if index.codes_pm1 is not None:
         return index
-    codes, fac_tiled = derive_scan_operands(index.blob, index.words)
+    codes, fac_tiled = derive_scan_operands(
+        index.blob, index.words, index.code_bits
+    )
     return dataclasses.replace(
         index, codes_pm1=codes, factors_tiled=fac_tiled
     )

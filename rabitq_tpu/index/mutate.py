@@ -100,7 +100,7 @@ def delete(index: RaBitQIndex, ids) -> RaBitQIndex:
     factors_tiled = index.factors_tiled
     new_map = index.map_ids
     if victim_pos.size:
-        row = index.words + 3  # cdsq factor row
+        row = index.code_rows + 3  # cdsq factor row
         vp = jnp.asarray(victim_pos)
         blob = blob.at[vp // 128, row, vp % 128].set(jnp.uint32(_INF_BITS))
         if factors_tiled is not None:  # keep the MXU operand consistent
@@ -162,6 +162,7 @@ def compact(
         centroids,
         key=key if key is not None else jax.random.key(0),
         metric=index.metric,
+        bits=index.code_bits,
     )
     # build_index numbers input rows 0..n-1; re-map to the original ids.
     new_index = dataclasses.replace(

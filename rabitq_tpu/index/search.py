@@ -115,7 +115,7 @@ def _cluster_radius_band(index: RaBitQIndex) -> tuple[jax.Array, jax.Array]:
     off = index.offsets
     first = off[:-1]
     last = jnp.maximum(off[1:] - 1, 0)
-    w3 = index.words + 3
+    w3 = index.code_rows + 3
 
     def cdsq_at(pos):
         return jax.lax.bitcast_convert_type(
@@ -178,9 +178,19 @@ def _prep_queries(index: RaBitQIndex, queries: jax.Array) -> jax.Array:
 
 def _jnp_scan(index, starts, sizes, planes, scal, *, cap, chunk):
     """Portable scan path: chunked gather + popcount, same semantics as the
-    Pallas kernel (used on CPU and as the parity oracle for it)."""
+    Pallas kernel (used on CPU and as the parity oracle for it).
+
+    Multi-bit codes (index.code_bits > 1): the blob holds B plane-major
+    word rows per plane group; the asymmetric dot against grid values
+    v = 2u - m decomposes over query planes t and code planes p as
+    <qvals, v> = 2 * sum_{t,p} 2^(t+p) pop(qplane_t & uplane_p)
+                 - m * sum(qvals).
+    """
     s = starts.shape[0]
     w = index.words
+    bits = index.code_bits
+    cr = index.code_rows
+    mm = jnp.float32((1 << bits) - 1)
     n = index.n
     chunk = max(1, min(chunk, s))
     s_pad = ((s + chunk - 1) // chunk) * chunk
@@ -196,6 +206,7 @@ def _jnp_scan(index, starts, sizes, planes, scal, *, cap, chunk):
     )
     blob = index.blob
     plane_w = 1 << jnp.arange(THETA_LOG_DIM, dtype=jnp.int32)
+    code_w = 1 << jnp.arange(bits, dtype=jnp.int32)
     iota = jnp.arange(cap, dtype=jnp.int32)
 
     def step(t):
@@ -206,12 +217,16 @@ def _jnp_scan(index, starts, sizes, planes, scal, *, cap, chunk):
         # Tiled blob: [n_tiles, R, 128]; row r of vector p lives at
         # [p // 128, r, p % 128].
         bg = blob[pos_safe // 128, :, pos_safe % 128]  # [chunk, cap, R]
-        cg = bg[..., :w]  # [chunk, cap, W]
-        fac = jax.lax.bitcast_convert_type(bg[..., w : w + 4], jnp.float32)
-        # [chunk, cap, T, W] AND -> popcount -> reduce words.
-        anded = cg[:, :, None, :] & t_planes[:, None, :, :]
-        per_plane = popcount(anded).sum(axis=-1)  # [chunk, cap, T]
-        abdp = (per_plane * plane_w[None, None, :]).sum(axis=-1)
+        cg = bg[..., :cr].reshape(
+            bg.shape[0], bg.shape[1], bits, w
+        )  # [chunk, cap, B, W] plane-major code words
+        fac = jax.lax.bitcast_convert_type(bg[..., cr : cr + 4], jnp.float32)
+        # [chunk, cap, T, B, W] AND -> popcount -> reduce words.
+        anded = cg[:, :, None, :, :] & t_planes[:, None, :, None, :]
+        per_plane = popcount(anded).sum(axis=-1)  # [chunk, cap, T, B]
+        abdp = (
+            per_plane * (plane_w[:, None] * code_w[None, :])[None, None]
+        ).sum(axis=(-1, -2))
         lo = t_scal[:, 0][:, None]
         delta = t_scal[:, 1][:, None]
         ssum = t_scal[:, 2][:, None]
@@ -220,7 +235,9 @@ def _jnp_scan(index, starts, sizes, planes, scal, *, cap, chunk):
             fac[..., 3]
             + ycd
             + lo * fac[..., 1]
-            + (2.0 * abdp.astype(jnp.float32) - ssum) * fac[..., 0] * delta
+            + (2.0 * abdp.astype(jnp.float32) - mm * ssum)
+            * fac[..., 0]
+            * delta
             - fac[..., 2] * jnp.sqrt(ycd)
         )
         return jnp.where(valid, est, jnp.inf)

@@ -98,6 +98,7 @@ def dump_to_dir(index: RaBitQIndex, path: str | Path) -> None:
                 dim_orig=index.dim_orig,
                 capacity=index.capacity,
                 metric=index.metric,
+                code_bits=index.code_bits,
                 rand_bias=np.asarray(index.rand_bias).tolist(),
             )
         )
@@ -123,9 +124,9 @@ def load_from_dir(
 
     factors = np.concatenate(read_vecs(path / "factors.fvecs")).reshape(n, 4)
     words = np.concatenate(read_u64_vecs(path / "x_binary_vec.u64vecs"))
-    codes = _codes_from_u64(words, n, w32)
 
     metric = "l2"
+    code_bits = 1
     meta_path = path / _META
     if meta_path.exists():
         meta = json.loads(meta_path.read_text())
@@ -133,6 +134,7 @@ def load_from_dir(
         dim_orig = int(meta["dim_orig"])
         capacity = int(meta["capacity"])
         metric = meta.get("metric", "l2")
+        code_bits = int(meta.get("code_bits", 1))
     else:
         # Reference-built dir: regenerate like rabitq.rs:119.
         rand_bias = jax.random.uniform(
@@ -143,6 +145,7 @@ def load_from_dir(
         dim_orig = dim
         sizes = offsets[1:] - offsets[:-1]
         capacity = max(128, round_up(int(sizes.max(initial=1)), 128))
+    codes = _codes_from_u64(words, n, w32 * code_bits)
 
     base = None
     if keep_base:
@@ -170,6 +173,7 @@ def load_from_dir(
         dim_orig=dim_orig,
         capacity=capacity,
         metric=metric,
+        code_bits=code_bits,
     ))
 
 
@@ -192,6 +196,7 @@ def dump_to_json(index: RaBitQIndex, path: str | Path) -> None:
         codes=np.asarray(index.codes).tolist(),
         factors=np.asarray(index.factors).tolist(),
         metric=index.metric,
+        code_bits=index.code_bits,
     )
     if index.extra_base is not None and index.extra_base.shape[0]:
         payload["extra_base"] = np.asarray(index.extra_base).tolist()
@@ -217,6 +222,7 @@ def load_from_json(path: str | Path) -> RaBitQIndex:
         dim_orig=int(z["dim_orig"]),
         capacity=capacity,
         metric=z.get("metric", "l2"),
+        code_bits=int(z.get("code_bits", 1)),
         extra_base=(
             jnp.asarray(np.asarray(z["extra_base"], np.float32))
             if "extra_base" in z
@@ -240,7 +246,9 @@ def dump_to_npz(index: RaBitQIndex, path: str | Path) -> None:
         centroids_rot=np.asarray(index.centroids_rot),
         orthogonal=np.asarray(index.orthogonal),
         rand_bias=np.asarray(index.rand_bias),
-        meta=np.asarray([index.dim, index.dim_orig, index.capacity]),
+        meta=np.asarray(
+            [index.dim, index.dim_orig, index.capacity, index.code_bits]
+        ),
         metric=np.asarray(index.metric),
     )
     if index.base is not None:
@@ -253,7 +261,9 @@ def dump_to_npz(index: RaBitQIndex, path: str | Path) -> None:
 
 def load_from_npz(path: str | Path, *, keep_base: bool = True) -> RaBitQIndex:
     with np.load(path) as z:
-        dim, dim_orig, capacity = (int(v) for v in z["meta"])
+        meta = [int(v) for v in z["meta"]]
+        dim, dim_orig, capacity = meta[:3]
+        code_bits = meta[3] if len(meta) > 3 else 1  # pre-multibit npz
         base = None
         if keep_base and "base" in z:
             base = jnp.asarray(z["base"])
@@ -275,4 +285,5 @@ def load_from_npz(path: str | Path, *, keep_base: bool = True) -> RaBitQIndex:
             dim_orig=dim_orig,
             capacity=capacity,
             metric=str(z["metric"]) if "metric" in z else "l2",
+            code_bits=code_bits,
         ))

@@ -166,7 +166,9 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
     from rabitq_tpu.index.index import derive_scan_operands
 
     ops = [
-        derive_scan_operands(jnp.asarray(sh_blob[si]), index.words)
+        derive_scan_operands(
+            jnp.asarray(sh_blob[si]), index.words, index.code_bits
+        )
         for si in range(s)
     ]
     sh_codes = np.stack([np.asarray(c) for c, _ in ops])
@@ -196,6 +198,7 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
         dim_orig=index.dim_orig,
         capacity=index.capacity,
         metric=index.metric,
+        code_bits=index.code_bits,
     )
 
 
@@ -412,7 +415,11 @@ def sharded_search_with_store(
 
 
 def dp_build_chunk(
-    x: jax.Array, orthogonal: jax.Array, centroids_rot: jax.Array, mesh: Mesh
+    x: jax.Array,
+    orthogonal: jax.Array,
+    centroids_rot: jax.Array,
+    mesh: Mesh,
+    bits: int = 1,
 ):
     """Data-parallel quantization pass: rows of x sharded over the mesh.
 
@@ -428,7 +435,7 @@ def dp_build_chunk(
     centroids_rot = jax.device_put(
         centroids_rot, NamedSharding(mesh, P(None, None))
     )
-    return assign_and_quantize_chunk(x, orthogonal, centroids_rot, dim)
+    return assign_and_quantize_chunk(x, orthogonal, centroids_rot, dim, bits)
 
 
 def sharded_lloyd_step(x: jax.Array, centroids: jax.Array, mesh: Mesh):

@@ -1,0 +1,191 @@
+"""Compare device-side task-grouping variants on the real TPU.
+
+prepare_groups_structured costs ~2.7 ms of the scan stage at batch 2048 x
+probe 32 x k 4096 (tools/scanprof.py). Its pieces: a [B, probe, k] one-hot
+membership einsum, a [B, k] cumsum over the batch axis, a 2-channel
+[B, k, 2] payload lookup einsum, two 1-D scatters, and the qg/scal8 row
+gathers. This script times isolated variants of the rank/gid computation
+with per-iteration-varying cids (so nothing hoists):
+
+  cur   : the shipped 2-channel payload einsum
+  comb  : single combined payload gstart*P2 + rank in ONE einsum channel
+  scat  : comb + scatter-based membership (no "bpc->bc" einsum)
+  gath  : comb looked up via take_along_axis (element gather) instead of
+          the one-hot einsum
+  none  : everything except the rank/gid computation (floor cost)
+
+Usage: python tools/gbench.py [--batch 2048] [--probe 32] [--k 4096]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--probe", type=int, default=32)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--qpc", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    assert jax.default_backend() == "tpu"
+    b, probe, k, qpc = args.batch, args.probe, args.k, args.qpc
+    s = b * probe
+    hi = jax.lax.Precision.HIGHEST
+    rng = np.random.default_rng(0)
+    # Distinct-per-row cluster ids like the real pipeline's top-probe.
+    cids0 = np.stack(
+        [rng.choice(k, probe, replace=False) for _ in range(b)]
+    ).astype(np.int32)
+    cids0 = jnp.asarray(cids0)
+    p2 = 1 << (b - 1).bit_length()
+
+    def membership_einsum(cids):
+        oh = (
+            cids[..., None] == jnp.arange(k, dtype=cids.dtype)[None, None, :]
+        ).astype(jnp.float32)
+        return jnp.einsum("bpc->bc", oh), oh
+
+    def membership_scatter(cids):
+        m = (
+            jnp.zeros((b, k), jnp.float32)
+            .at[jnp.arange(b, dtype=jnp.int32)[:, None], cids]
+            .add(1.0)
+        )
+        return m
+
+    def tables(m):
+        cum_inc = jnp.cumsum(m, axis=0)
+        counts = cum_inc[-1]
+        cum_exc = cum_inc - m
+        groups_per_c = (counts.astype(jnp.int32) + qpc - 1) // qpc
+        gstart_c = jnp.cumsum(groups_per_c) - groups_per_c
+        return cum_exc, gstart_c
+
+    def v_cur(cids):
+        m, oh = membership_einsum(cids)
+        cum_exc, gstart_c = tables(m)
+        payload = jnp.stack(
+            [
+                cum_exc,
+                jnp.broadcast_to(
+                    gstart_c.astype(jnp.float32)[None, :], cum_exc.shape
+                ),
+            ],
+            axis=-1,
+        )
+        looked = jnp.einsum("bpc,bcx->bpx", oh, payload, precision=hi)
+        rank = looked[..., 0].reshape(s).astype(jnp.int32)
+        gstart = looked[..., 1].reshape(s).astype(jnp.int32)
+        gid = gstart + rank // qpc
+        return gid * qpc + rank % qpc
+
+    def v_comb(cids):
+        m, oh = membership_einsum(cids)
+        cum_exc, gstart_c = tables(m)
+        comb = gstart_c.astype(jnp.float32)[None, :] * jnp.float32(
+            p2
+        ) + cum_exc
+        looked = jnp.einsum("bpc,bc->bp", oh, comb, precision=hi)
+        li = looked.reshape(s).astype(jnp.int32)
+        rank = li % p2
+        gid = li // p2 + rank // qpc
+        return gid * qpc + rank % qpc
+
+    def v_scat(cids):
+        m = membership_scatter(cids)
+        cum_exc, gstart_c = tables(m)
+        comb = gstart_c.astype(jnp.float32)[None, :] * jnp.float32(
+            p2
+        ) + cum_exc
+        oh = (
+            cids[..., None] == jnp.arange(k, dtype=cids.dtype)[None, None, :]
+        ).astype(jnp.float32)
+        looked = jnp.einsum("bpc,bc->bp", oh, comb, precision=hi)
+        li = looked.reshape(s).astype(jnp.int32)
+        rank = li % p2
+        gid = li // p2 + rank // qpc
+        return gid * qpc + rank % qpc
+
+    def v_gath(cids):
+        m = membership_scatter(cids)
+        cum_exc, gstart_c = tables(m)
+        comb = (
+            gstart_c[None, :] * jnp.int32(p2) + cum_exc.astype(jnp.int32)
+        )
+        li = jnp.take_along_axis(comb, cids, axis=1).reshape(s)
+        rank = li % p2
+        gid = li // p2 + rank // qpc
+        return gid * qpc + rank % qpc
+
+    def v_none(cids):
+        return cids.reshape(s) * qpc
+
+    variants = dict(
+        cur=v_cur, comb=v_comb, scat=v_scat, gath=v_gath, none=v_none
+    )
+
+    def time_fn(fn):
+        def make(iters):
+            @jax.jit
+            def loop(cids):
+                def body(i, acc):
+                    c = (cids + i) % k  # vary; keeps row-distinctness
+                    return acc + fn(c).sum()
+
+                return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+            return loop
+
+        ln, l1 = make(args.iters), make(1)
+        _ = int(ln(cids0))
+        _ = int(l1(cids0))
+
+        def best(f, reps=3):
+            ts = []
+            for r in range(reps):
+                cp = (cids0 + r + 1) % k
+                t0 = time.time()
+                _ = int(f(cp))
+                ts.append(time.time() - t0)
+            return min(ts)
+
+        return (best(ln) - best(l1)) / (args.iters - 1)
+
+    # Cross-check correctness: all variants produce the same row ids.
+    ref = np.asarray(variants["cur"](cids0))
+    for name in ("comb", "scat", "gath"):
+        got = np.asarray(variants[name](cids0))
+        assert (ref == got).all(), name
+    log("variants agree on row ids")
+
+    out = {}
+    for name, fn in variants.items():
+        out[name] = time_fn(fn)
+        log(f"{name:>6}: {out[name]*1e3:7.3f} ms")
+    print(
+        "{"
+        + ", ".join(f'"{n}_ms": {v*1e3:.3f}' for n, v in out.items())
+        + "}"
+    )
+
+
+if __name__ == "__main__":
+    main()
