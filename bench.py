@@ -192,7 +192,8 @@ def bench_deep10m(args):
 
     t0 = time.time()
     index = build_index(
-        base, centroids, key=jax.random.key(2), keep_base=False
+        base, centroids, key=jax.random.key(2), keep_base=False,
+        bits=args.bits,
     )
     build_s = time.time() - t0
     log(f"built in {build_s:.1f}s (capacity={index.capacity})")
@@ -208,9 +209,10 @@ def bench_deep10m(args):
     truth = ground_truth(base, queries, topk)
     log(f"ground truth in {time.time()-t0:.1f}s")
 
+    rr = args.rerank or (48 if args.bits >= 3 else 150)
     best = None
     for probe in (8, 16, 32, 40, 48, 64, 96):
-        params = SearchParams(probe=probe, topk=topk, rerank=150)
+        params = SearchParams(probe=probe, topk=topk, rerank=rr)
         t0 = time.time()
         dists, ids = search_with_store(index, queries, params, store)
         dt = time.time() - t0
@@ -226,7 +228,7 @@ def bench_deep10m(args):
             break
     probe, recall, qps = best
     # Warm re-run (mmap pages now cached) at the chosen probe, best of 2.
-    params = SearchParams(probe=probe, topk=topk, rerank=150)
+    params = SearchParams(probe=probe, topk=topk, rerank=rr)
     times = []
     for it in range(2):
         qp = queries + np.float32(1e-5) * (it + 1)
@@ -284,6 +286,16 @@ def main():
         help="cluster ranking key (default centroid; annulus ranks by "
         "the geometric lower bound to each cluster's member-radius "
         "band — discriminates split-segment ties on skewed corpora)",
+    )
+    ap.add_argument(
+        "--select-passes",
+        type=int,
+        default=None,
+        choices=[1, 2],
+        help="candidate-selection passes (default: 2 at bits=1 -- the "
+        "bucket-decorrelated union recovers approx_min_k collision "
+        "losses among the 1-bit estimator's near-ties; 1 at bits>=3, "
+        "where the estimator separates candidates cleanly)",
     )
     ap.add_argument(
         "--bits",
@@ -378,6 +390,9 @@ def main():
     # The rerank budget exists to cover the estimator's ranking error;
     # multi-bit codes shrink that error ~2^(bits-1)x, so the default
     # budget (and with it the dominant post-scan gather) shrinks too.
+    if args.select_passes is None:
+        args.select_passes = 1 if args.bits >= 3 else 2
+
     def default_rerank(probe):
         if args.bits >= 3:
             return max(48, 4 * args.topk)
@@ -409,6 +424,7 @@ def main():
             rerank=args.rerank or default_rerank(probe),
             select_reduce=bool(args.fold) if args.fold is not None else True,
             probe_rank=args.probe_rank or "centroid",
+            select_passes=args.select_passes,
         )
         _ = np.asarray(search(index, qd[:batch], params)[1])  # compile
         # Pipelined eval: batch N+1's dispatch is issued before batch N's
@@ -453,6 +469,7 @@ def main():
         rerank=args.rerank or default_rerank(probe),
         select_reduce=bool(args.fold) if args.fold is not None else True,
         probe_rank=args.probe_rank or "centroid",
+        select_passes=args.select_passes,
     )
     q3 = qd[:nq_pad].reshape(nq_pad // batch, batch, -1)
     # Drain pipeline counters for the chosen setting (one batch is

@@ -457,25 +457,21 @@ def prepare_groups_structured(
 
     groups_per_c = (counts.astype(jnp.int32) + qpc - 1) // qpc  # [k]
     gstart_c = jnp.cumsum(groups_per_c) - groups_per_c  # exclusive
-    # One fused lookup pass for both per-task tables: payload channel 0 =
-    # within-cluster rank source, channel 1 = the cluster's first group.
-    payload = jnp.stack(
-        [
-            cum_exc,
-            jnp.broadcast_to(
-                gstart_c.astype(jnp.float32)[None, :], cum_exc.shape
-            ),
-        ],
-        axis=-1,
-    )  # [B, k, 2]
-    looked = jnp.einsum(
-        "bpc,bcx->bpx", oh, payload, precision=hi
-    )  # [B, probe, 2]
-    rank = looked[..., 0].reshape(s).astype(jnp.int32)
-    gstart = looked[..., 1].reshape(s).astype(jnp.int32)
-    gid = gstart + rank // qpc
-    slot = rank % qpc
-    row_of_task = gid * qpc + slot  # [s] — also the output inv_row
+    # ONE single-channel lookup: the output row is LINEAR in the two
+    # per-task table values — row = (gstart + rank//qpc)*qpc + rank%qpc
+    # = gstart*qpc + rank — so the fused [B, k] payload gstart*qpc +
+    # cum_exc looked up through the one-hot einsum yields it directly
+    # (measured 0.47 vs 1.19 ms for the two-channel [B, k, 2] payload at
+    # batch 2048 x probe 32 x k 4096, tools/gbench.py; scatter-based
+    # membership and take_along_axis lookups both lost). Values stay
+    # exact f32 integers: row < g_pad*qpc <= S + k*qpc << 2^24.
+    assert g_pad * qpc < (1 << 24), (g_pad, qpc)
+    payload = cum_exc + gstart_c.astype(jnp.float32)[None, :] * jnp.float32(
+        qpc
+    )  # [B, k]
+    looked = jnp.einsum("bpc,bc->bp", oh, payload, precision=hi)
+    row_of_task = looked.reshape(s).astype(jnp.int32)
+    gid = row_of_task // qpc  # [s] — for the per-group metadata scatters
 
     iota_s = jnp.arange(s, dtype=jnp.int32)
     task_of_row = (

@@ -262,3 +262,32 @@ def test_sharded_exact_mode_under_skew(rng):
         ]
     )
     assert overlap >= 0.99, overlap
+
+
+def test_sharded_search_bits4_parity(rng, mesh):
+    """Multi-bit indexes shard: exact-mode sharded search matches the
+    unsharded bits=4 index (codes_pm1 holds grid values per shard)."""
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import make_clustered_dataset
+    from rabitq_tpu import SearchParams, build_index
+    from rabitq_tpu.index.search import search
+    from rabitq_tpu.parallel import shard_index, sharded_search
+
+    base, centers = make_clustered_dataset(rng, n=2048, dim=64, k=16)
+    index = build_index(base, centers, key=jax.random.key(2), bits=4)
+    sidx = shard_index(index, mesh)
+    assert sidx.code_bits == 4
+    queries = jnp.asarray(base[:8])
+    pfull = SearchParams(probe=index.k, topk=10, rerank=2048)
+    d_s, i_s = sharded_search(sidx, queries, pfull, mesh, exact=True)
+    d_1, i_1 = search(index, queries, pfull)
+    np.testing.assert_allclose(
+        np.asarray(d_s), np.asarray(d_1), rtol=1e-5, atol=1e-5
+    )
+    i_s, i_1 = np.asarray(i_s), np.asarray(i_1)
+    parity = np.mean(
+        [len(set(i_s[b]) & set(i_1[b])) / 10 for b in range(8)]
+    )
+    assert parity >= 0.95, parity

@@ -39,6 +39,8 @@ def main():
         "--dataset", choices=["manifold", "blobs"], default="manifold"
     )
     ap.add_argument("--rerank", type=int, default=100)
+    ap.add_argument("--bits", type=int, default=1, choices=range(1, 8))
+    ap.add_argument("--select-passes", type=int, default=None, choices=[1, 2])
     ap.add_argument(
         "--probe-recall",
         type=float,
@@ -99,7 +101,9 @@ def main():
     centroids = kmeans(
         base[: min(args.n, 200_000)], args.k, iters=8, key=jax.random.key(1)
     )
-    index = build_index(base, centroids, key=jax.random.key(2))
+    index = build_index(
+        base, centroids, key=jax.random.key(2), bits=args.bits
+    )
     if args.rerank_bf16:
         from rabitq_tpu.index.index import with_bf16_base
 
@@ -111,6 +115,8 @@ def main():
     pk = SearchParams(
         probe=args.probe, topk=10, rerank=args.rerank, use_kernel=True
     )
+    if args.select_passes is not None:
+        pk = pk._replace(select_passes=args.select_passes)
     if args.probe_recall is not None:
         pk = pk._replace(probe_recall=args.probe_recall)
     if args.rerank_bf16:

@@ -38,6 +38,7 @@ def main():
     ap.add_argument("--rerank", type=int, default=140)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--bits", type=int, default=1, choices=range(1, 8))
     ap.add_argument(
         "--passes",
         type=int,
@@ -75,7 +76,9 @@ def main():
     centroids = kmeans(
         base[: min(args.n, 200_000)], args.k, iters=8, key=jax.random.key(1)
     )
-    index = build_index(base, centroids, key=jax.random.key(2))
+    index = build_index(
+        base, centroids, key=jax.random.key(2), bits=args.bits
+    )
     log(f"built in {time.time()-t0:.1f}s")
     truth = ground_truth(base, queries, args.topk)
     qd = jnp.asarray(queries)
@@ -130,17 +133,19 @@ def main():
             pr, sr, rr = parts[:3]
             reduce_on = bool(int(parts[3])) if len(parts) > 3 else True
             passes = int(parts[4]) if len(parts) > 4 else args.passes
+            probe = int(parts[5]) if len(parts) > 5 else args.probe
             p = base_p._replace(
                 probe_recall=float(pr),
                 select_recall=float(sr),
                 rerank=int(rr),
                 select_reduce=reduce_on,
                 select_passes=passes,
+                probe=probe,
             )
             rec, per = timed_recall(p)
             log(
                 f"pr={pr} sr={sr} rerank={rr} fold={int(reduce_on)} "
-                f"passes={passes}: "
+                f"passes={passes} probe={probe}: "
                 f"recall@{args.topk}={rec:.4f}  {per*1e3:6.2f} ms/batch "
                 f"= {args.batch/per:,.0f} QPS/chip"
             )
