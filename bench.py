@@ -292,10 +292,10 @@ def main():
         type=int,
         default=None,
         choices=[1, 2],
-        help="candidate-selection passes (default: 2 at bits=1 -- the "
-        "bucket-decorrelated union recovers approx_min_k collision "
-        "losses among the 1-bit estimator's near-ties; 1 at bits>=3, "
-        "where the estimator separates candidates cleanly)",
+        help="candidate-selection passes (default 2: the bucket-"
+        "decorrelated union recovers approx_min_k collision losses "
+        "cheaply at every bits setting -- measured strictly better "
+        "recall-per-ms than a bigger rerank budget)",
     )
     ap.add_argument(
         "--bits",
@@ -391,11 +391,15 @@ def main():
     # multi-bit codes shrink that error ~2^(bits-1)x, so the default
     # budget (and with it the dominant post-scan gather) shrinks too.
     if args.select_passes is None:
-        args.select_passes = 1 if args.bits >= 3 else 2
+        args.select_passes = 2
 
     def default_rerank(probe):
+        # Multi-bit estimates rank near-exactly; the budget only has to
+        # cover fold/selection collisions (tools/tune_select.py: probe=32,
+        # rerank=64, 2-pass = 244k QPS/chip @ 0.9535 on the SIFT shape —
+        # rerank 96+ adds cost, no recall).
         if args.bits >= 3:
-            return max(48, 4 * args.topk)
+            return max(64, args.topk * 5 // 2)
         return max(140, 3 * probe, 4 * args.topk)
 
     t0 = time.time()

@@ -302,3 +302,23 @@ def test_http_range_source_range_and_full_body_servers(corpus, index_dir):
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+def test_store_tier_bits4(rng):
+    """Host-store rerank consumes bits=4 candidates: device estimator and
+    off-device rerank agree with the all-device search."""
+    import jax
+    import jax.numpy as jnp
+
+    base, centers = make_clustered_dataset(rng, n=2000, dim=48, k=16)
+    idx = build_index(base, centers, key=jax.random.key(9), bits=4)
+    queries = base[rng.choice(2000, 10, replace=False)]
+    params = SearchParams(probe=16, topk=10, rerank=32)
+    d_dev, i_dev = search(idx, jnp.asarray(queries), params)
+    d_st, i_st = search_with_store(idx, queries, params, DeviceStore(idx.base))
+    np.testing.assert_array_equal(np.asarray(i_dev), i_st)
+    truth = brute_force_topk(base, queries, 10)
+    recall = np.mean(
+        [calculate_recall(truth[i], i_st[i], 10) for i in range(10)]
+    )
+    assert recall >= 0.99

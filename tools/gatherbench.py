@@ -1,0 +1,93 @@
+"""Row-gather rate vs row dtype/width on the real TPU.
+
+The group spread gathers qvals rows ([S, 128] int8 = 32 words/row) and
+scal8 rows ([S, 8] f32). The TPU cost model says >=128-LANE rows gather
+fast; an int8x128 row is only 32 words, so it may ride the slow path —
+in which case gathering the SAME data as int32 (128 words) and casting
+in-kernel is cheaper. Measures ns/row for each layout.
+
+Usage: python tools/gatherbench.py [--s 65536]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--s", type=int, default=65536)
+    ap.add_argument("--rows", type=int, default=131072)
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    assert jax.default_backend() == "tpu"
+    s, rows = args.s, args.rows
+    rng = np.random.default_rng(0)
+    idx0 = jnp.asarray(rng.integers(0, s, rows).astype(np.int32))
+    qi8 = jnp.asarray(rng.integers(0, 16, (s, 128)).astype(np.int8))
+    qi32 = qi8.astype(jnp.int32)
+    qf32 = qi8.astype(jnp.float32)
+    s8 = jnp.asarray(rng.standard_normal((s, 8)).astype(np.float32))
+
+    def time_gather(src, name):
+        def make(iters):
+            @jax.jit
+            def loop(src, idx):
+                def body(i, acc):
+                    t = (idx + i) % s
+                    g = src[t]
+                    return acc + g.astype(jnp.float32).sum()
+
+                return jax.lax.fori_loop(0, iters, body, 0.0)
+
+            return loop
+
+        ln, l1 = make(args.iters), make(1)
+        _ = float(ln(src, idx0))
+        _ = float(l1(src, idx0))
+        ts, t1s = [], []
+        for r in range(3):
+            ip = (idx0 + r + 1) % s
+            t0 = time.time()
+            _ = float(ln(src, ip))
+            ts.append(time.time() - t0)
+            t0 = time.time()
+            _ = float(l1(src, ip))
+            t1s.append(time.time() - t0)
+        per = (min(ts) - min(t1s)) / (args.iters - 1)
+        bytes_ = rows * src.shape[1] * src.dtype.itemsize
+        log(
+            f"{name:>22}: {per*1e3:7.3f} ms = {per/rows*1e9:6.2f} ns/row"
+            f" = {bytes_/per/1e9:6.1f} GB/s"
+        )
+        return per
+
+    out = {}
+    out["qvals_i8_128"] = time_gather(qi8, "[S,128] int8")
+    out["qvals_i32_128"] = time_gather(qi32, "[S,128] int32")
+    out["qvals_f32_128"] = time_gather(qf32, "[S,128] f32")
+    out["scal_f32_8"] = time_gather(s8, "[S,8] f32")
+    print(
+        "{"
+        + ", ".join(f'"{k}_ms": {v*1e3:.3f}' for k, v in out.items())
+        + "}"
+    )
+
+
+if __name__ == "__main__":
+    main()
