@@ -300,10 +300,11 @@ def main():
     ap.add_argument(
         "--bits",
         type=int,
-        default=1,
+        default=4,
         choices=range(1, 8),
-        help="residual code bits/dim (build_index(bits=...)): 1 = classic "
-        "RaBitQ sign codes; >1 = extended odd-grid codes at identical "
+        help="residual code bits/dim (build_index(bits=...), default 4 — "
+        "the framework's throughput mode): 1 = classic RaBitQ sign codes "
+        "(reference parity); >1 = extended odd-grid codes at identical "
         "scan cost but ~2^(bits-1)x lower estimator error, so the rerank "
         "budget (and the candidate-selection width) shrinks ~4x at 4",
     )
