@@ -68,9 +68,14 @@ class BatchingEngine:
         *,
         max_batch: int = 64,
         window_ms: float = 2.0,
-        default_rerank: int = 128,
+        default_rerank: int | None = None,
         rerank_bf16: bool = False,
     ):
+        if default_rerank is None:
+            # Multi-bit indexes rank candidates near-exactly, so the
+            # default budget only covers fold/selection collisions
+            # (BASELINE.md bits=4 sweep); 1-bit needs ~10x topk.
+            default_rerank = 64 if index.code_bits >= 3 else 128
         if rerank_bf16 and store is None:
             from rabitq_tpu.index.index import with_bf16_base
 

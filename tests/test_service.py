@@ -416,3 +416,21 @@ def test_object_store_auth_headers(tmp_path):
             HttpRangeSource(prefix + "/base.fvecs")  # HEAD without token
     finally:
         httpd.shutdown()
+
+
+def test_engine_default_rerank_tracks_code_bits():
+    """Multi-bit indexes get the smaller bits-aware default rerank; the
+    budget only covers fold/selection collisions there (BASELINE.md)."""
+    import jax
+
+    from rabitq_tpu.service.server import BatchingEngine
+
+    rng = np.random.default_rng(13)
+    base, centers = make_clustered_dataset(rng, n=800, dim=32, k=8)
+    for bits, want in ((1, 128), (4, 64)):
+        index = build_index(base, centers, key=jax.random.key(12), bits=bits)
+        engine = BatchingEngine(index, max_batch=4, window_ms=1.0)
+        try:
+            assert engine.default_rerank == want, (bits, engine.default_rerank)
+        finally:
+            engine.close()
