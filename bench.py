@@ -26,7 +26,13 @@ import numpy as np
 # First measured values on one TPU v5e chip (round 1, pre-kernel). Updated
 # only if the benchmark definition changes, so later rounds show speedups.
 # gist (1M x 960-d) first ran in round 2; its baseline is that first run.
-BASELINE_QPS = {"sift": 1173.2, "quick": 11702.0, "gist200k": 987.0}
+BASELINE_QPS = {
+    "sift": 1173.2,
+    "quick": 11702.0,
+    "gist200k": 987.0,
+    # round-1 disk-tier crossing (BASELINE.md): 2,389 QPS warm @ 0.956
+    "deep10m": 2389.0,
+}
 
 
 def log(msg: str) -> None:
@@ -151,7 +157,9 @@ def bench_service(args):
                 metric=f"service_p99_ms@{workers}conc_{n//1000}k-{dim}d",
                 value=round(float(np.percentile(lat, 99)), 2),
                 unit="ms",
-                vs_baseline=1.0,
+                # Latency metric — no QPS baseline applies; None, not 1.0
+                # (an absent baseline must not read as "no speedup").
+                vs_baseline=None,
                 detail=dict(
                     p50_ms=round(float(np.percentile(lat, 50)), 2),
                     qps=round(nq / wall, 1),
@@ -242,7 +250,11 @@ def bench_deep10m(args):
                 metric=f"qps@recall{args.target_recall}_deep10m-96d_top{topk}_hoststore",
                 value=round(qps, 1),
                 unit="queries/s",
-                vs_baseline=1.0,
+                vs_baseline=(
+                    round(qps / BASELINE_QPS["deep10m"], 3)
+                    if "deep10m" in BASELINE_QPS
+                    else None
+                ),
                 detail=dict(
                     probe=probe,
                     recall=round(recall, 4),
