@@ -488,17 +488,21 @@ def main(argv=None):
         help="object-store URL prefix holding the index files; metadata "
         "files missing from --dir are downloaded from it at boot "
         "(reference: download_meta_from_s3, cache.rs:24-54) and, with "
-        "--store http, base.fvecs is range-read from it on rerank misses",
+        "--store http, base.fvecs is range-read from it on rerank "
+        "misses. An s3://bucket/prefix URL signs every request with "
+        "SigV4 from the standard env/profile credential chain "
+        "(AWS_ACCESS_KEY_ID/..., AWS_REGION, AWS_ENDPOINT_URL for "
+        "S3-compatible stores) — the reference's credentialed mode",
     )
     ap.add_argument(
         "--store-header",
         action="append",
         default=None,
         metavar="NAME: VALUE",
-        help="static HTTP header sent with every object-store request "
-        "(repeatable), e.g. 'Authorization: Bearer ...'. Covers "
-        "token-auth and sigv4-presigned setups; there is deliberately "
-        "no AWS SDK credential chain (see README auth-scope note)",
+        help="static HTTP header sent with every http(s) object-store "
+        "request (repeatable), e.g. 'Authorization: Bearer ...' — "
+        "token-auth and presigned setups; s3:// prefixes sign natively "
+        "instead (SigV4, store/sigv4.py)",
     )
     ap.add_argument("--cache-db", default=None, help="sqlite block cache path")
     ap.add_argument("--max-batch", type=int, default=64)
@@ -545,13 +549,15 @@ def main(argv=None):
             FileBlockSource(base_path), index.dim, sqlite_path=args.cache_db
         )
     elif args.store == "http":
+        base_url = args.url_prefix.rstrip("/") + "/base.fvecs"
+        if base_url.startswith("s3://"):
+            from rabitq_tpu.store import S3RangeSource
+
+            source = S3RangeSource(base_url)
+        else:
+            source = HttpRangeSource(base_url, headers=store_headers)
         store = BlockCachedStore(
-            HttpRangeSource(
-                args.url_prefix.rstrip("/") + "/base.fvecs",
-                headers=store_headers,
-            ),
-            index.dim,
-            sqlite_path=args.cache_db,
+            source, index.dim, sqlite_path=args.cache_db
         )
     serve(
         index,

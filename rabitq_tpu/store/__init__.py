@@ -8,6 +8,11 @@ from rabitq_tpu.store.vector_store import (
     download_meta,
     search_with_store,
 )
+from rabitq_tpu.store.sigv4 import (
+    Credentials,
+    S3RangeSource,
+    SigV4Signer,
+)
 
 __all__ = [
     "VectorStore",
@@ -16,6 +21,9 @@ __all__ = [
     "BlockCachedStore",
     "FileBlockSource",
     "HttpRangeSource",
+    "S3RangeSource",
+    "SigV4Signer",
+    "Credentials",
     "download_meta",
     "search_with_store",
 ]

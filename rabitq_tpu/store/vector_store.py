@@ -312,9 +312,12 @@ def download_meta(
     load-time behavior of the reference's download_meta_from_s3
     (/root/reference/crates/disk/src/cache.rs:24-54). base.fvecs is NOT
     downloaded: raw vectors stay remote and stream through the block
-    cache on rerank misses. ``headers`` carries static auth (see
-    HttpRangeSource's auth-scope note: presigned URLs or static headers;
-    no AWS SDK credential chain by design).
+    cache on rerank misses.
+
+    Auth: an ``s3://bucket/prefix`` url_prefix signs each GET with SigV4
+    using the standard env/profile credential chain (store/sigv4.py —
+    the reference's cache.rs:25 chain, natively); an http(s) prefix uses
+    ``headers`` for static auth (presigned URLs, bearer tokens).
     """
     import urllib.error
     import urllib.request
@@ -322,20 +325,30 @@ def download_meta(
     dest = Path(dest_dir)
     dest.mkdir(parents=True, exist_ok=True)
     prefix = url_prefix.rstrip("/")
+    is_s3 = prefix.startswith("s3://")
     for name in META_FILES + OPTIONAL_META_FILES:
         target = dest / name
         if target.exists():
             logger.debug("bootstrap: %s exists, skipping", name)
             continue
         url = f"{prefix}/{name}"
-        try:
-            req = urllib.request.Request(url, headers=dict(headers or {}))
-            with urllib.request.urlopen(req) as resp:
-                data = resp.read()
-        except urllib.error.HTTPError as e:
-            if name in OPTIONAL_META_FILES and e.code == 404:
-                continue
-            raise
+        if is_s3:
+            from rabitq_tpu.store.sigv4 import s3_get_object
+
+            data = s3_get_object(url)
+            if data is None:
+                if name in OPTIONAL_META_FILES:
+                    continue
+                raise FileNotFoundError(f"bootstrap: {url} not found")
+        else:
+            try:
+                req = urllib.request.Request(url, headers=dict(headers or {}))
+                with urllib.request.urlopen(req) as resp:
+                    data = resp.read()
+            except urllib.error.HTTPError as e:
+                if name in OPTIONAL_META_FILES and e.code == 404:
+                    continue
+                raise
         target.write_bytes(data)
         logger.info("bootstrap: fetched %s (%d bytes)", name, len(data))
     for name in META_FILES:
