@@ -27,6 +27,9 @@ dump_to_dir(index, workdir / "index")
 index_lean = load_from_dir(workdir / "index", keep_base=False)
 store = MmapStore(workdir / "index" / "base.fvecs")
 # or: BlockCachedStore(FileBlockSource(...), index_lean.dim, sqlite_path=...)
+# or, credentialed S3 (SigV4 via the env/profile chain, AWS_ENDPOINT_URL
+# for S3-compatible stores):
+#     BlockCachedStore(S3RangeSource("s3://bucket/idx/base.fvecs"), dim)
 
 queries = base[:4]
 dists, ids = search_with_store(
