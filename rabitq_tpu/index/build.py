@@ -188,6 +188,84 @@ def assign_and_quantize_chunk(
     return label, cdsq, code, factors
 
 
+@functools.partial(jax.jit, static_argnames=("dim", "top", "chunk"))
+def _assign_all(x_all, orthogonal, centroids_rot, dim: int, top: int,
+                chunk: int):
+    """Assign every row of a device-resident padded corpus in one dispatch.
+
+    x_all: [n_pad, D] f32 with n_pad a multiple of `chunk`. A lax.scan over
+    chunk-sized dynamic slices keeps the per-step working set (one rotated
+    chunk + its [chunk, k] distance matrix) small while the corpus itself
+    is uploaded exactly once (the chunked host loop re-uploads it per
+    pass — the dominant cost of large-dim builds through the device
+    tunnel). Returns (labels [n_pad, top] i32, dists [n_pad, top] f32).
+    """
+    n_chunks = x_all.shape[0] // chunk
+
+    def body(_, start):
+        x = jax.lax.dynamic_slice(
+            x_all, (start, 0), (chunk, x_all.shape[1])
+        )
+        return None, _assign_chunk(x, orthogonal, centroids_rot, dim, top)
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    _, (labels, dists) = jax.lax.scan(body, None, starts)
+    return (
+        labels.reshape(-1, labels.shape[-1]),
+        dists.reshape(-1, dists.shape[-1]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("dim", "bits", "chunk"))
+def _quantize_all(x_all, labels_all, orthogonal, centroids_rot, dim: int,
+                  bits: int, chunk: int):
+    """Quantize a device-resident corpus against final labels (one dispatch).
+
+    Returns (cdsq [n_pad] f32, codes [n_pad, W*bits] u32,
+    factors [n_pad, 4] f32); the code/factor arrays stay on device for the
+    blob assembly (_make_blob_device) — no host round-trip.
+    """
+    n_chunks = x_all.shape[0] // chunk
+
+    def body(_, start):
+        x = jax.lax.dynamic_slice(
+            x_all, (start, 0), (chunk, x_all.shape[1])
+        )
+        lab = jax.lax.dynamic_slice(labels_all, (start,), (chunk,))
+        return None, _build_chunk(
+            x, lab, orthogonal, centroids_rot, dim, bits
+        )
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    _, (cdsq, code, factors) = jax.lax.scan(body, None, starts)
+    return (
+        cdsq.reshape(-1),
+        code.reshape(-1, code.shape[-1]),
+        factors.reshape(-1, factors.shape[-1]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _make_blob_device(codes, factors, capacity: int):
+    """Device-side make_blob (index.py:153-174), bit-identical layout.
+
+    codes [n, W*B] u32 and factors [n, 4] f32 are already cluster-sorted
+    (gathered by `order` on device). Assembling the [n_tiles, R, 128] blob
+    here avoids downloading the codes and re-uploading the (larger) blob
+    through the host tunnel.
+    """
+    n, w = codes.shape
+    rows = ((w + 4 + 7) // 8) * 8
+    pad_cols = ((capacity + 127) // 128) * 128 + 256
+    n_tiles = (n + pad_cols + 127) // 128
+    flat = jnp.zeros((rows, n_tiles * 128), dtype=jnp.uint32)
+    flat = flat.at[:w, :n].set(codes.T)
+    flat = flat.at[w : w + 4, :n].set(
+        jax.lax.bitcast_convert_type(factors, jnp.uint32).T
+    )
+    return flat.reshape(rows, n_tiles, 128).transpose(1, 0, 2)
+
+
 def balance_assignments(
     labels: np.ndarray,
     dists: np.ndarray,
@@ -273,6 +351,7 @@ def build_index(
     balance: float | None = 2.0,
     split: bool = True,
     bits: int = 1,
+    device_build: bool | None = None,
 ) -> RaBitQIndex:
     """Build a RaBitQ index from base vectors and pre-trained centroids.
 
@@ -306,6 +385,13 @@ def build_index(
                 near-duplicate corpora turning it off trades bounded
                 span for whole-pile scans (see DESIGN.md adversarial-
                 skew notes and pair with probe_rank="annulus" when on).
+    device_build: force (True) or forbid (False) the device-resident build
+                path: the padded corpus is uploaded ONCE and both passes
+                run as on-device scans, with the blob assembled on device
+                (no code download / blob re-upload). Default None picks it
+                automatically from a peak-HBM estimate; the streaming
+                chunked path remains for corpora too large to hold the
+                build working set in one device's HBM.
     """
     import time as _time
 
@@ -342,11 +428,28 @@ def build_index(
     logger.info("build: setup/QR %.1fs", _time.perf_counter() - t_start)
     t_phase = _time.perf_counter()
 
-    # Chunked device passes. Chunks are dispatched asynchronously (with a
-    # bounded in-flight window — queued inputs live in device memory),
-    # per-chunk outputs are concatenated ON DEVICE, and each result comes
-    # back in ONE device->host transfer — per-chunk transfers round-trip
-    # the device tunnel and dominate build time otherwise.
+    # Build passes. Two strategies, identical results:
+    #   resident: upload the padded corpus ONCE, run both passes as
+    #     on-device lax.scans, assemble the blob on device — the corpus
+    #     never re-crosses the host tunnel (3 uploads + a code download
+    #     saved vs the streaming path; transfers dominate large-dim
+    #     builds).
+    #   streaming: chunked host loop with bounded in-flight dispatch, for
+    #     corpora whose build working set exceeds one device's HBM (the
+    #     host-store tier's raison d'etre).
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    top = 4 if balance else 1
+    w_words = (dim // 32) * bits
+    x_bytes = 4 * n_pad * dim
+    code_bytes = 4 * n_pad * w_words
+    if device_build is None:
+        # Peak estimate: corpus (+ sorted copy when kept) + codes across
+        # gather/blob stages + 1 GB slack for factors/centroids/workspace.
+        need = x_bytes * (2.05 if keep_base else 1.05) + 3 * code_bytes
+        device_build = need + 1e9 < 12e9
+    x_all = None
+
     def chunk_iter():
         for start in range(0, n, chunk):
             stop = min(start + chunk, n)
@@ -356,15 +459,30 @@ def build_index(
             yield start, stop, jnp.asarray(x)
 
     # Pass 1: candidate assignment (top-M nearest centroids per vector).
-    top = 4 if balance else 1
-    pending = []
-    for _, _, xd in chunk_iter():
-        pending.append(_assign_chunk(xd, p, centroids_rot, dim, top))
-        if len(pending) % 64 == 0:
-            jax.block_until_ready(pending[-64][0])
-    cand_labels = np.asarray(jnp.concatenate([o[0] for o in pending]))[:n]
-    cand_dists = np.asarray(jnp.concatenate([o[1] for o in pending]))[:n]
-    del pending
+    if device_build:
+        x_host = np.zeros((n_pad, dim), dtype=np.float32)
+        x_host[:n, :d_orig] = base
+        x_all = jnp.asarray(x_host)
+        del x_host
+        lab_all, dist_all = _assign_all(
+            x_all, p, centroids_rot, dim, top, chunk
+        )
+        cand_labels = np.asarray(lab_all[:n])
+        cand_dists = np.asarray(dist_all[:n])
+        del lab_all, dist_all
+    else:
+        pending = []
+        for _, _, xd in chunk_iter():
+            pending.append(_assign_chunk(xd, p, centroids_rot, dim, top))
+            if len(pending) % 64 == 0:
+                jax.block_until_ready(pending[-64][0])
+        cand_labels = np.asarray(
+            jnp.concatenate([o[0] for o in pending])
+        )[:n]
+        cand_dists = np.asarray(
+            jnp.concatenate([o[1] for o in pending])
+        )[:n]
+        del pending
     if balance:
         cap = max(1, int(np.ceil(balance * n / k)))
         labels = balance_assignments(cand_labels, cand_dists, k, cap)
@@ -379,17 +497,30 @@ def build_index(
     t_phase = _time.perf_counter()
 
     # Pass 2: quantize against the final assignment.
-    pending = []
-    labels_pad = np.pad(labels, (0, (-n) % chunk))
-    for start, stop, xd in chunk_iter():
-        lab = jnp.asarray(labels_pad[start : start + chunk])
-        pending.append(_build_chunk(xd, lab, p, centroids_rot, dim, bits))
-        if len(pending) % 64 == 0:
-            jax.block_until_ready(pending[-64][0])
-    cdists = np.asarray(jnp.concatenate([o[0] for o in pending]))[:n]
-    codes = np.asarray(jnp.concatenate([o[1] for o in pending]))[:n]
-    factors = np.asarray(jnp.concatenate([o[2] for o in pending]))[:n]
-    del pending
+    codes_dev = factors_dev = None
+    if device_build:
+        labels_dev = jnp.asarray(np.pad(labels, (0, n_pad - n)))
+        cdsq_dev, codes_dev, factors_dev = _quantize_all(
+            x_all, labels_dev, p, centroids_rot, dim, bits, chunk
+        )
+        cdists = np.asarray(cdsq_dev[:n])
+        del cdsq_dev, labels_dev
+    else:
+        pending = []
+        labels_pad = np.pad(labels, (0, (-n) % chunk))
+        for start, stop, xd in chunk_iter():
+            lab = jnp.asarray(labels_pad[start : start + chunk])
+            pending.append(
+                _build_chunk(xd, lab, p, centroids_rot, dim, bits)
+            )
+            if len(pending) % 64 == 0:
+                jax.block_until_ready(pending[-64][0])
+        cdists = np.asarray(jnp.concatenate([o[0] for o in pending]))[:n]
+        codes = np.asarray(jnp.concatenate([o[1] for o in pending]))[:n]
+        factors = np.asarray(
+            jnp.concatenate([o[2] for o in pending])
+        )[:n]
+        del pending
     logger.info(
         "build: quantized %d rows in %.1fs", n, _time.perf_counter() - t_phase
     )
@@ -434,10 +565,24 @@ def build_index(
             )
 
     base_sorted = None
-    if keep_base:
-        base_sorted = jnp.asarray(pad_last_dim(base[order], dim))
+    if device_build:
+        order_dev = jnp.asarray(order)
+        blob = _make_blob_device(
+            jnp.take(codes_dev, order_dev, axis=0),
+            jnp.take(factors_dev, order_dev, axis=0),
+            capacity,
+        )
+        if keep_base:
+            base_sorted = jnp.take(x_all, order_dev, axis=0)
+        jax.block_until_ready(blob)
+        del codes_dev, factors_dev, order_dev, x_all
+    else:
+        if keep_base:
+            base_sorted = jnp.asarray(pad_last_dim(base[order], dim))
+        blob = jnp.asarray(make_blob(codes[order], factors[order], capacity))
     logger.info(
-        "build: sort+upload %.1fs (total %.1fs)",
+        "build: sort+%s %.1fs (total %.1fs)",
+        "device-blob" if device_build else "upload",
         _time.perf_counter() - t_phase,
         _time.perf_counter() - t_start,
     )
@@ -446,9 +591,7 @@ def build_index(
 
     return with_scan_operands(
         RaBitQIndex(
-            blob=jnp.asarray(
-                make_blob(codes[order], factors[order], capacity)
-            ),
+            blob=blob,
             offsets=jnp.asarray(offsets),
             map_ids=jnp.asarray(order),
             centroids_rot=centroids_rot,

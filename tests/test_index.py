@@ -368,3 +368,23 @@ def test_search_many_matches_per_batch(rng):
     np.testing.assert_allclose(
         np.asarray(d_many).reshape(32, -1), np.asarray(d_ref), rtol=1e-6
     )
+
+
+def test_device_build_matches_streaming_build(rng):
+    """The device-resident build (one corpus upload, on-device scans +
+    blob assembly) must be bit-identical to the streaming chunked path
+    across code widths, including a ragged final chunk."""
+    for n, d, bits in [(3000, 96, 1), (2500, 100, 4)]:
+        base = rng.standard_normal((n, d)).astype(np.float32)
+        cents = base[rng.choice(n, 24, replace=False)].copy()
+        a = build_index(
+            base, cents, bits=bits, chunk=1024, device_build=False
+        )
+        b = build_index(
+            base, cents, bits=bits, chunk=1024, device_build=True
+        )
+        assert a.blob.shape == b.blob.shape
+        assert np.array_equal(np.asarray(a.blob), np.asarray(b.blob))
+        assert np.array_equal(np.asarray(a.offsets), np.asarray(b.offsets))
+        assert np.array_equal(np.asarray(a.map_ids), np.asarray(b.map_ids))
+        assert np.array_equal(np.asarray(a.base), np.asarray(b.base))

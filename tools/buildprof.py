@@ -1,0 +1,83 @@
+"""Attribute bits>1 build cost at large dim (GIST-shape): device compute
+vs upload vs download, per phase. Usage: python tools/buildprof.py
+[--dim 960] [--chunks 16] [--bits 4]."""
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rabitq_tpu.index.build import _assign_chunk, _build_chunk
+from rabitq_tpu.ops.rotation import gen_random_orthogonal
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dim", type=int, default=960)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--chunk", type=int, default=4096)
+    ap.add_argument("--chunks", type=int, default=16)
+    ap.add_argument("--bits", type=int, default=4)
+    args = ap.parse_args()
+    d, k, c = args.dim, args.k, args.chunk
+
+    rng = np.random.default_rng(0)
+    p = gen_random_orthogonal(jax.random.key(0), d)
+    cents = jnp.asarray(rng.standard_normal((k, d)), jnp.float32)
+    x_host = rng.standard_normal((args.chunks, c, d)).astype(np.float32)
+    lab_host = rng.integers(0, k, (args.chunks, c)).astype(np.int32)
+
+    # Warm compiles.
+    xd = jnp.asarray(x_host[0])
+    lab = jnp.asarray(lab_host[0])
+    jax.block_until_ready(_assign_chunk(xd, p, cents, d, 4)[0])
+    for bits in (1, args.bits):
+        jax.block_until_ready(_build_chunk(xd, lab, p, cents, d, bits)[1])
+
+    # Upload-only cost (the tunnel h2d rate dominates real builds).
+    t0 = time.perf_counter()
+    devs = [jnp.asarray(x_host[i]) for i in range(args.chunks)]
+    jax.block_until_ready(devs)
+    t_up = time.perf_counter() - t0
+    mb = x_host.nbytes / 1e6
+    print(f"h2d upload: {mb:.0f} MB in {t_up:.2f}s = {mb/t_up:.1f} MB/s")
+
+    # Device-side quantize cost per bits (inputs already resident).
+    for bits in (1, args.bits):
+        outs = []
+        t0 = time.perf_counter()
+        for i in range(args.chunks):
+            outs.append(
+                _build_chunk(
+                    devs[i], jnp.asarray(lab_host[i]), p, cents, d, bits
+                )
+            )
+        jax.block_until_ready(outs)
+        t_q = time.perf_counter() - t0
+        codes = jnp.concatenate([o[1] for o in outs])
+        t0 = time.perf_counter()
+        codes_np = np.asarray(codes)
+        t_dl = time.perf_counter() - t0
+        print(
+            f"bits={bits}: quantize {args.chunks}x{c} rows {t_q:.2f}s "
+            f"({args.chunks*c/t_q/1e6:.2f} M rows/s); codes d2h "
+            f"{codes_np.nbytes/1e6:.0f} MB in {t_dl:.2f}s"
+        )
+
+    # Assign pass for reference.
+    t0 = time.perf_counter()
+    outs = [
+        _assign_chunk(devs[i], p, cents, d, 4) for i in range(args.chunks)
+    ]
+    jax.block_until_ready(outs)
+    print(f"assign: {time.perf_counter()-t0:.2f}s")
+
+
+if __name__ == "__main__":
+    main()
