@@ -39,6 +39,33 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _cached(name: str, maker):
+    """Memoize big host arrays to ./data (gitignored).
+
+    This box has ONE CPU core: regenerating the 1M x 960 corpus costs
+    ~29 min and its brute-force ground truth ~4 min — per bench run.
+    Generators are deterministic (fixed seeds), so the cache is safe;
+    delete ./data to force regeneration.
+    """
+    from pathlib import Path
+
+    cache_dir = Path(__file__).resolve().parent / "data"
+    path = cache_dir / f"{name}.npz"
+    if path.exists():
+        z = np.load(path)
+        out = tuple(z[k] for k in z.files)
+        log(f"cache hit: {path.name}")
+        return out
+    out = maker()
+    if not isinstance(out, tuple):
+        out = (out,)
+    cache_dir.mkdir(exist_ok=True)
+    tmp = path.with_name(path.name + ".tmp.npz")
+    np.savez(tmp, **{f"a{i}": a for i, a in enumerate(out)})
+    tmp.rename(path)
+    return out
+
+
 def make_dataset(n, dim, n_centers, nq, seed=0):
     # Low-intrinsic-dimension manifold (like real SIFT/GIST embeddings):
     # a Gaussian mixture in a d_int-dim latent space, linearly embedded in
@@ -189,7 +216,10 @@ def bench_deep10m(args):
     n, dim, k, nq, topk = 10_000_000, 96, 8192, 512, 10
     log(f"deep10m: n={n} dim={dim} k={k}")
     t0 = time.time()
-    base, queries = make_dataset(n, dim, 2048, nq)
+    base, queries = _cached(
+        f"ds_make_dataset_{n}_{dim}_2048_{nq}",
+        lambda: make_dataset(n, dim, 2048, nq),
+    )
     log(f"generated in {time.time()-t0:.1f}s")
 
     rng = np.random.default_rng(1)
@@ -214,7 +244,10 @@ def bench_deep10m(args):
     log(f"host store written in {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    truth = ground_truth(base, queries, topk)
+    (truth,) = _cached(
+        f"gt_make_dataset_{n}_{dim}_2048_{nq}_top{topk}",
+        lambda: ground_truth(base, queries, topk),
+    )
     log(f"ground truth in {time.time()-t0:.1f}s")
 
     rr = args.rerank or (48 if args.bits >= 3 else 150)
@@ -386,7 +419,10 @@ def main():
     log(f"dataset: n={n} dim={dim} k={k} nq={nq}")
     t0 = time.time()
     gen = make_blobs_dataset if args.config == "blobs" else make_dataset
-    base, queries = gen(n, dim, n_centers, nq)
+    base, queries = _cached(
+        f"ds_{gen.__name__}_{n}_{dim}_{n_centers}_{nq}",
+        lambda: gen(n, dim, n_centers, nq),
+    )
     log(f"generated in {time.time()-t0:.1f}s")
 
     t0 = time.time()
@@ -416,7 +452,10 @@ def main():
         return max(140, 3 * probe, 4 * args.topk)
 
     t0 = time.time()
-    truth = ground_truth(base, queries, args.topk)
+    (truth,) = _cached(
+        f"gt_{gen.__name__}_{n}_{dim}_{n_centers}_{nq}_top{args.topk}",
+        lambda: ground_truth(base, queries, args.topk),
+    )
     log(f"ground truth in {time.time()-t0:.1f}s")
 
     qd = jnp.asarray(queries)
