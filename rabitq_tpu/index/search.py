@@ -299,8 +299,33 @@ def rough_scan(
     )
 
     s = b * pe
-    starts = index.offsets[cids]  # [B, pe]
-    sizes_all = index.offsets[cids + 1] - starts
+    kernel_path = (
+        params.use_kernel
+        and jax.default_backend() == "tpu"
+        and index.codes_pm1 is not None
+    )
+    starts_k = index.offsets[:-1]
+    sizes_k = index.offsets[1:] - starts_k
+    if kernel_path and index.n < (1 << 24):
+        # Per-task starts/sizes via one-hot contractions, NOT offsets[cids]
+        # element gathers: 2x65k element gathers cost ~1.3 ms on TPU
+        # (~10 ns/element) vs ~0.4 ms for the einsums — and the one-hot is
+        # shared (CSE) with the structured grouping's membership einsums.
+        # Exact: values < n < 2^24 are exact f32 integers.
+        oh = (
+            cids[..., None]
+            == jnp.arange(index.k, dtype=cids.dtype)[None, None, :]
+        ).astype(jnp.float32)
+        hi = jax.lax.Precision.HIGHEST
+        starts = jnp.einsum(
+            "bpc,c->bp", oh, starts_k.astype(jnp.float32), precision=hi
+        ).astype(jnp.int32)
+        sizes_all = jnp.einsum(
+            "bpc,c->bp", oh, sizes_k.astype(jnp.float32), precision=hi
+        ).astype(jnp.int32)
+    else:
+        starts = index.offsets[cids]  # [B, pe]
+        sizes_all = index.offsets[cids + 1] - starts
     scal = jnp.stack(
         [qq.lower, qq.delta, qq.code_sum, ycd], axis=-1
     )  # [B, pe, 4]
@@ -309,11 +334,7 @@ def rough_scan(
     sizes_f = sizes_all.reshape(s)
     scal_f = scal.reshape(s, 4)
 
-    if (
-        params.use_kernel
-        and jax.default_backend() == "tpu"
-        and index.codes_pm1 is not None
-    ):
+    if kernel_path:
         # The kernel scans a lane-aligned window per cluster; positions are
         # aligned_start + slot. span rounds capacity up so indexes built
         # with legacy non-lane-aligned capacities still work.
@@ -331,8 +352,10 @@ def rough_scan(
             reduce=reduce,
             # cids are distinct per row (top-k/approx_min_k indices) and
             # cluster starts are monotone in cid — the structured
-            # grouping applies (sort-free, ~2x less glue cost).
+            # grouping applies (sort-free, ~2x less glue cost), with
+            # scatter-free per-group metadata via the cluster-start table.
             cids=cids,
+            starts_k=starts_k,
         )
         width = rough.shape[-1]
         pos_base = aligned.reshape(b, pe)

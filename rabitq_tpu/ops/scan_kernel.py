@@ -415,6 +415,7 @@ def prepare_groups_structured(
     qpc: int,
     g2: int,
     g_pad: int,
+    starts_k: jax.Array | None = None,  # [k] per-cluster starts
 ):
     """Sort-free grouping for the structured task list the query pipeline
     produces (each query probes ``probe`` DISTINCT clusters).
@@ -477,8 +478,39 @@ def prepare_groups_structured(
     task_of_row = (
         jnp.zeros((g_pad * qpc,), jnp.int32).at[row_of_task].set(iota_s)
     )
-    tile0_g = jnp.zeros((g_pad,), jnp.int32).at[gid].set(starts // LANES)
-    gsize_g = jnp.zeros((g_pad,), jnp.int32).at[gid].add(1)
+    if starts_k is not None:
+        # Scatter-free per-group metadata (the task-sourced scatters
+        # below collide qpc-fold and measured ~0.3 ms at S=65k,
+        # tools/prepprof.py): cluster c's groups occupy the contiguous
+        # range [gstart_c[c], gstart_c[c] + groups_per_c[c]), ordered by
+        # cid, so cid_of_g is a forward fill (cummax) of each range
+        # leader's cid, and tile0/gsize are tiny [g_pad] lookups of [k]
+        # tables plus arithmetic (property-tested vs the scatter path).
+        cid_k = jnp.arange(k, dtype=jnp.int32)
+        seed = (
+            jnp.full((g_pad,), -1, jnp.int32)
+            .at[jnp.minimum(gstart_c, g_pad - 1)]
+            .max(jnp.where(groups_per_c > 0, cid_k, -1))
+        )
+        cid_of_g = jax.lax.associative_scan(jnp.maximum, seed)
+        giota = jnp.arange(g_pad, dtype=jnp.int32)
+        total_g = gstart_c[-1] + groups_per_c[-1]
+        valid_g = giota < total_g
+        cid_cl = jnp.clip(cid_of_g, 0, k - 1)
+        tile0_g = jnp.where(
+            valid_g, (starts_k // LANES).astype(jnp.int32)[cid_cl], 0
+        )
+        rank0 = (giota - gstart_c[cid_cl]) * qpc
+        gsize_g = jnp.where(
+            valid_g,
+            jnp.clip(counts.astype(jnp.int32)[cid_cl] - rank0, 0, qpc),
+            0,
+        )
+    else:
+        tile0_g = (
+            jnp.zeros((g_pad,), jnp.int32).at[gid].set(starts // LANES)
+        )
+        gsize_g = jnp.zeros((g_pad,), jnp.int32).at[gid].add(1)
     lead_g = _window_run_leaders(tile0_g, gsize_g, g2)
 
     qg = qvals[task_of_row].astype(jnp.int8)
@@ -543,6 +575,8 @@ def pallas_rough_scan(
     cids: jax.Array | None = None,  # [B, probe] cluster ids, distinct per
     # row, with S == B*probe row-major and starts monotone in cid: enables
     # the sort-free structured grouping (requires k_max == #clusters).
+    starts_k: jax.Array | None = None,  # [k_max] per-cluster starts:
+    # enables scatter-free per-group metadata in the structured grouping.
 ) -> tuple[jax.Array, None, jax.Array]:
     """Returns (rough, None, window_starts [S]).
 
@@ -595,6 +629,7 @@ def pallas_rough_scan(
                 qpc=qpc,
                 g2=g2,
                 g_pad=g_pad,
+                starts_k=starts_k,
             )
         )
     else:

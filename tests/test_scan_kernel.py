@@ -401,6 +401,7 @@ def test_structured_grouping_matches_sort_path(rng, skew):
         k_max=k,
         interpret=True,
         cids=jnp.asarray(cids),
+        starts_k=jnp.asarray(offsets[:-1]),
     )
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
@@ -433,19 +434,27 @@ def test_structured_grouping_valid_and_bounded(rng):
             g2 = 4
             g_max = _group_bound(s, qpc, k)
             g_pad = ((g_max + g2 - 1) // g2) * g2
-            t0, gs, lead, qg, scal8, inv = prepare_groups_structured(
-                jnp.asarray(cids),
-                jnp.asarray(starts),
-                jnp.asarray(sizes),
-                jnp.asarray(
-                    rng.integers(0, 16, (s, 32)).astype(np.int8)
-                ),
-                jnp.asarray(_scal(rng, s, np.zeros((s, 32), np.int32))),
-                k=k,
-                qpc=qpc,
-                g2=g2,
-                g_pad=g_pad,
-            )
+            qv = rng.integers(0, 16, (s, 32)).astype(np.int8)
+            sc = _scal(rng, s, np.zeros((s, 32), np.int32))
+            outs = {}
+            for variant in ("scatter", "table"):
+                outs[variant] = prepare_groups_structured(
+                    jnp.asarray(cids),
+                    jnp.asarray(starts),
+                    jnp.asarray(sizes),
+                    jnp.asarray(qv),
+                    jnp.asarray(sc),
+                    k=k,
+                    qpc=qpc,
+                    g2=g2,
+                    g_pad=g_pad,
+                    starts_k=(
+                        jnp.asarray(offsets[:-1])
+                        if variant == "table"
+                        else None
+                    ),
+                )
+            t0, gs, lead, qg, scal8, inv = outs["scatter"]
             inv = np.asarray(inv)
             assert inv.max() < g_pad * qpc
             assert len(np.unique(inv)) == s  # no (gid, slot) collision
@@ -454,6 +463,20 @@ def test_structured_grouping_valid_and_bounded(rng):
             # Groups in window-start order (ignoring padded groups).
             t0_np = np.asarray(t0)[gs_np > 0]
             assert (np.diff(t0_np) >= 0).all()
+            # Scatter-free per-group metadata == the scatter path's
+            # (tile0 compared where a group is non-empty: the scatter
+            # path leaves padded groups 0 while the table path forward-
+            # fills; the kernel never reads padded groups' tile0).
+            t0_t, gs_t, lead_t, qg_t, scal8_t, inv_t = outs["table"]
+            np.testing.assert_array_equal(np.asarray(gs_t), gs_np)
+            np.testing.assert_array_equal(
+                np.asarray(t0_t)[gs_np > 0], t0_np
+            )
+            np.testing.assert_array_equal(np.asarray(inv_t), inv)
+            np.testing.assert_array_equal(
+                np.asarray(lead_t)[gs_np > 0],
+                np.asarray(lead)[gs_np > 0],
+            )
 
 
 def test_effective_fold_gate():

@@ -1,0 +1,383 @@
+"""Fine-grained attribution of the scan stage's prep + grouping glue.
+
+scanprof.py attributes the scan stage into prep / grouping / kernel;
+this probes INSIDE those two XLA-glue stages with the same
+per-iteration-varying-input differential method (vary the query bytes
+each iteration so nothing hoists). The kernel itself is excluded —
+costs here don't depend on corpus size, so the default corpus is small.
+
+Usage: python tools/prepprof.py [--batch 2048] [--probe 32] [--k 4096]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=250_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--probe", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu import SearchParams, build_index
+    from rabitq_tpu.index.search import _prep_queries, scan_span
+    from rabitq_tpu.kmeans import kmeans
+    from rabitq_tpu.ops import (
+        pairwise_l2sq,
+        quantize_query_residuals,
+        rotate,
+    )
+    from rabitq_tpu.ops.scan_kernel import (
+        _G2,
+        _group_bound,
+        _pick_qpc,
+        _window_run_leaders,
+        prepare_groups_structured,
+    )
+
+    assert jax.default_backend() == "tpu"
+    from bench import make_dataset
+
+    base, queries = make_dataset(args.n, args.dim, 1024, args.batch, seed=7)
+    centroids = kmeans(
+        base[:200_000], args.k, iters=6, key=jax.random.key(1)
+    )
+    index = build_index(base, centroids, key=jax.random.key(2))
+    log(f"built capacity={index.capacity}")
+
+    params = SearchParams(probe=args.probe, topk=10)
+    probe = args.probe
+    s = args.batch * probe
+    qpc = _pick_qpc(s, index.k)
+    g2 = _G2
+    g_max = _group_bound(s, qpc, index.k)
+    g_pad = ((g_max + g2 - 1) // g2) * g2
+    qb = jnp.asarray(queries[: args.batch])
+    d = index.dim
+
+    def fin_sum(x):
+        return jnp.where(jnp.isfinite(x), x, 0.0).sum()
+
+    # ---- prep sub-stages (each returns a scalar so outputs are forced)
+    def p0_select(idx, qs):
+        y = rotate(_prep_queries(idx, qs), idx.orthogonal)
+        cdist = pairwise_l2sq(y, idx.centroids_rot)
+        _, cids = jax.lax.approx_min_k(
+            cdist, probe, recall_target=params.probe_recall
+        )
+        return y.sum() + cids.sum().astype(jnp.float32)
+
+    def p1_resid(idx, qs):
+        y = rotate(_prep_queries(idx, qs), idx.orthogonal)
+        cdist = pairwise_l2sq(y, idx.centroids_rot)
+        _, cids = jax.lax.approx_min_k(
+            cdist, probe, recall_target=params.probe_recall
+        )
+        yr = y[:, None, :] - idx.centroids_rot[cids]
+        ycd = jnp.sum(yr * yr, axis=-1)
+        return fin_sum(yr) + fin_sum(ycd)
+
+    def p2_quant(idx, qs):
+        y = rotate(_prep_queries(idx, qs), idx.orthogonal)
+        cdist = pairwise_l2sq(y, idx.centroids_rot)
+        _, cids = jax.lax.approx_min_k(
+            cdist, probe, recall_target=params.probe_recall
+        )
+        yr = y[:, None, :] - idx.centroids_rot[cids]
+        ycd = jnp.sum(yr * yr, axis=-1)
+        qq = quantize_query_residuals(yr)
+        starts = idx.offsets[cids].reshape(s)
+        sizes = (idx.offsets[cids + 1] - idx.offsets[cids]).reshape(s)
+        scal = jnp.stack(
+            [qq.lower, qq.delta, qq.code_sum, ycd], axis=-1
+        ).reshape(s, 4)
+        qvals = qq.quantized.reshape(s, d).astype(jnp.int8)
+        return (
+            fin_sum(scal)
+            + qvals.astype(jnp.int32).sum().astype(jnp.float32)
+            + (starts + sizes).sum().astype(jnp.float32)
+        )
+
+    # ---- grouping sub-stages: run on fixed prep outputs, varying cids
+    # is impossible without rerunning prep, so vary queries and include
+    # prep in every prefix; marginals subtract it.
+    def full_prep(idx, qs):
+        y = rotate(_prep_queries(idx, qs), idx.orthogonal)
+        cdist = pairwise_l2sq(y, idx.centroids_rot)
+        _, cids = jax.lax.approx_min_k(
+            cdist, probe, recall_target=params.probe_recall
+        )
+        yr = y[:, None, :] - idx.centroids_rot[cids]
+        ycd = jnp.sum(yr * yr, axis=-1)
+        qq = quantize_query_residuals(yr)
+        starts = idx.offsets[cids].reshape(s)
+        sizes = (idx.offsets[cids + 1] - idx.offsets[cids]).reshape(s)
+        scal = jnp.stack(
+            [qq.lower, qq.delta, qq.code_sum, ycd], axis=-1
+        ).reshape(s, 4)
+        qvals = qq.quantized.reshape(s, d).astype(jnp.int8)
+        return cids, starts, sizes, qvals, scal
+
+    def g0_rank(idx, qs):
+        """prep + rank/gid/row_of_task computation only."""
+        cids, starts, sizes, qvals, scal = full_prep(idx, qs)
+        b, pe = cids.shape
+        hi = jax.lax.Precision.HIGHEST
+        k = index.k
+        oh = (
+            cids[..., None] == jnp.arange(k, dtype=cids.dtype)[None, None, :]
+        ).astype(jnp.float32)
+        m = jnp.einsum("bpc->bc", oh)
+        cum_inc = jnp.cumsum(m, axis=0)
+        counts = cum_inc[-1]
+        cum_exc = cum_inc - m
+        groups_per_c = (counts.astype(jnp.int32) + qpc - 1) // qpc
+        gstart_c = jnp.cumsum(groups_per_c) - groups_per_c
+        payload = cum_exc + gstart_c.astype(jnp.float32)[None, :] * (
+            jnp.float32(qpc)
+        )
+        looked = jnp.einsum("bpc,bc->bp", oh, payload, precision=hi)
+        row_of_task = looked.reshape(s).astype(jnp.int32)
+        return (
+            row_of_task.sum().astype(jnp.float32)
+            + fin_sum(scal)
+            + qvals.astype(jnp.int32).sum().astype(jnp.float32)
+            + (starts + sizes).sum().astype(jnp.float32)
+        )
+
+    def g1_meta(idx, qs):
+        """+ per-group metadata scatters + leader election."""
+        cids, starts, sizes, qvals, scal = full_prep(idx, qs)
+        from rabitq_tpu.consts import LANES
+
+        hi = jax.lax.Precision.HIGHEST
+        k = index.k
+        oh = (
+            cids[..., None] == jnp.arange(k, dtype=cids.dtype)[None, None, :]
+        ).astype(jnp.float32)
+        m = jnp.einsum("bpc->bc", oh)
+        cum_inc = jnp.cumsum(m, axis=0)
+        counts = cum_inc[-1]
+        cum_exc = cum_inc - m
+        groups_per_c = (counts.astype(jnp.int32) + qpc - 1) // qpc
+        gstart_c = jnp.cumsum(groups_per_c) - groups_per_c
+        payload = cum_exc + gstart_c.astype(jnp.float32)[None, :] * (
+            jnp.float32(qpc)
+        )
+        looked = jnp.einsum("bpc,bc->bp", oh, payload, precision=hi)
+        row_of_task = looked.reshape(s).astype(jnp.int32)
+        gid = row_of_task // qpc
+        iota_s = jnp.arange(s, dtype=jnp.int32)
+        task_of_row = (
+            jnp.zeros((g_pad * qpc,), jnp.int32).at[row_of_task].set(iota_s)
+        )
+        tile0_g = jnp.zeros((g_pad,), jnp.int32).at[gid].set(starts // LANES)
+        gsize_g = jnp.zeros((g_pad,), jnp.int32).at[gid].add(1)
+        lead_g = _window_run_leaders(tile0_g, gsize_g, g2)
+        return (
+            (tile0_g + gsize_g + lead_g).sum().astype(jnp.float32)
+            + task_of_row.sum().astype(jnp.float32)
+            + fin_sum(scal)
+            + qvals.astype(jnp.int32).sum().astype(jnp.float32)
+            + sizes.sum().astype(jnp.float32)
+        )
+
+    def g2_spread(idx, qs):
+        """+ qg/scal8 spreads == the full structured grouping."""
+        cids, starts, sizes, qvals, scal = full_prep(idx, qs)
+        out = prepare_groups_structured(
+            cids, starts, sizes, qvals, scal,
+            k=index.k, qpc=qpc, g2=g2, g_pad=g_pad,
+        )
+        tile0_g, gsize_g, lead_g, qg, scal8, row_of_task = out
+        return (
+            (tile0_g + gsize_g + lead_g).sum().astype(jnp.float32)
+            + qg.astype(jnp.int32).sum().astype(jnp.float32)
+            + fin_sum(scal8)
+            + row_of_task.sum().astype(jnp.float32)
+        )
+
+    # ---- quantize micro-variants (on top of p1) -----------------------
+    def _resid(idx, qs):
+        y = rotate(_prep_queries(idx, qs), idx.orthogonal)
+        cdist = pairwise_l2sq(y, idx.centroids_rot)
+        _, cids = jax.lax.approx_min_k(
+            cdist, probe, recall_target=params.probe_recall
+        )
+        yr = y[:, None, :] - idx.centroids_rot[cids]
+        ycd = jnp.sum(yr * yr, axis=-1)
+        return cids, yr, ycd
+
+    def q_minmax(idx, qs):
+        cids, yr, ycd = _resid(idx, qs)
+        lo = yr.min(axis=-1)
+        hi = yr.max(axis=-1)
+        return fin_sum(lo) + fin_sum(hi) + fin_sum(ycd)
+
+    def q_round(idx, qs):
+        cids, yr, ycd = _resid(idx, qs)
+        lo = yr.min(axis=-1)
+        hi = yr.max(axis=-1)
+        delta = jnp.maximum((hi - lo) * jnp.float32(1.0 / 15.0), 1e-30)
+        q = jnp.clip(
+            jnp.round((yr - lo[..., None]) / delta[..., None]), 0, 15
+        ).astype(jnp.int32)
+        return (
+            q.sum().astype(jnp.float32) + fin_sum(delta) + fin_sum(ycd)
+        )
+
+    def q_full(idx, qs):
+        cids, yr, ycd = _resid(idx, qs)
+        qq = quantize_query_residuals(yr)
+        scal = jnp.stack(
+            [qq.lower, qq.delta, qq.code_sum, ycd], axis=-1
+        ).reshape(s, 4)
+        qvals = qq.quantized.reshape(s, d).astype(jnp.int8)
+        return (
+            fin_sum(scal)
+            + qvals.astype(jnp.int32).sum().astype(jnp.float32)
+        )
+
+    # ---- g1 micro-variants (on top of g0's row_of_task) ---------------
+    def _rank(idx, qs):
+        cids, starts, sizes, qvals, scal = full_prep(idx, qs)
+        hi = jax.lax.Precision.HIGHEST
+        k = index.k
+        oh = (
+            cids[..., None] == jnp.arange(k, dtype=cids.dtype)[None, None, :]
+        ).astype(jnp.float32)
+        m = jnp.einsum("bpc->bc", oh)
+        cum_inc = jnp.cumsum(m, axis=0)
+        counts = cum_inc[-1]
+        cum_exc = cum_inc - m
+        groups_per_c = (counts.astype(jnp.int32) + qpc - 1) // qpc
+        gstart_c = jnp.cumsum(groups_per_c) - groups_per_c
+        payload = cum_exc + gstart_c.astype(jnp.float32)[None, :] * (
+            jnp.float32(qpc)
+        )
+        looked = jnp.einsum("bpc,bc->bp", oh, payload, precision=hi)
+        row_of_task = looked.reshape(s).astype(jnp.int32)
+        return (
+            row_of_task, starts, sizes, qvals, scal, counts, gstart_c,
+            groups_per_c,
+        )
+
+    def m_invrow(idx, qs):
+        row_of_task, starts, sizes, qvals, scal, *_ = _rank(idx, qs)
+        iota_s = jnp.arange(s, dtype=jnp.int32)
+        task_of_row = (
+            jnp.zeros((g_pad * qpc,), jnp.int32).at[row_of_task].set(iota_s)
+        )
+        return task_of_row.sum().astype(jnp.float32) + fin_sum(scal) + (
+            qvals.astype(jnp.int32).sum().astype(jnp.float32)
+            + (starts + sizes).sum().astype(jnp.float32)
+        )
+
+    def m_scat(idx, qs):
+        from rabitq_tpu.consts import LANES
+
+        row_of_task, starts, sizes, qvals, scal, *_ = _rank(idx, qs)
+        gid = row_of_task // qpc
+        tile0_g = jnp.zeros((g_pad,), jnp.int32).at[gid].set(starts // LANES)
+        gsize_g = jnp.zeros((g_pad,), jnp.int32).at[gid].add(1)
+        return (tile0_g + gsize_g).sum().astype(jnp.float32) + fin_sum(
+            scal
+        ) + (
+            qvals.astype(jnp.int32).sum().astype(jnp.float32)
+            + sizes.sum().astype(jnp.float32)
+        )
+
+    def m_lead(idx, qs):
+        from rabitq_tpu.consts import LANES
+
+        row_of_task, starts, sizes, qvals, scal, *_ = _rank(idx, qs)
+        gid = row_of_task // qpc
+        tile0_g = jnp.zeros((g_pad,), jnp.int32).at[gid].set(starts // LANES)
+        gsize_g = jnp.zeros((g_pad,), jnp.int32).at[gid].add(1)
+        lead_g = _window_run_leaders(tile0_g, gsize_g, g2)
+        return (tile0_g + gsize_g + lead_g).sum().astype(
+            jnp.float32
+        ) + fin_sum(scal) + (
+            qvals.astype(jnp.int32).sum().astype(jnp.float32)
+            + sizes.sum().astype(jnp.float32)
+        )
+
+    stages = {
+        "p0_select": p0_select,
+        "p1_resid": p1_resid,
+        "q_minmax": q_minmax,
+        "q_round": q_round,
+        "q_full": q_full,
+        "p2_quant(prep)": p2_quant,
+        "g0_rank": g0_rank,
+        "m_invrow": m_invrow,
+        "m_scat": m_scat,
+        "m_lead": m_lead,
+        "g1_meta": g1_meta,
+        "g2_spread(full)": g2_spread,
+    }
+    def time_stage(fn):
+        """Device-side fori_loop differential: amortizes the ~25 ms
+        per-call dispatch out of the measurement (CLAUDE.md)."""
+
+        def make(iters):
+            @jax.jit
+            def loop(idx, qs):
+                def body(i, acc):
+                    return acc + fn(idx, qs + i.astype(jnp.float32) * 1e-6)
+
+                return jax.lax.fori_loop(0, iters, body, 0.0)
+
+            return loop
+
+        ln, l1 = make(args.iters), make(1)
+        _ = float(ln(index, qb))
+        _ = float(l1(index, qb))
+
+        def best(f, reps=3):
+            ts = []
+            for r in range(reps):
+                qp = qb + np.float32(1e-5) * (r + 1)
+                t0 = time.time()
+                _ = float(f(index, qp))
+                ts.append(time.time() - t0)
+            return min(ts)
+
+        return (best(ln) - best(l1)) / (args.iters - 1)
+
+    results = {}
+    for name, fn in stages.items():
+        results[name] = time_stage(fn) * 1e3
+        log(f"{name:>18}: {results[name]:8.2f} ms")
+
+    log("marginals:")
+    order = list(stages)
+    prev = 0.0
+    for name in order:
+        log(f"{name:>18}: {results[name]-prev:8.2f} ms marginal")
+        prev = results[name]
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

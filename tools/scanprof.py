@@ -97,8 +97,28 @@ def main():
         yr = y[:, None, :] - idx.centroids_rot[cids]
         ycd = jnp.sum(yr * yr, axis=-1)
         qq = quantize_query_residuals(yr)
-        starts = idx.offsets[cids].reshape(s)
-        sizes = (idx.offsets[cids + 1] - idx.offsets[cids]).reshape(s)
+        # One-hot einsum lookups, matching rough_scan's kernel path.
+        oh = (
+            cids[..., None]
+            == jnp.arange(idx.k, dtype=cids.dtype)[None, None, :]
+        ).astype(jnp.float32)
+        hi = jax.lax.Precision.HIGHEST
+        starts_k = idx.offsets[:-1]
+        sizes_k = idx.offsets[1:] - starts_k
+        starts = (
+            jnp.einsum(
+                "bpc,c->bp", oh, starts_k.astype(jnp.float32), precision=hi
+            )
+            .astype(jnp.int32)
+            .reshape(s)
+        )
+        sizes = (
+            jnp.einsum(
+                "bpc,c->bp", oh, sizes_k.astype(jnp.float32), precision=hi
+            )
+            .astype(jnp.int32)
+            .reshape(s)
+        )
         scal = jnp.stack(
             [qq.lower, qq.delta, qq.code_sum, ycd], axis=-1
         ).reshape(s, 4)
@@ -151,6 +171,7 @@ def main():
             qpc=qpc,
             g2=g2,
             g_pad=g_pad,
+            starts_k=idx.offsets[:-1],
         )
         return (
             fin_sum(scal8)
