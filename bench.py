@@ -363,6 +363,20 @@ def main():
         "so the true neighbors hide among thousands of candidates "
         "within its error band.",
     )
+    ap.add_argument(
+        "--rerank-bf16",
+        action="store_true",
+        help="two-level rerank: gather candidates from a bf16 base copy "
+        "(+50%% base HBM, half the gather bytes of the dominant rerank "
+        "cost at large topk*dim)",
+    )
+    ap.add_argument(
+        "--rerank-refine",
+        type=int,
+        default=None,
+        help="f32 re-verify budget of --rerank-bf16 (-1 auto, 0 rank "
+        "and report by bf16 distances, >0 explicit rows)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -433,6 +447,10 @@ def main():
 
     t0 = time.time()
     index = build_index(base, centroids, key=jax.random.key(2), bits=args.bits)
+    if args.rerank_bf16:
+        from rabitq_tpu.index.index import with_bf16_base
+
+        index = with_bf16_base(index)
     build_s = time.time() - t0
     log(f"index built in {build_s:.1f}s (capacity={index.capacity})")
 
@@ -481,6 +499,10 @@ def main():
             select_reduce=bool(args.fold) if args.fold is not None else True,
             probe_rank=args.probe_rank or "centroid",
             select_passes=args.select_passes,
+            rerank_bf16=args.rerank_bf16,
+            rerank_refine=(
+                args.rerank_refine if args.rerank_refine is not None else -1
+            ),
         )
         _ = np.asarray(search(index, qd[:batch], params)[1])  # compile
         # Pipelined eval: batch N+1's dispatch is issued before batch N's
@@ -526,6 +548,10 @@ def main():
         select_reduce=bool(args.fold) if args.fold is not None else True,
         probe_rank=args.probe_rank or "centroid",
         select_passes=args.select_passes,
+        rerank_bf16=args.rerank_bf16,
+        rerank_refine=(
+            args.rerank_refine if args.rerank_refine is not None else -1
+        ),
     )
     q3 = qd[:nq_pad].reshape(nq_pad // batch, batch, -1)
     # Drain pipeline counters for the chosen setting (one batch is

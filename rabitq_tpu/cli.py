@@ -90,6 +90,8 @@ def cmd_run(args) -> None:
 
         index = with_bf16_base(index)
         params = params._replace(rerank_bf16=True)
+    if getattr(args, "rerank_refine", None) is not None:
+        params = params._replace(rerank_refine=args.rerank_refine)
     if getattr(args, "probe_rank", None):
         params = params._replace(probe_rank=args.probe_rank)
     trace_ctx = (
@@ -267,7 +269,16 @@ def main(argv=None) -> None:
         "--rerank-bf16",
         action="store_true",
         help="two-level rerank: bf16 candidate gather + f32 re-verify of "
-        "the top ~4x-topk (+50%% base HBM, ~2x less gather traffic)",
+        "the top --rerank-refine (+50%% base HBM, ~2x less gather "
+        "traffic)",
+    )
+    p_run.add_argument(
+        "--rerank-refine",
+        type=int,
+        default=None,
+        help="f32 re-verify budget of --rerank-bf16: -1 auto "
+        "(max(4*topk, 32)), 0 = rank and report by bf16 distances "
+        "(the win at large topk*dim), >0 explicit rows",
     )
     p_run.add_argument(
         "--probe-rank",

@@ -338,9 +338,17 @@ class SearchParams(NamedTuple):
     # Two-level rerank: gather candidate rows from a bf16 copy of the
     # base (index.base_bf16, see with_bf16_base) — halving the [B, R, D]
     # gather traffic — rank by bf16 distance, then re-verify the top
-    # ~4x-topk rows against the f32 base. Reported distances stay exact
-    # f32. Requires with_bf16_base; silently off otherwise.
+    # rerank_refine rows against the f32 base. Reported distances stay
+    # exact f32 (bf16-ranked) for the re-verified rows. Requires
+    # with_bf16_base; silently off otherwise.
     rerank_bf16: bool = False
+    # f32 re-verification budget of the bf16 rerank. -1 = auto
+    # (max(4*topk, 32) — right for small topk where the refine gather is
+    # cheap); 0 = none (rank AND report by bf16 distances, ~0.4% relative
+    # error — the win at large topk*dim where the refine re-gather would
+    # cost as much as the f32 gather it replaced); >0 = explicit row
+    # count.
+    rerank_refine: int = -1
     # Probe ranking key. "centroid" (default): squared distance to the
     # centroid — classic IVF. "annulus": the exact geometric lower bound
     # on any member's distance, i.e. the squared distance from d(q, c)

@@ -590,17 +590,33 @@ def _exact_rerank(
         approx = jnp.where(
             jnp.isfinite(cand.lower_bound), approx, jnp.inf
         )
-        m = min(r, max(4 * params.topk, 32))
-        neg_a, ei = jax.lax.top_k(-approx, m)
-        cand = Candidates(
-            pos=jnp.take_along_axis(cand.pos, ei, axis=-1),
-            lower_bound=jnp.where(-neg_a < jnp.inf, -neg_a, jnp.inf),
-            n_scanned=cand.n_scanned,
-        )
-    xb = index.base[cand.pos]  # [B, R, D]
-    diff = xb - q_pad[:, None, :]
-    exact = jnp.sum(diff * diff, axis=-1)  # [B, R]
-    exact = jnp.where(jnp.isfinite(cand.lower_bound), exact, jnp.inf)
+        refine = params.rerank_refine
+        if refine < 0:
+            refine = max(4 * params.topk, 32)
+        if refine == 0:
+            # Rank AND report by bf16 distances: no second gather. The
+            # ~0.4% relative rounding can only swap candidates whose
+            # true distances are closer than that — which flips the
+            # returned set only across the topk boundary.
+            bf16_only = True
+        else:
+            bf16_only = False
+            m = min(r, refine)
+            neg_a, ei = jax.lax.top_k(-approx, m)
+            cand = Candidates(
+                pos=jnp.take_along_axis(cand.pos, ei, axis=-1),
+                lower_bound=jnp.where(-neg_a < jnp.inf, -neg_a, jnp.inf),
+                n_scanned=cand.n_scanned,
+            )
+    else:
+        bf16_only = False
+    if bf16_only:
+        exact = approx
+    else:
+        xb = index.base[cand.pos]  # [B, R, D]
+        diff = xb - q_pad[:, None, :]
+        exact = jnp.sum(diff * diff, axis=-1)  # [B, R]
+        exact = jnp.where(jnp.isfinite(cand.lower_bound), exact, jnp.inf)
     pos_all = cand.pos
 
     n = index.n

@@ -388,3 +388,48 @@ def test_device_build_matches_streaming_build(rng):
         assert np.array_equal(np.asarray(a.offsets), np.asarray(b.offsets))
         assert np.array_equal(np.asarray(a.map_ids), np.asarray(b.map_ids))
         assert np.array_equal(np.asarray(a.base), np.asarray(b.base))
+
+
+def test_rerank_bf16_refine_zero(rng):
+    """rerank_refine=0: candidates are ranked AND reported by bf16
+    distances — no second f32 gather. Ids must stay high-recall vs brute
+    force and distances within bf16 rounding of exact; the memtable
+    merge must still apply (insert searchable)."""
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import brute_force_topk, make_clustered_dataset
+    from rabitq_tpu import SearchParams, build_index, calculate_recall
+    from rabitq_tpu.index.index import with_bf16_base
+    from rabitq_tpu.index.mutate import insert
+    from rabitq_tpu.index.search import search
+
+    base, centers = make_clustered_dataset(rng, n=1200, dim=32, k=8)
+    idx = with_bf16_base(build_index(base, centers, key=jax.random.key(11)))
+    q = base[:16]
+    truth = brute_force_topk(base, q, 10)
+    params = SearchParams(
+        probe=8, topk=10, rerank=100, rerank_bf16=True, rerank_refine=0
+    )
+    dists, ids = search(idx, jnp.asarray(q), params)
+    dists, ids = np.asarray(dists), np.asarray(ids)
+    rec = np.mean([calculate_recall(truth[i], ids[i], 10) for i in range(16)])
+    assert rec >= 0.95, rec
+    pos_of = {int(v): p for p, v in enumerate(np.asarray(idx.map_ids))}
+    bnp = np.asarray(idx.base)
+    qpad = np.zeros((16, idx.dim), np.float32)
+    qpad[:, :32] = q
+    for i in range(16):
+        for j in range(10):
+            if ids[i, j] < 0:
+                continue
+            d = float(((bnp[pos_of[int(ids[i, j])]] - qpad[i]) ** 2).sum())
+            # bf16 keeps ~3 significant digits; distances are sums of
+            # squares of bf16-rounded coordinates.
+            np.testing.assert_allclose(dists[i, j], d, rtol=2e-2, atol=1e-3)
+    # Memtable path still merges under refine=0.
+    nv = (base[7] + 0.001)[None, :]
+    new_id = 777_000
+    idx2 = insert(idx, nv, ids=np.array([new_id]))
+    d3, i3 = search(idx2, jnp.asarray(nv), params)
+    assert new_id in set(np.asarray(i3)[0].tolist())
