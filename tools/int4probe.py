@@ -1,0 +1,118 @@
+"""Feasibility probe: int4 operands in Mosaic (Pallas TPU).
+
+The scan kernel's window DMA moves one int8 byte per (row, dim) even
+though bits<=4 codes carry at most 4 information bits. If Mosaic can
+(a) DMA slices of an int4 array HBM->VMEM and (b) feed int4 (or
+unpacked-from-int4) operands to the MXU, window DMA bytes halve —
+the binding cost at large dim (GIST 960-d scan is window-DMA-bound).
+
+This probe answers, on the real chip:
+  1. does jnp.int4 dot_general compile/execute at all (plain XLA)?
+  2. does a Pallas kernel with an int4 VMEM block compile?
+  3. does manual DMA from an HBM int4 array work, and what does a
+     dot_general against the loaded block produce?
+Each stage prints ok/fail — run standalone, read stderr.
+"""
+
+import sys
+import traceback
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    log(f"backend: {jax.default_backend()}")
+
+    rng = np.random.default_rng(0)
+    a8 = rng.integers(-8, 8, size=(256, 128), dtype=np.int8)
+    b8 = rng.integers(-8, 8, size=(512, 128), dtype=np.int8)
+    want = a8.astype(np.int32) @ b8.astype(np.int32).T
+
+    # 1. plain XLA int4 dot
+    try:
+        a4 = jnp.asarray(a8).astype(jnp.int4)
+        b4 = jnp.asarray(b8).astype(jnp.int4)
+        out = jax.lax.dot_general(
+            a4, b4, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        ok = np.array_equal(np.asarray(out), want)
+        log(f"1. XLA int4 dot_general: ok exact={ok}")
+    except Exception:
+        log("1. XLA int4 dot_general: FAIL")
+        traceback.print_exc()
+
+    # 1b. nbytes of an int4 device array (packed storage?)
+    try:
+        big = jnp.zeros((1024, 1024), jnp.int4)
+        log(f"1b. int4 [1024,1024] on device: nbytes={big.nbytes}")
+    except Exception:
+        log("1b. FAIL")
+        traceback.print_exc()
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # 2. pallas kernel with int4 VMEM input block
+    def k2(x_ref, y_ref, o_ref):
+        x = x_ref[...].astype(jnp.int8)
+        y = y_ref[...].astype(jnp.int8)
+        o_ref[...] = jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    try:
+        out = pl.pallas_call(
+            k2,
+            out_shape=jax.ShapeDtypeStruct((256, 512), jnp.int32),
+        )(jnp.asarray(a8).astype(jnp.int4), jnp.asarray(b8).astype(jnp.int4))
+        ok = np.array_equal(np.asarray(out), want)
+        log(f"2. pallas int4 VMEM blocks: ok exact={ok}")
+    except Exception:
+        log("2. pallas int4 VMEM blocks: FAIL")
+        traceback.print_exc()
+
+    # 3. manual DMA from HBM int4 array
+    def k3(x_hbm, y_ref, o_ref, xbuf, sem):
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(0, 256)], xbuf, sem
+        )
+        cp.start()
+        cp.wait()
+        x = xbuf[...].astype(jnp.int8)
+        y = y_ref[...].astype(jnp.int8)
+        o_ref[...] = jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    try:
+        out = pl.pallas_call(
+            k3,
+            out_shape=jax.ShapeDtypeStruct((256, 512), jnp.int32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((256, 128), jnp.int4),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(jnp.asarray(a8).astype(jnp.int4), jnp.asarray(b8).astype(jnp.int4))
+        ok = np.array_equal(np.asarray(out), want)
+        log(f"3. pallas manual int4 DMA: ok exact={ok}")
+    except Exception:
+        log("3. pallas manual int4 DMA: FAIL")
+        traceback.print_exc()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
