@@ -250,7 +250,10 @@ def bench_deep10m(args):
     )
     log(f"ground truth in {time.time()-t0:.1f}s")
 
-    rr = args.rerank or (48 if args.bits >= 3 else 150)
+    # Multi-bit budget floor re-tuned to 32 (== 64 on recall at the SIFT
+    # shape, tools/tune_select.py); on the store tier rerank is also the
+    # host row-read count per query, so the lower budget cuts IO 33%.
+    rr = args.rerank or (32 if args.bits >= 3 else 150)
     best = None
     for probe in (8, 16, 32, 40, 48, 64, 96):
         params = SearchParams(probe=probe, topk=topk, rerank=rr)
@@ -341,6 +344,14 @@ def main():
         "decorrelated union recovers approx_min_k collision losses "
         "cheaply at every bits setting -- measured strictly better "
         "recall-per-ms than a bigger rerank budget)",
+    )
+    ap.add_argument(
+        "--balance",
+        type=float,
+        default=2.0,
+        help="build capacity balance (max cluster = balance * n/k): sets "
+        "the kernel window span. 1.5 measured recall-neutral on the SIFT "
+        "shape with a 20%% smaller span; 1.0 over-evicts (-3pt recall)",
     )
     ap.add_argument(
         "--bits",
@@ -446,7 +457,10 @@ def main():
     log(f"kmeans {k} centroids in {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    index = build_index(base, centroids, key=jax.random.key(2), bits=args.bits)
+    index = build_index(
+        base, centroids, key=jax.random.key(2), bits=args.bits,
+        balance=args.balance,
+    )
     if args.rerank_bf16:
         from rabitq_tpu.index.index import with_bf16_base
 
@@ -462,11 +476,12 @@ def main():
 
     def default_rerank(probe):
         # Multi-bit estimates rank near-exactly; the budget only has to
-        # cover fold/selection collisions (tools/tune_select.py: probe=32,
-        # rerank=64, 2-pass = 244k QPS/chip @ 0.9535 on the SIFT shape —
-        # rerank 96+ adds cost, no recall).
+        # cover fold/selection collisions (tools/tune_select.py at the
+        # post-glue-fix pipeline: probe=36, 2-pass — rerank 32 and 64
+        # give IDENTICAL recall@10 0.9607, rerank 24 still 0.9604;
+        # 32 = ~3x topk, lane-aligned, -12% device time vs 64).
         if args.bits >= 3:
-            return max(64, args.topk * 5 // 2)
+            return max(32, args.topk * 5 // 2)
         return max(140, 3 * probe, 4 * args.topk)
 
     t0 = time.time()

@@ -74,8 +74,11 @@ class BatchingEngine:
         if default_rerank is None:
             # Multi-bit indexes rank candidates near-exactly, so the
             # default budget only covers fold/selection collisions
-            # (BASELINE.md bits=4 sweep); 1-bit needs ~10x topk.
-            default_rerank = 64 if index.code_bits >= 3 else 128
+            # (BASELINE.md bits=4 sweep: rerank 32 == 64 on recall at
+            # the SIFT shape); 1-bit needs ~10x topk. Keep a 2x margin
+            # over the bench's tuned 32 — service top_k varies per
+            # request and the budget is not per-request by default.
+            default_rerank = 48 if index.code_bits >= 3 else 128
         if rerank_bf16 and store is None:
             from rabitq_tpu.index.index import with_bf16_base
 

@@ -427,7 +427,7 @@ def test_engine_default_rerank_tracks_code_bits():
 
     rng = np.random.default_rng(13)
     base, centers = make_clustered_dataset(rng, n=800, dim=32, k=8)
-    for bits, want in ((1, 128), (4, 64)):
+    for bits, want in ((1, 128), (4, 48)):
         index = build_index(base, centers, key=jax.random.key(12), bits=bits)
         engine = BatchingEngine(index, max_batch=4, window_ms=1.0)
         try:

@@ -1,0 +1,100 @@
+"""A/B the structured grouping's rank cumsum: f32 vs two-level int8.
+
+One process, identical inputs, per-iteration-varying cids so nothing
+hoists. Times the full rank computation (membership einsum + cumsum +
+payload einsum) with each cumsum variant.
+"""
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu.ops.scan_kernel import _cumsum_batch
+
+    assert jax.default_backend() == "tpu"
+    b, probe, k, qpc = 2048, 32, 4096, 16
+    rng = np.random.default_rng(0)
+    # Distinct cids per row, roughly like a probe selection.
+    cids_np = np.stack(
+        [rng.choice(k, probe, replace=False) for _ in range(b)]
+    ).astype(np.int32)
+    cids0 = jnp.asarray(cids_np)
+    hi = jax.lax.Precision.HIGHEST
+
+    def rank(cids, cumsum_fn):
+        oh = (
+            cids[..., None] == jnp.arange(k, dtype=cids.dtype)[None, None, :]
+        ).astype(jnp.float32)
+        m = jnp.einsum("bpc->bc", oh)
+        cum_inc = cumsum_fn(m)
+        counts = cum_inc[-1]
+        cum_exc = cum_inc - m
+        groups_per_c = (counts.astype(jnp.int32) + qpc - 1) // qpc
+        gstart_c = jnp.cumsum(groups_per_c) - groups_per_c
+        payload = cum_exc + gstart_c.astype(jnp.float32)[None, :] * (
+            jnp.float32(qpc)
+        )
+        looked = jnp.einsum("bpc,bc->bp", oh, payload, precision=hi)
+        return looked.reshape(b * probe).astype(jnp.int32)
+
+    def f32_cumsum(m):
+        return jnp.cumsum(m, axis=0)
+
+    variants = {
+        "f32 cumsum": f32_cumsum,
+        "int8 two-level": _cumsum_batch,
+    }
+
+    # Correctness first.
+    r_a = np.asarray(rank(cids0, f32_cumsum))
+    r_b = np.asarray(rank(cids0, _cumsum_batch))
+    assert np.array_equal(r_a, r_b), "rank mismatch"
+    log("parity ok")
+
+    iters = 30
+    for name, fn in variants.items():
+
+        @jax.jit
+        def loop(c0):
+            def body(i, acc):
+                # Vary cids each iteration (rotate columns) so grouping
+                # can't hoist; stays distinct-per-row.
+                c = jnp.roll(c0, i, axis=0)
+                return acc + rank(c, fn).sum()
+
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+        @jax.jit
+        def loop1(c0):
+            return rank(c0, fn).sum()
+
+        _ = int(loop(cids0))
+        _ = int(loop1(cids0))
+        ts, t1s = [], []
+        for r in range(3):
+            c = jnp.asarray(np.roll(cids_np, r + 1, axis=1))
+            t0 = time.time()
+            _ = int(loop(c))
+            ts.append(time.time() - t0)
+            t0 = time.time()
+            _ = int(loop1(c))
+            t1s.append(time.time() - t0)
+        per = (min(ts) - min(t1s)) / (iters - 1)
+        log(f"{name:>16}: {per*1e3:6.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""A/B the scan glue's one-hot lookups.
+
+Variants measured (one process, varying inputs):
+  a. two separate "bpc,c->bp" einsums (starts, sizes)  [current]
+  b. one stacked "bpc,cx->bpx" einsum over a [k, 2] table
+  c. element gather starts_k[cids] (take)
+  d. payload "bpc,bc->bp" einsum              [current rank lookup]
+  e. payload take_along_axis(payload, cids)
+"""
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    assert jax.default_backend() == "tpu"
+    b, probe, k = 2048, 32, 4096
+    rng = np.random.default_rng(0)
+    cids_np = np.stack(
+        [rng.choice(k, probe, replace=False) for _ in range(b)]
+    ).astype(np.int32)
+    cids0 = jnp.asarray(cids_np)
+    starts_k = jnp.asarray(
+        np.cumsum(rng.integers(100, 500, k)).astype(np.float32)
+    )
+    sizes_k = jnp.asarray(rng.integers(100, 500, k).astype(np.float32))
+    table2 = jnp.stack([starts_k, sizes_k], axis=-1)  # [k, 2]
+    payload = jnp.asarray(
+        rng.integers(0, 1 << 22, (b, k)).astype(np.float32)
+    )
+    hi = jax.lax.Precision.HIGHEST
+
+    def oh_of(cids):
+        return (
+            cids[..., None]
+            == jnp.arange(k, dtype=cids.dtype)[None, None, :]
+        ).astype(jnp.float32)
+
+    def v_two(cids):
+        oh = oh_of(cids)
+        s = jnp.einsum("bpc,c->bp", oh, starts_k, precision=hi)
+        z = jnp.einsum("bpc,c->bp", oh, sizes_k, precision=hi)
+        return s.sum() + z.sum()
+
+    def v_stacked(cids):
+        oh = oh_of(cids)
+        sz = jnp.einsum("bpc,cx->bpx", oh, table2, precision=hi)
+        return sz.sum()
+
+    def v_take(cids):
+        s = starts_k[cids]
+        z = sizes_k[cids]
+        return s.sum() + z.sum()
+
+    def v_payload_einsum(cids):
+        oh = oh_of(cids)
+        v = jnp.einsum("bpc,bc->bp", oh, payload, precision=hi)
+        return v.sum()
+
+    def v_payload_take(cids):
+        v = jnp.take_along_axis(payload, cids, axis=1)
+        return v.sum()
+
+    variants = {
+        "2x einsum [k]": v_two,
+        "1x einsum [k,2]": v_stacked,
+        "take [k]": v_take,
+        "payload einsum": v_payload_einsum,
+        "payload take": v_payload_take,
+    }
+
+    iters = 30
+    for name, fn in variants.items():
+
+        @jax.jit
+        def loop(c0):
+            def body(i, acc):
+                c = jnp.roll(c0, i, axis=0)
+                return acc + fn(c)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        @jax.jit
+        def loop1(c0):
+            return fn(c0)
+
+        _ = float(loop(cids0))
+        _ = float(loop1(cids0))
+        ts, t1s = [], []
+        for r in range(3):
+            c = jnp.asarray(np.roll(cids_np, r + 1, axis=1))
+            t0 = time.time()
+            _ = float(loop(c))
+            ts.append(time.time() - t0)
+            t0 = time.time()
+            _ = float(loop1(c))
+            t1s.append(time.time() - t0)
+        per = (min(ts) - min(t1s)) / (iters - 1)
+        log(f"{name:>16}: {per*1e3:6.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,13 @@ def main():
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--bits", type=int, default=1, choices=range(1, 8))
     ap.add_argument(
+        "--balance",
+        type=float,
+        default=2.0,
+        help="build_index capacity balance (max cluster = balance * n/k; "
+        "sets the kernel window span)",
+    )
+    ap.add_argument(
         "--passes",
         type=int,
         default=1,
@@ -68,19 +75,27 @@ def main():
     from rabitq_tpu.kmeans import kmeans
 
     assert jax.default_backend() == "tpu", jax.default_backend()
-    from bench import ground_truth, make_dataset
+    from bench import _cached, ground_truth, make_dataset
 
     nq = args.batch
-    base, queries = make_dataset(args.n, args.dim, 1024, nq, seed=args.seed)
+    base, queries = _cached(
+        f"tune_ds_{args.n}_{args.dim}_1024_{nq}_s{args.seed}",
+        lambda: make_dataset(args.n, args.dim, 1024, nq, seed=args.seed),
+    )
     t0 = time.time()
     centroids = kmeans(
         base[: min(args.n, 200_000)], args.k, iters=8, key=jax.random.key(1)
     )
     index = build_index(
-        base, centroids, key=jax.random.key(2), bits=args.bits
+        base, centroids, key=jax.random.key(2), bits=args.bits,
+        balance=args.balance,
     )
-    log(f"built in {time.time()-t0:.1f}s")
-    truth = ground_truth(base, queries, args.topk)
+    log(f"built in {time.time()-t0:.1f}s (capacity={index.capacity})")
+    (truth,) = _cached(
+        f"tune_gt_{args.n}_{args.dim}_1024_{nq}_s{args.seed}"
+        f"_top{args.topk}",
+        lambda: ground_truth(base, queries, args.topk),
+    )
     qd = jnp.asarray(queries)
 
     def timed_recall(params):
@@ -134,6 +149,7 @@ def main():
             reduce_on = bool(int(parts[3])) if len(parts) > 3 else True
             passes = int(parts[4]) if len(parts) > 4 else args.passes
             probe = int(parts[5]) if len(parts) > 5 else args.probe
+            fdepth = int(parts[6]) if len(parts) > 6 else 2
             p = base_p._replace(
                 probe_recall=float(pr),
                 select_recall=float(sr),
@@ -141,11 +157,12 @@ def main():
                 select_reduce=reduce_on,
                 select_passes=passes,
                 probe=probe,
+                fold_depth=fdepth,
             )
             rec, per = timed_recall(p)
             log(
                 f"pr={pr} sr={sr} rerank={rr} fold={int(reduce_on)} "
-                f"passes={passes} probe={probe}: "
+                f"passes={passes} probe={probe} fd={fdepth}: "
                 f"recall@{args.topk}={rec:.4f}  {per*1e3:6.2f} ms/batch "
                 f"= {args.batch/per:,.0f} QPS/chip"
             )
