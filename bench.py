@@ -231,7 +231,7 @@ def bench_deep10m(args):
     t0 = time.time()
     index = build_index(
         base, centroids, key=jax.random.key(2), keep_base=False,
-        bits=args.bits,
+        bits=args.bits, balance=args.balance or 1.5,
     )
     build_s = time.time() - t0
     log(f"built in {build_s:.1f}s (capacity={index.capacity})")
@@ -348,10 +348,13 @@ def main():
     ap.add_argument(
         "--balance",
         type=float,
-        default=2.0,
+        default=None,
         help="build capacity balance (max cluster = balance * n/k): sets "
-        "the kernel window span. 1.5 measured recall-neutral on the SIFT "
-        "shape with a 20%% smaller span; 1.0 over-evicts (-3pt recall)",
+        "the kernel window span. Default 1.5 — measured recall-neutral "
+        "on the SIFT and GIST shapes with a 20%% smaller span (GIST "
+        "+2.9%% same-day A/B); 1.0 over-evicts (-2.7pt recall). The "
+        "blobs config keeps 2.0 (its split/annulus behavior was tuned "
+        "there)",
     )
     ap.add_argument(
         "--bits",
@@ -432,6 +435,8 @@ def main():
         if args.config == "blobs":
             n_centers = 256  # few hot blobs -> hard Zipf skew at k=4096
     args.topk = topk
+    if args.balance is None:
+        args.balance = 2.0 if args.config == "blobs" else 1.5
 
     # Absorb the environment's first-device-op stall (observed up to
     # minutes) on a throwaway op so phase timings below are honest.
