@@ -18,6 +18,7 @@ from rabitq_tpu.index import (
     update,
     search,
 )
+from rabitq_tpu.autotune import autotune, exact_topk
 from rabitq_tpu.index.search import estimate_candidates
 from rabitq_tpu.metrics import METRICS
 from rabitq_tpu.utils import calculate_recall
@@ -35,6 +36,8 @@ __all__ = [
     "delete",
     "compact",
     "estimate_candidates",
+    "autotune",
+    "exact_topk",
     "METRICS",
     "calculate_recall",
 ]

@@ -1,0 +1,167 @@
+"""Automatic (probe, rerank) selection for a target recall.
+
+The reference leaves accuracy/speed tuning entirely to the user: its CLI
+takes a fixed ``-p probe`` (/root/reference/crates/cli/src/main.rs:27)
+and its eval scripts hand-sweep nprobe (scripts/client.py:113-118).
+This module closes that gap: given an index and a sample of
+representative queries, it measures recall against exact brute-force
+ground truth over a probe ladder (scaling the rerank budget with probe
+exactly like the serving defaults do) and returns the cheapest
+SearchParams meeting the target, plus the measured curve.
+
+Everything runs on-device with the library's own machinery: ground
+truth is a chunked exact top-k (MXU pairwise distances; memtable rows
+included), the sweep reuses ``search``, and timing is optional — by
+default configurations are ranked by probe (device cost is monotone in
+probe at fixed shapes), so the tuner needs exactly one search dispatch
+per ladder rung and no warm-up loops.
+
+Typical use::
+
+    params, curve = autotune(index, sample_queries, target_recall=0.95)
+    dists, ids = search(index, queries, params)
+
+The sample should be real (or realistically distributed) queries —
+200-2000 rows is plenty; recall estimates carry +-1/sqrt(B*topk)-ish
+noise, which ``margin`` absorbs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rabitq_tpu.index.index import RaBitQIndex, SearchParams
+from rabitq_tpu.index.search import search
+from rabitq_tpu.ops import pairwise_l2sq
+from rabitq_tpu.utils import calculate_recall
+
+_DEFAULT_LADDER = (4, 8, 16, 24, 32, 36, 40, 48, 64, 80, 96, 128, 192,
+                   256, 384, 512)
+
+
+class TunePoint(NamedTuple):
+    probe: int
+    rerank: int
+    recall: float
+
+
+def exact_topk(
+    index: RaBitQIndex,
+    queries: jax.Array | np.ndarray,
+    topk: int,
+    chunk: int = 262_144,
+) -> np.ndarray:
+    """Exact brute-force top-k ids over the index's corpus (device base +
+    live memtable rows), as original ids — the tuner's ground truth.
+
+    Requires ``index.base`` (the in-memory tier). Chunked so transient
+    [B, chunk] distance blocks stay small next to the corpus.
+    """
+    assert index.base is not None, "exact_topk needs the device base"
+    from rabitq_tpu.index.search import _prep_queries
+
+    q = _prep_queries(index, jnp.asarray(np.asarray(queries, np.float32)))
+    n = index.n
+    b = q.shape[0]
+
+    @jax.jit
+    def chunk_topk(qd, rows, ids):
+        d = pairwise_l2sq(qd, rows)
+        d = jnp.where(ids[None, :] >= 0, d, jnp.inf)
+        neg, sel = jax.lax.top_k(-d, min(topk, rows.shape[0]))
+        return -neg, ids[sel]
+
+    best_d = np.full((b, topk), np.inf, np.float32)
+    best_i = np.full((b, topk), -1, np.int64)
+
+    def merge(d, i):
+        nonlocal best_d, best_i
+        md = np.concatenate([best_d, d], axis=1)
+        mi = np.concatenate([best_i, i], axis=1)
+        sel = np.argsort(md, kind="stable", axis=1)[:, :topk]
+        best_d = np.take_along_axis(md, sel, axis=1)
+        best_i = np.take_along_axis(mi, sel, axis=1)
+
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        ids = index.map_ids[s:e]
+        d, i = chunk_topk(q, index.base[s:e], ids)
+        merge(np.asarray(d), np.asarray(i).astype(np.int64))
+    if index.extra_base is not None and index.extra_base.shape[0] > 0:
+        d, i = chunk_topk(q, index.extra_base, index.extra_ids)
+        merge(np.asarray(d), np.asarray(i).astype(np.int64))
+    return best_i
+
+
+def default_rerank_for(index: RaBitQIndex, probe: int, topk: int) -> int:
+    """The serving-default rerank budget at a given probe.
+
+    Multi-bit codes rank candidates near-exactly, so the budget floor is
+    ~3x topk (measured: rerank 32 == 64 on recall at topk 10, bits 4 —
+    BASELINE.md); 1-bit estimates need the budget to scale with probe
+    because a static top-R dilutes as more clusters are scanned."""
+    if index.code_bits >= 3:
+        return max(32, topk * 5 // 2)
+    return max(140, 3 * probe, 4 * topk)
+
+
+def autotune(
+    index: RaBitQIndex,
+    sample_queries: jax.Array | np.ndarray,
+    target_recall: float = 0.95,
+    *,
+    topk: int = 10,
+    ladder: Sequence[int] = _DEFAULT_LADDER,
+    margin: float = 0.0,
+    truth: np.ndarray | None = None,
+    base_params: SearchParams | None = None,
+) -> tuple[SearchParams, list[TunePoint]]:
+    """Pick the cheapest SearchParams meeting ``target_recall`` @ topk.
+
+    Walks ``ladder`` (ascending probes, each with the serving-default
+    rerank budget for the index's code bits), measuring recall of
+    ``search`` against exact ground truth on ``sample_queries``; returns
+    the first rung whose recall >= target_recall + margin, plus every
+    measured (probe, rerank, recall) point. If no rung reaches the
+    target, the best-recall rung is returned (callers can inspect the
+    curve and raise topk/rerank or rebuild with more bits).
+
+    ``truth`` short-circuits the ground-truth pass (rows of original
+    ids, at least topk wide); ``base_params`` carries non-tuned knobs
+    (select_passes, probe_rank, ...).
+    """
+    qs = jnp.asarray(np.asarray(sample_queries, np.float32))
+    if truth is None:
+        truth = exact_topk(index, qs, topk)
+    truth = np.asarray(truth)
+    assert truth.shape[0] == qs.shape[0] and truth.shape[1] >= topk
+
+    k = index.k
+    base = base_params or SearchParams()
+    curve: list[TunePoint] = []
+    best: tuple[float, SearchParams] | None = None
+    for probe in ladder:
+        probe = min(probe, k)
+        rr = default_rerank_for(index, probe, topk)
+        params = base._replace(probe=probe, topk=topk, rerank=rr)
+        ids = np.asarray(search(index, qs, params)[1])
+        rec = float(
+            np.mean(
+                [
+                    calculate_recall(truth[i], ids[i], topk)
+                    for i in range(ids.shape[0])
+                ]
+            )
+        )
+        curve.append(TunePoint(probe, rr, rec))
+        if best is None or rec > best[0]:
+            best = (rec, params)
+        if rec >= target_recall + margin:
+            return params, curve
+        if probe >= k:
+            break
+    return best[1], curve

@@ -1,0 +1,113 @@
+"""autotune: exact ground truth + automatic (probe, rerank) selection."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from rabitq_tpu import (
+    SearchParams,
+    autotune,
+    build_index,
+    delete,
+    exact_topk,
+    insert,
+    search,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+def make_clustered(rng, n=3000, dim=48, k=24):
+    centers = rng.standard_normal((k, dim)).astype(np.float32)
+    base = (
+        centers[rng.integers(0, k, n)]
+        + 0.25 * rng.standard_normal((n, dim)).astype(np.float32)
+    ).astype(np.float32)
+    return base, centers
+
+
+def brute_ids(base, queries, topk):
+    d = ((base[None, :, :] - queries[:, None, :]) ** 2).sum(-1)
+    return np.argsort(d, kind="stable", axis=1)[:, :topk]
+
+
+def test_exact_topk_matches_brute_force(rng):
+    base, centers = make_clustered(rng)
+    index = build_index(base, centers, key=jax.random.key(3))
+    queries = base[:32] + 0.01 * rng.standard_normal((32, base.shape[1])).astype(
+        np.float32
+    )
+    got = exact_topk(index, queries, topk=10, chunk=1024)
+    want = brute_ids(base, queries, 10)
+    # Compare as sets per row (exact ties may order differently).
+    for b in range(32):
+        assert set(got[b]) == set(want[b]), b
+
+
+def test_exact_topk_sees_mutations(rng):
+    base, centers = make_clustered(rng, n=1200)
+    index = build_index(base, centers, key=jax.random.key(3))
+    # Insert a vector that exactly matches query 0; delete id 5.
+    q = base[:8].copy()
+    new_id = 1_000_000
+    index = insert(index, q[:1], ids=np.array([new_id]))
+    index = delete(index, np.array([5]))
+    got = exact_topk(index, q, topk=5, chunk=512)
+    # The inserted duplicate ties exactly with base row 0; both must be
+    # in the top-5 (the tie's order is unspecified).
+    assert new_id in set(got[0]) and 0 in set(got[0])
+    assert not np.isin(5, got)  # tombstoned id never returned
+
+
+def test_autotune_reaches_target_and_curve_is_monotoneish(rng):
+    base, centers = make_clustered(rng, n=4000, dim=32, k=32)
+    index = build_index(base, centers, key=jax.random.key(5), bits=4)
+    sample = base[:64] + 0.02 * rng.standard_normal((64, 32)).astype(
+        np.float32
+    )
+    params, curve = autotune(
+        index, sample, target_recall=0.9, topk=10,
+        ladder=(2, 4, 8, 16, 32),
+    )
+    assert curve[-1].probe == params.probe
+    assert curve[-1].recall >= 0.9
+    # Earlier rungs must not have met the target (cheapest-first).
+    for pt in curve[:-1]:
+        assert pt.recall < 0.9
+    # The returned params actually deliver the measured recall.
+    truth = exact_topk(index, sample, 10)
+    ids = np.asarray(search(index, jax.numpy.asarray(sample), params)[1])
+    rec = np.mean(
+        [len(set(truth[i]) & set(ids[i])) / 10 for i in range(64)]
+    )
+    assert rec >= 0.9 - 1e-9
+
+
+def test_autotune_exhausted_ladder_returns_best(rng):
+    base, centers = make_clustered(rng, n=2000, dim=32, k=16)
+    index = build_index(base, centers, key=jax.random.key(5))
+    sample = base[:32]
+    params, curve = autotune(
+        index, sample, target_recall=1.1, topk=10, ladder=(2, 4, 16)
+    )
+    best = max(curve, key=lambda p: p.recall)
+    assert params.probe == best.probe
+    # Ladder rungs past k collapse to k and stop.
+    assert curve[-1].probe == min(16, index.k)
+
+
+def test_autotune_respects_base_params(rng):
+    base, centers = make_clustered(rng, n=1500, dim=32, k=16)
+    index = build_index(base, centers, key=jax.random.key(5))
+    sample = base[:16]
+    bp = SearchParams(probe_rank="annulus", select_passes=1)
+    params, _ = autotune(
+        index, sample, target_recall=0.5, topk=5, ladder=(4, 8)
+    , base_params=bp)
+    assert params.probe_rank == "annulus"
+    assert params.select_passes == 1
+    assert params.topk == 5
