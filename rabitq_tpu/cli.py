@@ -94,6 +94,28 @@ def cmd_run(args) -> None:
         params = params._replace(rerank_refine=args.rerank_refine)
     if getattr(args, "probe_rank", None):
         params = params._replace(probe_rank=args.probe_rank)
+    if getattr(args, "autotune", None) is not None:
+        # Pick (probe, rerank) on a query sample against exact ground
+        # truth, keeping every other knob from the flags above.
+        from rabitq_tpu.autotune import autotune as _autotune
+
+        with TIMER.phase("autotune"):
+            sample = queries[: min(len(queries), 512)]
+            tuned, curve = _autotune(
+                index,
+                sample,
+                target_recall=args.autotune,
+                topk=args.topk,
+                base_params=params,
+            )
+        log.info(
+            "autotune(target=%.3f): probe=%d rerank=%d (curve: %s)",
+            args.autotune,
+            tuned.probe,
+            tuned.rerank,
+            ", ".join(f"p{c.probe}={c.recall:.4f}" for c in curve),
+        )
+        params = tuned
     trace_ctx = (
         device_trace(args.trace) if args.trace else contextlib.nullcontext()
     )
@@ -287,6 +309,15 @@ def main(argv=None) -> None:
         help="cluster probe ranking: centroid distance (default) or the "
         "annulus lower bound (better on skewed corpora with split "
         "oversized clusters)",
+    )
+    p_run.add_argument(
+        "--autotune",
+        type=float,
+        default=None,
+        metavar="RECALL",
+        help="pick probe+rerank automatically for this target recall@topk "
+        "on a query sample against exact ground truth (overrides -p and "
+        "--rerank; other knobs are kept)",
     )
     p_run.add_argument(
         "--profile",

@@ -142,3 +142,39 @@ def test_cli_run_rejects_bad_rerank_mode(tmp_path, rng):
                 "--rerank-mode", "bogus",
             ]
         )
+
+
+def test_cli_run_autotune(tmp_path, rng, caplog):
+    """--autotune picks probe+rerank on a query sample and reports the
+    curve; the eval then runs with the tuned params."""
+    import logging
+
+    paths, topk = _make_fixtures(tmp_path, rng)
+    with caplog.at_level(logging.INFO):
+        cli_main(
+            [
+                "run",
+                "-b", str(paths["base"]),
+                "-c", str(paths["centroids"]),
+                "-s", str(paths["saved"]),
+                "-q", str(paths["query"]),
+                "-t", str(paths["truth"]),
+                "-k", str(topk),
+                "--batch", "8",
+                "--autotune", "0.9",
+            ]
+        )
+    tuned = [
+        r for r in caplog.records if "autotune(target" in r.getMessage()
+    ]
+    assert tuned, caplog.text
+    # The final recall report must meet the tuned target (tiny fixture,
+    # sample == query set, so the tuned params generalize exactly).
+    rec = [
+        r
+        for r in caplog.records
+        if r.getMessage().startswith("QPS:")
+    ]
+    assert rec, caplog.text
+    recall = float(rec[-1].getMessage().split("recall: ")[1])
+    assert recall >= 0.9
