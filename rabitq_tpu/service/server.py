@@ -255,7 +255,23 @@ class BatchingEngine:
 MAX_BODY_BYTES = 1 << 20
 
 
-def make_handler(engine: BatchingEngine, default_probe: int, default_topk: int):
+def make_handler(
+    engine: BatchingEngine,
+    default_probe: int,
+    default_topk: int,
+    engines: dict[str, BatchingEngine] | None = None,
+):
+    """Request handler over one default engine plus an optional named
+    registry (multi-index routing, beyond the reference's single-index
+    service). Routing, uniform across all three query protocols:
+
+    - ``POST /query`` (+ ``/query_bin``, ``/query_bin_batch``) — the
+      default engine; JSON requests may override with ``"index": name``.
+    - ``POST /index/<name>/query`` (same suffixes) — engine ``name``.
+    - ``GET /indexes`` — the registry (name, n, dim, code_bits).
+    """
+    registry: dict[str, BatchingEngine] = dict(engines or {})
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -270,6 +286,19 @@ def make_handler(engine: BatchingEngine, default_probe: int, default_topk: int):
             self.end_headers()
             self.wfile.write(data)
 
+        def _route(self):
+            """Resolve (engine, endpoint) from the URL path; None engine
+            means an unknown index name (404 already sent)."""
+            path = self.path
+            if path.startswith("/index/"):
+                rest = path[len("/index/"):]
+                name, sep, endpoint = rest.partition("/")
+                if not sep or name not in registry:
+                    self._send(404, "unknown index")
+                    return None, None
+                return registry[name], "/" + endpoint
+            return engine, path
+
         def do_GET(self):
             if self.path == "/":
                 self._send(200, "rabitq-tpu service")
@@ -277,17 +306,30 @@ def make_handler(engine: BatchingEngine, default_probe: int, default_topk: int):
                 self._send(200, "OK")
             elif self.path == "/metrics":
                 self._send(200, METRICS.to_str())
+            elif self.path == "/indexes":
+                listing = {
+                    name: dict(
+                        n=int(eng.index.n),
+                        dim=int(eng.index.dim_orig),
+                        code_bits=int(eng.index.code_bits),
+                    )
+                    for name, eng in registry.items()
+                }
+                self._send(200, json.dumps(listing), "application/json")
             else:
                 self._send(404, "not found")
 
         def do_POST(self):
-            if self.path == "/query_bin":
-                self._query_bin()
+            eng, endpoint = self._route()
+            if eng is None:
                 return
-            if self.path == "/query_bin_batch":
-                self._query_bin_batch()
+            if endpoint == "/query_bin":
+                self._query_bin(eng)
                 return
-            if self.path != "/query":
+            if endpoint == "/query_bin_batch":
+                self._query_bin_batch(eng)
+                return
+            if endpoint != "/query":
                 self._send(404, "not found")
                 return
             try:
@@ -299,6 +341,16 @@ def make_handler(engine: BatchingEngine, default_probe: int, default_topk: int):
                 payload = json.loads(self.rfile.read(length))
                 if "query" not in payload:
                     raise ValueError("missing required field 'query'")
+                name = payload.get("index")
+                if name is not None:
+                    if name not in registry:
+                        self._send(
+                            404,
+                            json.dumps(dict(error=f"unknown index {name!r}")),
+                            "application/json",
+                        )
+                        return
+                    eng = registry[name]
                 query = payload["query"]
                 top_k = int(payload.get("top_k", default_topk))
                 probe = int(payload.get("probe", default_probe))
@@ -313,7 +365,7 @@ def make_handler(engine: BatchingEngine, default_probe: int, default_topk: int):
                     # amortizing the per-request network round-trip the
                     # same way the engine amortizes device dispatch.
                     qarr = np.asarray(query, dtype=np.float32)
-                    scores, ids = engine.submit_many(
+                    scores, ids = eng.submit_many(
                         qarr, top_k, probe, rerank=rerank
                     )
                     self._send(
@@ -332,7 +384,7 @@ def make_handler(engine: BatchingEngine, default_probe: int, default_topk: int):
                         "application/json",
                     )
                     return
-                scores, ids = engine.submit(
+                scores, ids = eng.submit(
                     query, top_k, probe, rerank=rerank
                 )
                 keep = ids >= 0
@@ -351,7 +403,7 @@ def make_handler(engine: BatchingEngine, default_probe: int, default_topk: int):
             except Exception as e:
                 self._send(500, json.dumps(dict(error=str(e))), "application/json")
 
-        def _query_bin(self):
+        def _query_bin(self, eng):
             """Binary protocol (low-overhead path for high-throughput
             clients): request body = u32 top_k, u32 probe, u32 dim,
             dim x f32 query (little-endian); response = u32 count, then
@@ -367,7 +419,7 @@ def make_handler(engine: BatchingEngine, default_probe: int, default_topk: int):
                     self._send(400, "length mismatch")
                     return
                 query = np.frombuffer(raw[12:], np.float32)
-                scores, ids = engine.submit(query, int(top_k), int(probe))
+                scores, ids = eng.submit(query, int(top_k), int(probe))
                 keep = ids >= 0
                 out = np.empty(1 + 2 * int(keep.sum()), np.uint32)
                 out[0] = keep.sum()
@@ -382,7 +434,7 @@ def make_handler(engine: BatchingEngine, default_probe: int, default_topk: int):
             except Exception as e:
                 self._send(500, str(e))
 
-        def _query_bin_batch(self):
+        def _query_bin_batch(self, eng):
             """Binary multi-query frame: request = u32 top_k, u32 probe,
             u32 dim, u32 count, then count x dim f32 rows (little-endian);
             response = u32 count, u32 top_k, then count x top_k pairs of
@@ -402,7 +454,7 @@ def make_handler(engine: BatchingEngine, default_probe: int, default_topk: int):
                 queries = np.frombuffer(raw[16:], np.float32).reshape(
                     int(count), int(dim)
                 )
-                scores, ids = engine.submit_many(
+                scores, ids = eng.submit_many(
                     queries, int(top_k), int(probe)
                 )
                 tk = ids.shape[1]
@@ -436,7 +488,12 @@ def serve(
     default_probe=100,
     default_topk=10,
     rerank_bf16=False,
+    extra_indexes: dict[str, object] | None = None,
+    default_name: str = "default",
 ):
+    """Serve one default index (optionally store-tiered) plus any number
+    of named device-resident extras (multi-index routing: POST
+    /index/<name>/query..., JSON "index" field, GET /indexes)."""
     engine = BatchingEngine(
         index,
         store,
@@ -444,14 +501,25 @@ def serve(
         window_ms=window_ms,
         rerank_bf16=rerank_bf16,
     )
+    engines = {default_name: engine}
+    for name, idx in (extra_indexes or {}).items():
+        assert name not in engines, f"duplicate index name {name!r}"
+        engines[name] = BatchingEngine(
+            idx, max_batch=max_batch, window_ms=window_ms
+        )
     # Warm the default-params compile before accepting traffic, so the first
     # requests don't eat the jit latency.
     logger.info("warming up (first compile)...")
-    engine.submit(
-        np.zeros(index.dim_orig, np.float32), default_topk, default_probe
-    )
+    for eng in engines.values():
+        eng.submit(
+            np.zeros(eng.index.dim_orig, np.float32),
+            default_topk,
+            default_probe,
+        )
     logger.info("warm")
-    handler = make_handler(engine, default_probe, default_topk)
+    handler = make_handler(
+        engine, default_probe, default_topk, engines=engines
+    )
     server = ThreadingHTTPServer((host, port), handler)
 
     def shutdown(*_):
@@ -463,11 +531,14 @@ def serve(
         signal.signal(signal.SIGTERM, shutdown)
     except ValueError:
         pass  # not main thread (tests)
-    logger.info("serving on %s:%d", host, port)
+    logger.info(
+        "serving %d index(es) on %s:%d", len(engines), host, port
+    )
     try:
         server.serve_forever()
     finally:
-        engine.close()
+        for eng in engines.values():
+            eng.close()
         server.server_close()
     return server
 
@@ -475,7 +546,16 @@ def serve(
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     ap = argparse.ArgumentParser(prog="rabitq-tpu-service")
-    ap.add_argument("-d", "--dir", required=True, help="index directory")
+    ap.add_argument(
+        "-d",
+        "--dir",
+        required=True,
+        action="append",
+        help="index directory; repeatable as NAME=PATH to serve several "
+        "indexes (the first is the default; the rest are device-"
+        "resident and reachable via POST /index/NAME/query..., the "
+        "JSON 'index' field, and GET /indexes)",
+    )
     ap.add_argument("-p", "--port", type=int, default=9000)
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument(
@@ -536,15 +616,33 @@ def main(argv=None):
                 ap.error(f"--store-header must be 'Name: value', got {h!r}")
             store_headers[name.strip()] = value.strip()
 
+    # Multi-index parsing: the first -d is the default (and the only one
+    # the store/url-prefix options apply to); extras must be NAME=PATH
+    # and are device-resident.
+    dirs = args.dir
+    default_name, _, default_dir = dirs[0].rpartition("=")
+    default_name = default_name or "default"
+    extra_specs: dict[str, str] = {}
+    for spec in dirs[1:]:
+        name, sep, path = spec.partition("=")
+        if not sep or not name or name == default_name:
+            ap.error(
+                f"extra --dir must be a unique NAME=PATH, got {spec!r}"
+            )
+        extra_specs[name] = path
+
     if args.url_prefix:
-        download_meta(args.url_prefix, args.dir, headers=store_headers)
+        download_meta(args.url_prefix, default_dir, headers=store_headers)
     if args.store == "http" and not args.url_prefix:
         ap.error("--store http requires --url-prefix")
 
     store = None
     keep_base = args.store == "device"
-    index = load_from_dir(args.dir, keep_base=keep_base)
-    base_path = Path(args.dir) / "base.fvecs"
+    index = load_from_dir(default_dir, keep_base=keep_base)
+    extra_indexes = {
+        name: load_from_dir(path) for name, path in extra_specs.items()
+    }
+    base_path = Path(default_dir) / "base.fvecs"
     if args.store == "mmap":
         store = MmapStore(base_path)
     elif args.store == "blockcache":
@@ -570,6 +668,8 @@ def main(argv=None):
         max_batch=args.max_batch,
         window_ms=args.window_ms,
         rerank_bf16=args.rerank_bf16,
+        extra_indexes=extra_indexes,
+        default_name=default_name,
     )
 
 

@@ -434,3 +434,100 @@ def test_engine_default_rerank_tracks_code_bits():
             assert engine.default_rerank == want, (bits, engine.default_rerank)
         finally:
             engine.close()
+
+
+@pytest.fixture(scope="module")
+def multi_served():
+    """Two distinct tiny indexes behind one handler (multi-index routing)."""
+    import jax
+
+    rng = np.random.default_rng(21)
+    base_a, centers_a = make_clustered_dataset(rng, n=900, dim=24, k=8)
+    # Index B: different corpus AND dim, so cross-index answers can't alias.
+    base_b, centers_b = make_clustered_dataset(rng, n=700, dim=40, k=8)
+    idx_a = build_index(base_a, centers_a, key=jax.random.key(1))
+    idx_b = build_index(base_b, centers_b, key=jax.random.key(2), bits=4)
+    eng_a = BatchingEngine(idx_a, max_batch=8, window_ms=2.0)
+    eng_b = BatchingEngine(idx_b, max_batch=8, window_ms=2.0)
+    handler = make_handler(
+        eng_a,
+        default_probe=8,
+        default_topk=5,
+        engines={"alpha": eng_a, "beta": eng_b},
+    )
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{server.server_port}"
+    yield url, base_a, base_b
+    server.shutdown()
+    eng_a.close()
+    eng_b.close()
+
+
+def test_multi_index_listing(multi_served):
+    url, base_a, base_b = multi_served
+    with urllib.request.urlopen(url + "/indexes") as r:
+        listing = json.loads(r.read())
+    assert set(listing) == {"alpha", "beta"}
+    assert listing["alpha"]["n"] == base_a.shape[0]
+    assert listing["beta"]["dim"] == base_b.shape[1]
+    assert listing["beta"]["code_bits"] == 4
+
+
+def test_multi_index_path_and_json_routing(multi_served):
+    url, base_a, base_b = multi_served
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            url + path,
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    # Path routing: each index answers for its own corpus (query = an
+    # exact base row; its own id must come back first).
+    st, out = post("/index/beta/query", dict(query=base_b[3].tolist()))
+    assert st == 200 and out["ids"][0] == 3
+    st, out = post("/index/alpha/query", dict(query=base_a[7].tolist()))
+    assert st == 200 and out["ids"][0] == 7
+    # JSON-field routing on the default /query endpoint.
+    st, out = post(
+        "/query", dict(query=base_b[5].tolist(), index="beta")
+    )
+    assert st == 200 and out["ids"][0] == 5
+    # The default engine is alpha: a dim-24 query without a name works...
+    st, out = post("/query", dict(query=base_a[0].tolist()))
+    assert st == 200 and out["ids"][0] == 0
+    # ...and unknown names 404 on both routes.
+    st, _ = post("/query", dict(query=base_a[0].tolist(), index="nope"))
+    assert st == 404
+    req = urllib.request.Request(
+        url + "/index/nope/query", data=b"{}",
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 404
+
+
+def test_multi_index_binary_routing(multi_served):
+    url, base_a, base_b = multi_served
+    q = base_b[9].astype(np.float32)
+    body = (
+        np.array([5, 8, q.shape[0]], np.uint32).tobytes() + q.tobytes()
+    )
+    req = urllib.request.Request(
+        url + "/index/beta/query_bin",
+        data=body,
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        raw = np.frombuffer(resp.read(), np.uint32)
+    count = int(raw[0])
+    ids = raw[1 : 1 + 2 * count : 2]
+    assert ids[0] == 9

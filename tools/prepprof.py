@@ -40,7 +40,7 @@ def main():
     import jax.numpy as jnp
 
     from rabitq_tpu import SearchParams, build_index
-    from rabitq_tpu.index.search import _prep_queries, scan_span
+    from rabitq_tpu.index.search import _prep_queries
     from rabitq_tpu.kmeans import kmeans
     from rabitq_tpu.ops import (
         pairwise_l2sq,
