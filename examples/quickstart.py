@@ -41,3 +41,8 @@ dists, ids = rq.search(
     rq.SearchParams(probe=16, topk=5, rerank=16),
 )
 print("bits=4 ids:\n", np.asarray(ids))
+
+# Automatic tuning: pick the cheapest (probe, rerank) meeting a recall
+# target, measured on a query sample against exact on-device ground truth.
+params, curve = rq.autotune(index4, queries, target_recall=0.95, topk=5)
+print("autotuned:", params.probe, params.rerank, [c.recall for c in curve])
