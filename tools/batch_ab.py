@@ -1,0 +1,83 @@
+"""A/B the device-side batch size at the headline config (one process).
+
+Larger batches raise tasks-per-cluster sharing (more window-DMA dedup,
+better glue amortization) but scale every per-task cost linearly —
+this measures where per-QUERY device time lands at 1024/2048/4096.
+"""
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu import SearchParams, build_index
+    from rabitq_tpu.index.search import search
+    from rabitq_tpu.kmeans import kmeans
+    from bench import _cached, make_dataset
+
+    assert jax.default_backend() == "tpu"
+    n, dim, k = 1_000_000, 128, 4096
+    nq = 4096
+    base, queries = _cached(
+        f"tune_ds_{n}_{dim}_1024_{nq}_s7",
+        lambda: make_dataset(n, dim, 1024, nq, seed=7),
+    )
+    centroids = kmeans(
+        base[:200_000], k, iters=8, key=jax.random.key(1)
+    )
+    index = build_index(
+        base, centroids, key=jax.random.key(2), bits=4, balance=1.5
+    )
+    log(f"built (capacity={index.capacity})")
+    params = SearchParams(probe=36, topk=10, rerank=32, select_passes=2)
+    iters = 10
+
+    for batch in (1024, 2048, 4096):
+        qd = jnp.asarray(queries[:batch])
+
+        @jax.jit
+        def loop(idx, qs):
+            def body(i, acc):
+                d, out = search(idx, qs + i.astype(jnp.float32) * 1e-6,
+                                params)
+                return acc + d.sum() + out.sum().astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, iters, body, 0.0)
+
+        @jax.jit
+        def loop1(idx, qs):
+            d, out = search(idx, qs, params)
+            return d.sum() + out.sum().astype(jnp.float32)
+
+        _ = float(loop(index, qd))
+        _ = float(loop1(index, qd))
+        ts, t1s = [], []
+        for r in range(3):
+            qp = qd + np.float32(1e-5) * (r + 1)
+            t0 = time.time()
+            _ = float(loop(index, qp))
+            ts.append(time.time() - t0)
+            t0 = time.time()
+            _ = float(loop1(index, qp))
+            t1s.append(time.time() - t0)
+        per = (min(ts) - min(t1s)) / (iters - 1)
+        log(
+            f"batch {batch:5d}: {per*1e3:7.2f} ms = "
+            f"{per/batch*1e9:6.0f} ns/query = {batch/per:,.0f} QPS/chip"
+        )
+
+
+if __name__ == "__main__":
+    main()
