@@ -83,8 +83,9 @@ class BatchingEngine:
             from rabitq_tpu.index.index import with_bf16_base
 
             index = with_bf16_base(index)
-        self.index = index
-        self.store = store
+        # (index, store) live in ONE attribute so a concurrent
+        # swap_index can never be observed torn by the dispatcher.
+        self._istate = (index, store)
         self.max_batch = max_batch
         self.window_s = window_ms / 1e3
         self.default_rerank = default_rerank
@@ -93,6 +94,30 @@ class BatchingEngine:
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    @property
+    def index(self):
+        return self._istate[0]
+
+    @property
+    def store(self):
+        return self._istate[1]
+
+    def swap_index(self, index, store=None) -> None:
+        """Atomically replace the served index (online reindex: build or
+        ``compact`` elsewhere, then swap — in-flight batches finish on
+        the old index, later batches see the new one; no restart, no
+        dropped requests). The store pairs with the index, so both move
+        in one assignment."""
+        assert index.dim_orig == self.index.dim_orig, (
+            "swap_index requires the query dim to stay fixed "
+            f"({index.dim_orig} != {self.index.dim_orig})"
+        )
+        if self.rerank_bf16 and store is None:
+            from rabitq_tpu.index.index import with_bf16_base
+
+            index = with_bf16_base(index)
+        self._istate = (index, store)
 
     def close(self) -> None:
         self._stop.set()
@@ -212,6 +237,9 @@ class BatchingEngine:
             from rabitq_tpu.metrics import record_search_stats
             from rabitq_tpu.store import search_with_store
 
+            # One snapshot per group: a concurrent swap_index must not
+            # split a batch across two indexes (or mismatch index/store).
+            index, store = self._istate
             rows = [r.query.shape[0] for r in reqs]
             b = sum(rows)
             # Pad to a power-of-two bucket (bounded jit cache, uniform
@@ -224,13 +252,13 @@ class BatchingEngine:
             for r in reqs:
                 q[at : at + r.query.shape[0]] = r.query
                 at += r.query.shape[0]
-            if self.store is not None:
+            if store is not None:
                 scores, ids = search_with_store(
-                    self.index, q, params, self.store, count_queries=b
+                    index, q, params, store, count_queries=b
                 )
             else:
                 scores, ids, stats = search_with_stats(
-                    self.index, jnp.asarray(q), params
+                    index, jnp.asarray(q), params
                 )
                 scores, ids = np.asarray(scores), np.asarray(ids)
                 METRICS.add_query_count(b)
@@ -260,6 +288,7 @@ def make_handler(
     default_probe: int,
     default_topk: int,
     engines: dict[str, BatchingEngine] | None = None,
+    allow_reload: bool = False,
 ):
     """Request handler over one default engine plus an optional named
     registry (multi-index routing, beyond the reference's single-index
@@ -319,7 +348,47 @@ def make_handler(
             else:
                 self._send(404, "not found")
 
+        def _admin_reload(self):
+            """POST /admin/reload {"dir": path[, "index": name]} — load a
+            freshly built/compacted index dir and swap it into the named
+            engine without dropping requests (engine.swap_index). Gated
+            behind --allow-reload: it reads server-side paths."""
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if length > MAX_BODY_BYTES:
+                    self._send(413, "body too large")
+                    return
+                payload = json.loads(self.rfile.read(length))
+                name = payload.get("index")
+                eng = engine if name is None else registry.get(name)
+                if eng is None:
+                    self._send(404, json.dumps(
+                        dict(error=f"unknown index {name!r}")),
+                        "application/json")
+                    return
+                from rabitq_tpu.index.serialize import load_from_dir
+
+                new_index = load_from_dir(payload["dir"])
+                eng.swap_index(new_index)
+                self._send(
+                    200,
+                    json.dumps(dict(ok=True, n=int(new_index.n))),
+                    "application/json",
+                )
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._send(400, json.dumps(dict(error=str(e))),
+                           "application/json")
+            except Exception as e:
+                self._send(500, json.dumps(dict(error=str(e))),
+                           "application/json")
+
         def do_POST(self):
+            if self.path == "/admin/reload":
+                if not allow_reload:
+                    self._send(403, "reload disabled")
+                    return
+                self._admin_reload()
+                return
             eng, endpoint = self._route()
             if eng is None:
                 return
@@ -490,6 +559,7 @@ def serve(
     rerank_bf16=False,
     extra_indexes: dict[str, object] | None = None,
     default_name: str = "default",
+    allow_reload: bool = False,
 ):
     """Serve one default index (optionally store-tiered) plus any number
     of named device-resident extras (multi-index routing: POST
@@ -511,14 +581,23 @@ def serve(
     # requests don't eat the jit latency.
     logger.info("warming up (first compile)...")
     for eng in engines.values():
+        # Generous timeout: the first substantial device interaction of a
+        # process can stall for minutes on some TPU runtimes (observed on
+        # the tunneled dev chip) on top of the compile itself — a 120 s
+        # warmup timeout would crash the server before it ever serves.
         eng.submit(
             np.zeros(eng.index.dim_orig, np.float32),
             default_topk,
             default_probe,
+            timeout_s=1800.0,
         )
     logger.info("warm")
     handler = make_handler(
-        engine, default_probe, default_topk, engines=engines
+        engine,
+        default_probe,
+        default_topk,
+        engines=engines,
+        allow_reload=allow_reload,
     )
     server = ThreadingHTTPServer((host, port), handler)
 
@@ -588,6 +667,13 @@ def main(argv=None):
         "instead (SigV4, store/sigv4.py)",
     )
     ap.add_argument("--cache-db", default=None, help="sqlite block cache path")
+    ap.add_argument(
+        "--allow-reload",
+        action="store_true",
+        help="enable POST /admin/reload {dir[, index]}: hot-swap a newly "
+        "built/compacted index dir into a running engine (reads "
+        "server-side paths; keep off on untrusted networks)",
+    )
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--window-ms", type=float, default=2.0)
     ap.add_argument(
@@ -670,6 +756,7 @@ def main(argv=None):
         rerank_bf16=args.rerank_bf16,
         extra_indexes=extra_indexes,
         default_name=default_name,
+        allow_reload=args.allow_reload,
     )
 
 

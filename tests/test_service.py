@@ -531,3 +531,66 @@ def test_multi_index_binary_routing(multi_served):
     count = int(raw[0])
     ids = raw[1 : 1 + 2 * count : 2]
     assert ids[0] == 9
+
+
+def test_engine_swap_index_online(tmp_path):
+    """swap_index hot-swaps the served corpus between submits; the
+    admin endpoint does the same over HTTP when enabled, and 403s when
+    not."""
+    import jax
+
+    from rabitq_tpu.index.serialize import dump_to_dir
+
+    rng = np.random.default_rng(31)
+    base1, centers1 = make_clustered_dataset(rng, n=600, dim=24, k=8)
+    # Second corpus: same dim (swap requires it), shifted content.
+    base2 = base1[::-1].copy() + 10.0
+    idx1 = build_index(base1, centers1, key=jax.random.key(1))
+    idx2 = build_index(base2, centers1 + 10.0, key=jax.random.key(2))
+    dump_to_dir(idx2, tmp_path / "v2")
+
+    engine = BatchingEngine(idx1, max_batch=8, window_ms=2.0)
+    handler = make_handler(
+        engine, default_probe=8, default_topk=3, allow_reload=True
+    )
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{server.server_port}"
+    try:
+        _, ids = engine.submit(base1[5], 3, 8)
+        assert ids[0] == 5
+        # Library-level swap.
+        engine.swap_index(idx2)
+        _, ids = engine.submit(base2[7], 3, 8)
+        assert ids[0] == 7
+        # Dim mismatch is rejected.
+        bad, cbad = make_clustered_dataset(rng, n=300, dim=40, k=4)
+        import jax as _j
+
+        with pytest.raises(AssertionError):
+            engine.swap_index(build_index(bad, cbad, key=_j.random.key(3)))
+        # HTTP reload back to v2 from disk (idempotent here).
+        req = urllib.request.Request(
+            url + "/admin/reload",
+            data=json.dumps(dict(dir=str(tmp_path / "v2"))).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            out = json.loads(resp.read())
+        assert out["ok"] and out["n"] == base2.shape[0]
+        _, ids = engine.submit(base2[9], 3, 8)
+        assert ids[0] == 9
+    finally:
+        server.shutdown()
+        engine.close()
+
+
+def test_admin_reload_disabled_by_default(served):
+    url, _ = served
+    req = urllib.request.Request(
+        url + "/admin/reload", data=b"{}",
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 403
