@@ -1,0 +1,77 @@
+"""Does better k-means move the coverage-bound recall crossing?
+
+At bits=4 the probe-32/36 recall ceiling is set by IVF coverage (true
+neighbors living outside the probed clusters) — tools/tune_select.py
+showed bits=5 and bigger rerank budgets buy nothing. The remaining
+lever on coverage is centroid QUALITY. One process, one dataset: build
+indexes from k-means runs of increasing effort and measure recall at
+fixed SearchParams.
+"""
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu import SearchParams, build_index, calculate_recall
+    from rabitq_tpu.index.search import search
+    from rabitq_tpu.kmeans import kmeans
+    from bench import _cached, ground_truth, make_dataset
+
+    assert jax.default_backend() == "tpu"
+    n, dim, k, nq, topk = 1_000_000, 128, 4096, 2048, 10
+    base, queries = _cached(
+        f"tune_ds_{n}_{dim}_1024_{nq}_s7",
+        lambda: make_dataset(n, dim, 1024, nq, seed=7),
+    )
+    (truth,) = _cached(
+        f"tune_gt_{n}_{dim}_1024_{nq}_s7_top{topk}",
+        lambda: ground_truth(base, queries, topk),
+    )
+    qd = jnp.asarray(queries)
+
+    variants = (
+        ("iters=8  sample=200k", 8, 200_000),
+        ("iters=15 sample=260k (bench default)", 15, 260_000),
+        ("iters=30 sample=500k", 30, 500_000),
+    )
+    for name, iters, cap in variants:
+        t0 = time.time()
+        centroids = kmeans(
+            base[:cap], k, iters=iters, key=jax.random.key(1)
+        )
+        t_km = time.time() - t0
+        index = build_index(
+            base, centroids, key=jax.random.key(2), bits=4, balance=1.5
+        )
+        for probe in (32, 36):
+            params = SearchParams(
+                probe=probe, topk=topk, rerank=32, select_passes=2
+            )
+            ids = np.asarray(search(index, qd, params)[1])
+            rec = float(
+                np.mean(
+                    [
+                        calculate_recall(truth[i], ids[i], topk)
+                        for i in range(nq)
+                    ]
+                )
+            )
+            log(f"{name}: probe={probe} recall@10={rec:.4f} "
+                f"(kmeans {t_km:.0f}s)")
+
+
+if __name__ == "__main__":
+    main()
