@@ -366,6 +366,15 @@ def make_handler(
                         dict(error=f"unknown index {name!r}")),
                         "application/json")
                     return
+                if eng.store is not None:
+                    # Reloading would silently flip a store-tier engine
+                    # to device-mode (load_from_dir keeps the base while
+                    # the old store pairs with the OLD row order).
+                    # Restart with the new dir + store config instead.
+                    self._send(409, json.dumps(dict(
+                        error="reload unsupported on store-tier engines"
+                    )), "application/json")
+                    return
                 from rabitq_tpu.index.serialize import load_from_dir
 
                 new_index = load_from_dir(payload["dir"])

@@ -594,3 +594,41 @@ def test_admin_reload_disabled_by_default(served):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req)
     assert ei.value.code == 403
+
+
+def test_admin_reload_rejected_on_store_tier(tmp_path):
+    """Reload would silently flip a store-tier engine to device mode
+    (and the old store pairs with the old row order) — 409 instead."""
+    import jax
+
+    from rabitq_tpu.index.serialize import dump_to_dir, load_from_dir
+    from rabitq_tpu.store import MmapStore
+
+    rng = np.random.default_rng(41)
+    base, centers = make_clustered_dataset(rng, n=500, dim=24, k=8)
+    idx = build_index(base, centers, key=jax.random.key(1))
+    dump_to_dir(idx, tmp_path / "v1")
+    lean = load_from_dir(tmp_path / "v1", keep_base=False)
+    store = MmapStore(tmp_path / "v1" / "base.fvecs")
+    engine = BatchingEngine(lean, store=store, max_batch=4, window_ms=2.0)
+    handler = make_handler(
+        engine, default_probe=8, default_topk=3, allow_reload=True
+    )
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{server.server_port}"
+    try:
+        req = urllib.request.Request(
+            url + "/admin/reload",
+            data=json.dumps(dict(dir=str(tmp_path / "v1"))).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 409
+        # Engine still serves correctly through its store.
+        _, ids = engine.submit(base[3], 3, 8)
+        assert ids[0] == 3
+    finally:
+        server.shutdown()
+        engine.close()
