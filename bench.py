@@ -232,6 +232,7 @@ def bench_deep10m(args):
     index = build_index(
         base, centroids, key=jax.random.key(2), keep_base=False,
         bits=args.bits, balance=args.balance or 1.5,
+        spill=args.spill or 0.0,
     )
     build_s = time.time() - t0
     log(f"built in {build_s:.1f}s (capacity={index.capacity})")
@@ -368,6 +369,19 @@ def main():
         "budget (and the candidate-selection width) shrinks ~4x at 4",
     )
     ap.add_argument(
+        "--spill",
+        type=float,
+        default=None,
+        help="multi-assignment fraction (build_index(spill=...)): index "
+        "this fraction of the most boundary-ambiguous vectors in their "
+        "runner-up cluster too — raises IVF coverage per probe (the "
+        "binding recall constraint at the QPS crossing) for ~spill x "
+        "extra code/base memory at UNCHANGED scan time (copies are "
+        "capacity-quota'd). Default: 0.2 for the sift config (measured "
+        "A/B, tools/spill_ab.py: the 0.95 crossing moves probe 32 -> 28 "
+        "at +0.6pt recall margin), 0 elsewhere",
+    )
+    ap.add_argument(
         "--rerank",
         type=int,
         default=None,
@@ -437,6 +451,8 @@ def main():
     args.topk = topk
     if args.balance is None:
         args.balance = 2.0 if args.config == "blobs" else 1.5
+    if args.spill is None:
+        args.spill = 0.2 if args.config == "sift" and not args.quick else 0.0
 
     # Absorb the environment's first-device-op stall (observed up to
     # minutes) on a throwaway op so phase timings below are honest.
@@ -464,7 +480,7 @@ def main():
     t0 = time.time()
     index = build_index(
         base, centroids, key=jax.random.key(2), bits=args.bits,
-        balance=args.balance,
+        balance=args.balance, spill=args.spill,
     )
     if args.rerank_bf16:
         from rabitq_tpu.index.index import with_bf16_base
@@ -503,7 +519,8 @@ def main():
     # The tail probes only run when the target recall hasn't been hit —
     # near-duplicate-heavy corpora (blobs) need deep probes.
     for probe in (
-        4, 8, 16, 24, 32, 36, 40, 48, 64, 80, 96, 128, 192, 256, 384, 512,
+        4, 8, 16, 24, 28, 32, 36, 40, 48, 64, 80, 96, 128, 192, 256, 384,
+        512,
     ):
         if probe > k:
             break

@@ -49,6 +49,7 @@ def _load_or_build(args) -> "object":
         centroids,
         key=jax.random.key(args.seed),
         bits=getattr(args, "bits", 1),
+        spill=getattr(args, "spill", 0.0),
     )
     log.info("saving index to %s", saved)
     dump_to_dir(index, saved)
@@ -250,6 +251,15 @@ def main(argv=None) -> None:
             help="residual code bits/dim (1 = reference-compatible sign "
             "codes; >1 = extended grid codes, ~2^(bits-1)x lower "
             "estimator error at identical scan cost)",
+        )
+        p.add_argument(
+            "--spill",
+            type=float,
+            default=0.0,
+            help="multi-assignment fraction: additionally index this "
+            "fraction of the most boundary-ambiguous vectors in their "
+            "runner-up cluster (raises IVF coverage per probe for ~spill"
+            "x extra memory; queries dedup ids automatically)",
         )
 
     p_run = sub.add_parser("run", help="build-or-load index and evaluate")

@@ -352,6 +352,7 @@ def build_index(
     split: bool = True,
     bits: int = 1,
     device_build: bool | None = None,
+    spill: float = 0.0,
 ) -> RaBitQIndex:
     """Build a RaBitQ index from base vectors and pre-trained centroids.
 
@@ -385,6 +386,22 @@ def build_index(
                 near-duplicate corpora turning it off trades bounded
                 span for whole-pile scans (see DESIGN.md adversarial-
                 skew notes and pair with probe_rank="annulus" when on).
+    spill:      ScaNN-style multi-assignment: additionally index the
+                ``spill * n`` most boundary-ambiguous vectors (smallest
+                second-to-first centroid distance ratio) in their runner-up
+                cluster. Each copy gets its own residual code vs its own
+                centroid; map_ids then carries duplicate ids and the query
+                pipeline suppresses (distance, id) duplicates before the
+                final top-k (index.dedup_ids). Raises IVF coverage per
+                probe — the binding recall constraint at the QPS crossing —
+                for ~spill x extra code/base memory. Scan time is
+                unchanged: copies are admitted per cluster only up to the
+                UNSPILLED capacity (the kernel scans a fixed
+                scan_span(capacity) window per probed cluster either
+                way), so over-quota picks are dropped, least-ambiguous
+                first. Duplicate copies do occupy rerank slots — budget
+                ~1.5-2x the unspilled rerank at equal recall. 0 = off
+                (reference behavior).
     device_build: force (True) or forbid (False) the device-resident build
                 path: the padded corpus is uploaded ONCE and both passes
                 run as on-device scans, with the blob assembled on device
@@ -437,9 +454,10 @@ def build_index(
     #   streaming: chunked host loop with bounded in-flight dispatch, for
     #     corpora whose build working set exceeds one device's HBM (the
     #     host-store tier's raison d'etre).
+    assert 0.0 <= spill <= 1.0, spill
     n_chunks = -(-n // chunk)
     n_pad = n_chunks * chunk
-    top = 4 if balance else 1
+    top = 4 if (balance or spill > 0) else 1
     w_words = (dim // 32) * bits
     x_bytes = 4 * n_pad * dim
     code_bytes = 4 * n_pad * w_words
@@ -526,6 +544,120 @@ def build_index(
     )
     t_phase = _time.perf_counter()
 
+    # Multi-assignment spill: quantize the most boundary-ambiguous rows a
+    # SECOND time against their runner-up centroid (for rows the balancer
+    # evicted, the runner-up is their true nearest). The extended row set
+    # (duplicate ids) flows through the cluster-sort / blob assembly
+    # unchanged; queries suppress (distance, id) duplicates at top-k.
+    orig_of = np.arange(n, dtype=np.int32)
+    n_spill = min(n, int(round(spill * n))) if (spill > 0 and k >= 2) else 0
+    cap_unspilled = None
+    if n_spill > 0:
+        moved = cand_labels[:, 0] != labels
+        sec_lab = np.where(moved, cand_labels[:, 0], cand_labels[:, 1])
+        sec_dist = np.where(moved, cand_dists[:, 0], cand_dists[:, 1])
+        ratio = sec_dist / np.maximum(cand_dists[:, 0], _MIN_NORMAL_F32)
+        pick = np.argpartition(ratio, n_spill - 1)[:n_spill].astype(np.int32)
+        # Capacity-preserving quota: on the kernel path every probed
+        # cluster scans a fixed span = scan_span(capacity) window, so
+        # spill is scan-time FREE exactly while capacity stays at the
+        # unspilled value (measured: unquota'd spill=0.2 doubled
+        # capacity 512 -> 1024 on a 100k/256 build, doubling scan cost).
+        # Admit picks most-ambiguous-first, per target cluster, only up
+        # to the unspilled capacity; drop the remainder.
+        sizes0 = np.bincount(labels, minlength=k)
+        cap_unspilled = max(
+            LANES, round_up(int(sizes0.max(initial=1)), LANES)
+        )
+        if balance and split:
+            cap_unspilled = min(
+                cap_unspilled,
+                max(
+                    LANES,
+                    round_up(int(np.ceil(balance * n / k)), LANES),
+                ),
+            )
+        pick = pick[np.argsort(ratio[pick], kind="stable")]
+        tgt = sec_lab[pick]
+        quota = np.maximum(cap_unspilled - sizes0, 0)
+        # Per-cluster arrival rank (stable sort keeps ambiguity order
+        # within a cluster): rank j is admitted iff j < quota[cluster].
+        srt = np.argsort(tgt, kind="stable")
+        t_s = tgt[srt]
+        idx = np.arange(t_s.size)
+        grp_start = np.maximum.accumulate(
+            np.where(np.r_[True, t_s[1:] != t_s[:-1]], idx, 0)
+        )
+        arrival = np.empty(t_s.size, dtype=np.int64)
+        arrival[srt] = idx - grp_start
+        keep = arrival < quota[tgt]
+        if not keep.all():
+            logger.info(
+                "build: spill quota dropped %d/%d picks (capacity %d)",
+                int(pick.size - keep.sum()),
+                pick.size,
+                cap_unspilled,
+            )
+        pick = pick[keep]
+        n_spill = int(pick.size)
+    if n_spill > 0:
+        s_pad = -(-n_spill // chunk) * chunk
+        pick_pad = np.pad(pick, (0, s_pad - n_spill))
+        lab_spill = np.pad(sec_lab[pick], (0, s_pad - n_spill)).astype(
+            np.int32
+        )
+        if device_build:
+            x_sp = jnp.take(x_all, jnp.asarray(pick_pad), axis=0)
+            cd_sp, code_sp, fac_sp = _quantize_all(
+                x_sp,
+                jnp.asarray(lab_spill),
+                p,
+                centroids_rot,
+                dim,
+                bits,
+                chunk,
+            )
+            cdists = np.concatenate([cdists, np.asarray(cd_sp[:n_spill])])
+            codes_dev = jnp.concatenate(
+                [codes_dev[:n], code_sp[:n_spill]]
+            )
+            factors_dev = jnp.concatenate(
+                [factors_dev[:n], fac_sp[:n_spill]]
+            )
+            del x_sp, cd_sp, code_sp, fac_sp
+        else:
+            pend = []
+            for s in range(0, s_pad, chunk):
+                x = pad_last_dim(base[pick_pad[s : s + chunk]], dim)
+                pend.append(
+                    _build_chunk(
+                        jnp.asarray(x),
+                        jnp.asarray(lab_spill[s : s + chunk]),
+                        p,
+                        centroids_rot,
+                        dim,
+                        bits,
+                    )
+                )
+            cdists = np.concatenate(
+                [cdists, np.asarray(jnp.concatenate([o[0] for o in pend]))[:n_spill]]
+            )
+            codes = np.concatenate(
+                [codes, np.asarray(jnp.concatenate([o[1] for o in pend]))[:n_spill]]
+            )
+            factors = np.concatenate(
+                [factors, np.asarray(jnp.concatenate([o[2] for o in pend]))[:n_spill]]
+            )
+            del pend
+        labels = np.concatenate([labels, sec_lab[pick]])
+        orig_of = np.concatenate([orig_of, pick])
+        logger.info(
+            "build: spilled %d rows in %.1fs",
+            n_spill,
+            _time.perf_counter() - t_phase,
+        )
+        t_phase = _time.perf_counter()
+
     # Cluster-sort on host: within each cluster order by centroid distance
     # ascending (rabitq.rs:232-252) so early rerank candidates tighten the
     # threshold fast and truncated scans drop the farthest vectors first.
@@ -544,9 +676,17 @@ def build_index(
         # duplicated centroids instead of letting one hot cluster set
         # the scan span for everything (observed: a 48k-row cluster on
         # the Zipf blobs bench -> 376-tile windows for every probe).
-        cap_target = max(
-            LANES, round_up(int(np.ceil(balance * n / k)), LANES)
-        )
+        if cap_unspilled is not None:
+            # Spilled build: the quota filter above already bounded every
+            # cluster at the unspilled capacity; keep the split target
+            # there too (labels.shape[0] now includes the spill copies
+            # and would inflate it).
+            cap_target = cap_unspilled
+        else:
+            cap_target = max(
+                LANES,
+                round_up(int(np.ceil(balance * labels.shape[0] / k)), LANES),
+            )
         if capacity > cap_target:
             offsets, seg_src = split_oversized_clusters(
                 offsets, cap_target
@@ -573,12 +713,18 @@ def build_index(
             capacity,
         )
         if keep_base:
-            base_sorted = jnp.take(x_all, order_dev, axis=0)
+            # Spilled copies gather the SAME original row (bitwise-equal
+            # rerank distances — the dedup pass relies on this).
+            base_sorted = jnp.take(
+                x_all, jnp.asarray(orig_of[order]), axis=0
+            )
         jax.block_until_ready(blob)
         del codes_dev, factors_dev, order_dev, x_all
     else:
         if keep_base:
-            base_sorted = jnp.asarray(pad_last_dim(base[order], dim))
+            base_sorted = jnp.asarray(
+                pad_last_dim(base[orig_of[order]], dim)
+            )
         blob = jnp.asarray(make_blob(codes[order], factors[order], capacity))
     logger.info(
         "build: sort+%s %.1fs (total %.1fs)",
@@ -593,7 +739,7 @@ def build_index(
         RaBitQIndex(
             blob=blob,
             offsets=jnp.asarray(offsets),
-            map_ids=jnp.asarray(order),
+            map_ids=jnp.asarray(orig_of[order]),
             centroids_rot=centroids_rot,
             orthogonal=p,
             rand_bias=rand_bias,
@@ -603,5 +749,6 @@ def build_index(
             capacity=capacity,
             metric=metric,
             code_bits=bits,
+            dedup_ids=n_spill > 0,
         )
     )

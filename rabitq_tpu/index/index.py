@@ -91,6 +91,15 @@ class RaBitQIndex:
     # the estimator error shrinks ~2^(B-1)x, cutting the rerank budget
     # (and its HBM gather, the dominant post-scan stage) by ~4x at B=4.
     code_bits: int = dataclasses.field(metadata=dict(static=True), default=1)
+    # True when the build spilled boundary vectors into a second cluster
+    # (build_index(spill=...)): map_ids then contains duplicate ids (one
+    # per copy) and the query pipeline suppresses all-but-one of any
+    # (exact distance, id) pair before the final top-k. The reference has
+    # no multi-assignment; this is the ScaNN-style coverage lever for the
+    # IVF-coverage-bound recall regime (see DESIGN.md).
+    dedup_ids: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
+    )
 
     @property
     def n(self) -> int:
@@ -190,7 +199,14 @@ jax.tree_util.register_dataclass(
         "factors_tiled",
         "base_bf16",
     ],
-    meta_fields=["dim", "dim_orig", "capacity", "metric", "code_bits"],
+    meta_fields=[
+        "dim",
+        "dim_orig",
+        "capacity",
+        "metric",
+        "code_bits",
+        "dedup_ids",
+    ],
 )
 
 

@@ -130,7 +130,13 @@ def reconstruct_corpus(index: RaBitQIndex) -> tuple[np.ndarray, np.ndarray]:
     base = np.asarray(index.base)[:, : index.dim_orig]
     ids = np.asarray(index.map_ids)
     live = ids >= 0
-    vecs, out_ids = [base[live]], [ids[live]]
+    b, i = base[live], ids[live]
+    if index.dedup_ids:
+        # Spilled builds store boundary vectors twice (two clusters, same
+        # id); the corpus has each exactly once.
+        _, first = np.unique(i, return_index=True)
+        b, i = b[first], i[first]
+    vecs, out_ids = [b], [i]
     if index.extra_base is not None and index.extra_base.shape[0]:
         ex_ids = np.asarray(index.extra_ids)
         ex_live = ex_ids >= 0
@@ -157,12 +163,21 @@ def compact(
             precision=jax.lax.Precision.HIGHEST,
         )
     )[:, : index.dim_orig]
+    # Spilled indexes stay spilled through compaction: re-apply the
+    # observed duplicate fraction of the live quantized rows.
+    spill = 0.0
+    if index.dedup_ids:
+        ids_q = np.asarray(index.map_ids)
+        ids_q = ids_q[ids_q >= 0]
+        n_unique = np.unique(ids_q).shape[0]
+        spill = (ids_q.shape[0] - n_unique) / max(n_unique, 1)
     new_index = build_index(
         vectors,
         centroids,
         key=key if key is not None else jax.random.key(0),
         metric=index.metric,
         bits=index.code_bits,
+        spill=spill,
     )
     # build_index numbers input rows 0..n-1; re-map to the original ids.
     new_index = dataclasses.replace(

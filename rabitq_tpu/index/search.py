@@ -554,10 +554,13 @@ def search_with_stats(
     # candidates plus live memtable entries (reference rerank.rs:87).
     precise = jnp.sum(jnp.isfinite(exact), axis=1).astype(jnp.int32)
 
-    neg_d, ei = jax.lax.top_k(-exact, params.topk)
-    dists = -neg_d
-    psel = jnp.take_along_axis(pos_all, ei, axis=-1)
-    ids = _pos_to_ids(index, psel, dists)
+    if index.dedup_ids:
+        dists, ids, _ = _dedup_topk(index, exact, pos_all, params.topk)
+    else:
+        neg_d, ei = jax.lax.top_k(-exact, params.topk)
+        dists = -neg_d
+        psel = jnp.take_along_axis(pos_all, ei, axis=-1)
+        ids = _pos_to_ids(index, psel, dists)
     return dists, ids, SearchStats(rough=cand.n_scanned, precise=precise)
 
 
@@ -637,19 +640,62 @@ def _exact_rerank(
     return exact, pos_all
 
 
+def _raw_ids(index: RaBitQIndex, pos: jax.Array) -> jax.Array:
+    """Map cluster-sorted positions (incl. memtable virtual positions
+    >= n) to original ids, no validity masking."""
+    n = index.n
+    ids = index.map_ids[jnp.minimum(pos, n - 1)]
+    if index.extra_base is not None and index.extra_base.shape[0] > 0:
+        ids = jnp.where(
+            pos >= n, index.extra_ids[jnp.maximum(pos - n, 0)], ids
+        )
+    return ids
+
+
 def _pos_to_ids(
     index: RaBitQIndex, psel: jax.Array, dists: jax.Array
 ) -> jax.Array:
-    """Map cluster-sorted positions (incl. memtable virtual positions
-    >= n) to original ids; slots with non-finite distance become -1.
-    Gathers only the [B, topk] winners, not every rerank candidate."""
-    n = index.n
-    ids = index.map_ids[jnp.minimum(psel, n - 1)]
-    if index.extra_base is not None and index.extra_base.shape[0] > 0:
-        ids = jnp.where(
-            psel >= n, index.extra_ids[jnp.maximum(psel - n, 0)], ids
-        )
-    return jnp.where(jnp.isfinite(dists), ids, -1)
+    """Map cluster-sorted positions to original ids; slots with non-finite
+    distance become -1. Gathers only the [B, topk] winners, not every
+    rerank candidate."""
+    return jnp.where(jnp.isfinite(dists), _raw_ids(index, psel), -1)
+
+
+def _dedup_topk(
+    index: RaBitQIndex, vals: jax.Array, pos: jax.Array, topk: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Top-k with id-dedup, over the top-2k winners only.
+
+    A spilled build (build_index(spill=...)) indexes boundary vectors in
+    two clusters, so the same id can reach the rerank twice. Each id has
+    at most 2 copies among ``vals``, so by counting, the best copy of the
+    j-th best distinct id ranks within the top 2j-1 entries — deduping
+    the top 2*topk winners is exact, and only those [B, 2k] winners pay
+    the map_ids element gather (~10 ns/element; a full-width [B, R]
+    gather would cost more than the duplicates it saves). Sorting
+    lexicographically by (id, value) makes each id's copies adjacent
+    best-first; all-but-the-first of each id run is forced to +inf, then
+    a value re-sort yields the final ranking. Invalid slots carry +inf
+    values throughout and map to id -1 at the end.
+
+    Returns (dists [B, topk], ids [B, topk], pos [B, topk]).
+    """
+    m = min(2 * topk, vals.shape[-1])
+    neg, ei = jax.lax.top_k(-vals, m)
+    v = -neg
+    p = jnp.take_along_axis(pos, ei, axis=-1)
+    ids = _raw_ids(index, p)
+    i_s, v_s, p_s = jax.lax.sort((ids, v, p), dimension=-1, num_keys=2)
+    dup = i_s[:, 1:] == i_s[:, :-1]
+    v_s = jnp.concatenate(
+        [v_s[:, :1], jnp.where(dup, jnp.inf, v_s[:, 1:])], axis=1
+    )
+    v_f, i_f, p_f = jax.lax.sort(
+        (v_s, i_s, p_s), dimension=-1, num_keys=1
+    )
+    dists = v_f[:, :topk]
+    ids = jnp.where(jnp.isfinite(dists), i_f[:, :topk], -1)
+    return dists, ids, p_f[:, :topk]
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -745,7 +791,9 @@ def _adaptive_level(
     Scans ONLY clusters ranked [params.probe_lo, params.probe), reranks
     the new candidates exactly, merges them with the previous level's
     top-k (new clusters are disjoint from previously scanned ones, so no
-    dedup is needed), and certifies against all top-probe clusters. The
+    dedup is needed — except on spilled indexes, where a vector's second
+    copy can arrive at a later level and is suppressed by id), and
+    certifies against all top-probe clusters. The
     memtable joins at the first level only — later levels merely add
     candidates, so anything it didn't place then never places later.
     Returns (dists, pos, safe).
@@ -757,9 +805,15 @@ def _adaptive_level(
     )
     all_d = jnp.concatenate([prev_dists, exact], axis=1)
     all_p = jnp.concatenate([prev_pos, pos_all], axis=1)
-    neg_d, ei = jax.lax.top_k(-all_d, params.topk)
-    dists = -neg_d
-    pos = jnp.take_along_axis(all_p, ei, axis=-1)
+    if index.dedup_ids:
+        # <= 2 copies per id here too: the previous level's top-k holds
+        # each id once, and newly scanned clusters are disjoint from
+        # previously scanned ones (a copy can't arrive twice).
+        dists, _, pos = _dedup_topk(index, all_d, all_p, params.topk)
+    else:
+        neg_d, ei = jax.lax.top_k(-all_d, params.topk)
+        dists = -neg_d
+        pos = jnp.take_along_axis(all_p, ei, axis=-1)
 
     y = rotate(q_pad, index.orthogonal)
     safe = _certificate_safe(

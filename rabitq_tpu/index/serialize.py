@@ -99,6 +99,7 @@ def dump_to_dir(index: RaBitQIndex, path: str | Path) -> None:
                 capacity=index.capacity,
                 metric=index.metric,
                 code_bits=index.code_bits,
+                dedup_ids=index.dedup_ids,
                 rand_bias=np.asarray(index.rand_bias).tolist(),
             )
         )
@@ -127,6 +128,7 @@ def load_from_dir(
 
     metric = "l2"
     code_bits = 1
+    dedup_ids = False
     meta_path = path / _META
     if meta_path.exists():
         meta = json.loads(meta_path.read_text())
@@ -135,6 +137,7 @@ def load_from_dir(
         capacity = int(meta["capacity"])
         metric = meta.get("metric", "l2")
         code_bits = int(meta.get("code_bits", 1))
+        dedup_ids = bool(meta.get("dedup_ids", False))
     else:
         # Reference-built dir: regenerate like rabitq.rs:119.
         rand_bias = jax.random.uniform(
@@ -174,6 +177,7 @@ def load_from_dir(
         capacity=capacity,
         metric=metric,
         code_bits=code_bits,
+        dedup_ids=dedup_ids,
     ))
 
 
@@ -197,6 +201,7 @@ def dump_to_json(index: RaBitQIndex, path: str | Path) -> None:
         factors=np.asarray(index.factors).tolist(),
         metric=index.metric,
         code_bits=index.code_bits,
+        dedup_ids=index.dedup_ids,
     )
     if index.extra_base is not None and index.extra_base.shape[0]:
         payload["extra_base"] = np.asarray(index.extra_base).tolist()
@@ -223,6 +228,7 @@ def load_from_json(path: str | Path) -> RaBitQIndex:
         capacity=capacity,
         metric=z.get("metric", "l2"),
         code_bits=int(z.get("code_bits", 1)),
+        dedup_ids=bool(z.get("dedup_ids", False)),
         extra_base=(
             jnp.asarray(np.asarray(z["extra_base"], np.float32))
             if "extra_base" in z
@@ -247,7 +253,13 @@ def dump_to_npz(index: RaBitQIndex, path: str | Path) -> None:
         orthogonal=np.asarray(index.orthogonal),
         rand_bias=np.asarray(index.rand_bias),
         meta=np.asarray(
-            [index.dim, index.dim_orig, index.capacity, index.code_bits]
+            [
+                index.dim,
+                index.dim_orig,
+                index.capacity,
+                index.code_bits,
+                int(index.dedup_ids),
+            ]
         ),
         metric=np.asarray(index.metric),
     )
@@ -264,6 +276,7 @@ def load_from_npz(path: str | Path, *, keep_base: bool = True) -> RaBitQIndex:
         meta = [int(v) for v in z["meta"]]
         dim, dim_orig, capacity = meta[:3]
         code_bits = meta[3] if len(meta) > 3 else 1  # pre-multibit npz
+        dedup_ids = bool(meta[4]) if len(meta) > 4 else False
         base = None
         if keep_base and "base" in z:
             base = jnp.asarray(z["base"])
@@ -284,6 +297,7 @@ def load_from_npz(path: str | Path, *, keep_base: bool = True) -> RaBitQIndex:
             dim=dim,
             dim_orig=dim_orig,
             capacity=capacity,
+            dedup_ids=dedup_ids,
             metric=str(z["metric"]) if "metric" in z else "l2",
             code_bits=code_bits,
         ))

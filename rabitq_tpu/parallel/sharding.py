@@ -199,6 +199,7 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
         capacity=index.capacity,
         metric=index.metric,
         code_bits=index.code_bits,
+        dedup_ids=index.dedup_ids,
     )
 
 
@@ -228,7 +229,9 @@ def _local_params(
 
 
 @functools.lru_cache(maxsize=64)
-def _make_sharded_fn(mesh: Mesh, treedef, lp: SearchParams, topk: int):
+def _make_sharded_fn(
+    mesh: Mesh, treedef, lp: SearchParams, topk: int, dedup: bool = False
+):
     """Build (and cache) the jitted distributed-search executable for a
     given mesh / index structure / params — a fresh closure per call would
     recompile every time."""
@@ -254,6 +257,17 @@ def _make_sharded_fn(mesh: Mesh, treedef, lp: SearchParams, topk: int):
         b = q.shape[0]
         d_flat = d_all.transpose(1, 0, 2).reshape(b, s * lp.topk)
         i_flat = i_all.transpose(1, 0, 2).reshape(b, s * lp.topk)
+        if dedup:
+            # Spilled indexes: a vector's two copies can land on
+            # different shards, so each id keeps only its best-valued
+            # entry across the merged lists (invalid slots are id -1
+            # with +inf distance — suppressing their run is harmless).
+            i_s, d_s = jax.lax.sort((i_flat, d_flat), num_keys=2)
+            run = i_s[:, 1:] == i_s[:, :-1]
+            d_flat = jnp.concatenate(
+                [d_s[:, :1], jnp.where(run, jnp.inf, d_s[:, 1:])], axis=1
+            )
+            i_flat = i_s
         neg, sel = jax.lax.top_k(-d_flat, topk)
         ids = jnp.take_along_axis(i_flat, sel, axis=-1)
         return -neg, jnp.where(jnp.isfinite(-neg), ids, -1)
@@ -286,7 +300,9 @@ def sharded_search(
     k_local = sindex.offsets.shape[1] - 1
     lp = _local_params(params, s, k_local, exact)
     treedef = jax.tree_util.tree_structure(sindex)
-    merged = _make_sharded_fn(mesh, treedef, lp, params.topk)
+    merged = _make_sharded_fn(
+        mesh, treedef, lp, params.topk, sindex.dedup_ids
+    )
     return merged(sindex, queries)
 
 
@@ -399,6 +415,19 @@ def sharded_search_with_store(
             [cand_ids, np.broadcast_to(ex_ids[None, :], ex_d.shape)],
             axis=1,
         )
+
+    if sindex.dedup_ids:
+        # Spilled indexes: keep each id's best candidate across shards
+        # ((id, distance) lexicographic via two stable sorts; suppress
+        # all-but-the-first of each id run). Pad ids are -1 with +inf.
+        o1 = np.argsort(exact, axis=1, kind="stable")
+        exact = np.take_along_axis(exact, o1, axis=1)
+        cand_ids = np.take_along_axis(cand_ids, o1, axis=1)
+        o2 = np.argsort(cand_ids, axis=1, kind="stable")
+        exact = np.take_along_axis(exact, o2, axis=1)
+        cand_ids = np.take_along_axis(cand_ids, o2, axis=1)
+        dup = cand_ids[:, 1:] == cand_ids[:, :-1]
+        exact[:, 1:][dup] = np.inf
 
     sel = np.argsort(exact, axis=1)[:, : params.topk]
     dists = np.take_along_axis(exact, sel, axis=1)

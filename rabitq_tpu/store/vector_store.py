@@ -420,6 +420,19 @@ def search_with_store(
             [cand_ids, np.broadcast_to(ex_ids[None, :], ex_d.shape)], axis=1
         )
 
+    if getattr(index, "dedup_ids", False):
+        # Spilled indexes (build_index(spill=...)): the same id can reach
+        # the rerank twice. Keep each id's best candidate: stable-sort by
+        # distance then by id ((id, distance) lexicographic), suppress
+        # all-but-the-first of each id run.
+        o1 = np.argsort(exact, axis=1, kind="stable")
+        exact = np.take_along_axis(exact, o1, axis=1)
+        cand_ids = np.take_along_axis(cand_ids, o1, axis=1)
+        o2 = np.argsort(cand_ids, axis=1, kind="stable")
+        exact = np.take_along_axis(exact, o2, axis=1)
+        cand_ids = np.take_along_axis(cand_ids, o2, axis=1)
+        dup = cand_ids[:, 1:] == cand_ids[:, :-1]
+        exact[:, 1:][dup] = np.inf
     sel = np.argsort(exact, axis=1)[:, : params.topk]
     dists = np.take_along_axis(exact, sel, axis=1)
     ids = np.take_along_axis(cand_ids, sel, axis=1)

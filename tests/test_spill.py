@@ -1,0 +1,244 @@
+"""Multi-assignment spill (build_index(spill=...)) + id-dedup pipeline.
+
+The reference has no multi-assignment; spill is the framework's coverage
+lever for the IVF-coverage-bound recall regime (a boundary vector is
+additionally indexed in its runner-up cluster, and the query pipeline
+keeps only the best-valued copy of each id).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import brute_force_topk, make_clustered_dataset
+from rabitq_tpu import (
+    SearchParams,
+    build_index,
+    calculate_recall,
+    compact,
+    delete,
+    insert,
+    search,
+    update,
+)
+from rabitq_tpu.index.search import search_adaptive
+from rabitq_tpu.index.serialize import dump_to_dir, load_from_dir
+
+
+def _search_ids(idx, queries, params):
+    d, ids = search(idx, jnp.asarray(queries), params)
+    return np.asarray(d), np.asarray(ids)
+
+
+def test_spill_build_shapes(rng):
+    base, centers = make_clustered_dataset(rng, n=1000, dim=32, k=8)
+    idx = build_index(base, centers, key=jax.random.key(0), spill=0.25)
+    assert idx.dedup_ids
+    ids = np.asarray(idx.map_ids)
+    assert ids.shape[0] == 1250
+    # Every id present; exactly 250 ids appear twice, in DIFFERENT clusters.
+    uniq, counts = np.unique(ids, return_counts=True)
+    assert uniq.shape[0] == 1000 and counts.max() == 2
+    assert (counts == 2).sum() == 250
+    off = np.asarray(idx.offsets)
+    row_cluster = np.searchsorted(off, np.arange(ids.shape[0]), side="right")
+    for dup_id in uniq[counts == 2][:20]:
+        rows = np.nonzero(ids == dup_id)[0]
+        assert row_cluster[rows[0]] != row_cluster[rows[1]]
+    # Both copies store the same full-precision row.
+    b = np.asarray(idx.base)
+    for dup_id in uniq[counts == 2][:5]:
+        rows = np.nonzero(ids == dup_id)[0]
+        np.testing.assert_array_equal(b[rows[0]], b[rows[1]])
+
+
+def test_spill_no_duplicate_results(rng):
+    base, centers = make_clustered_dataset(rng, n=800, dim=32, k=8)
+    idx = build_index(base, centers, key=jax.random.key(1), spill=0.5)
+    params = SearchParams(probe=8, topk=10, rerank=120)
+    d, ids = _search_ids(idx, base[:64], params)
+    for row in ids:
+        live = row[row >= 0]
+        assert np.unique(live).shape[0] == live.shape[0], row
+    # Self-query still finds itself first.
+    assert (ids[:, 0] == np.arange(64)).all()
+
+
+def test_spill_zero_is_identity(rng):
+    base, centers = make_clustered_dataset(rng, n=500, dim=32, k=8)
+    a = build_index(base, centers, key=jax.random.key(2), spill=0.0)
+    b = build_index(base, centers, key=jax.random.key(2))
+    assert not a.dedup_ids
+    np.testing.assert_array_equal(np.asarray(a.map_ids), np.asarray(b.map_ids))
+    params = SearchParams(probe=6, topk=5, rerank=60)
+    da, ia = _search_ids(a, base[:32], params)
+    db, ib = _search_ids(b, base[:32], params)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_array_equal(da, db)
+
+
+def test_spill_recall_at_low_probe(rng):
+    """Spill must not hurt recall at a coverage-starved probe; duplicate
+    suppression must not eat true neighbors."""
+    base, centers = make_clustered_dataset(
+        rng, n=3000, dim=32, k=32, spread=0.6
+    )
+    queries = (
+        base[:128] + 0.3 * rng.standard_normal((128, 32)).astype(np.float32)
+    )
+    truth = brute_force_topk(base, queries, 10)
+    params = SearchParams(probe=4, topk=10, rerank=80)
+    r = {}
+    for spill in (0.0, 0.3):
+        idx = build_index(base, centers, key=jax.random.key(3), spill=spill)
+        _, ids = _search_ids(idx, queries, params)
+        r[spill] = np.mean(
+            [
+                calculate_recall(truth[i], ids[i], 10)
+                for i in range(len(queries))
+            ]
+        )
+    assert r[0.3] >= r[0.0] - 0.005, r
+
+
+def test_spill_never_raises_capacity(rng):
+    """Spill copies are admitted per cluster only up to the UNSPILLED
+    capacity (kernel scan cost is span-per-task = f(capacity), so this
+    keeps spill scan-time free); over-quota picks are dropped."""
+    base, centers = make_clustered_dataset(
+        rng, n=4000, dim=32, k=16, spread=0.4
+    )
+    idx0 = build_index(base, centers, key=jax.random.key(11))
+    for spill in (0.2, 0.6, 1.0):
+        idx = build_index(base, centers, key=jax.random.key(11), spill=spill)
+        assert idx.capacity == idx0.capacity, (spill, idx.capacity)
+        # Quota math holds exactly: no cluster segment exceeds capacity.
+        off = np.asarray(idx.offsets)
+        assert int((off[1:] - off[:-1]).max()) <= idx.capacity
+        # ... while still admitting spill up to the requested fraction.
+        got = np.asarray(idx.map_ids).shape[0] - 4000
+        assert 0 < got <= int(round(spill * 4000)), (spill, got)
+
+
+def test_spill_streaming_matches_device_build(rng):
+    base, centers = make_clustered_dataset(rng, n=700, dim=32, k=8)
+    kw = dict(key=jax.random.key(4), spill=0.2, chunk=256)
+    a = build_index(base, centers, device_build=True, **kw)
+    b = build_index(base, centers, device_build=False, **kw)
+    np.testing.assert_array_equal(np.asarray(a.map_ids), np.asarray(b.map_ids))
+    np.testing.assert_array_equal(np.asarray(a.blob), np.asarray(b.blob))
+    np.testing.assert_array_equal(np.asarray(a.base), np.asarray(b.base))
+
+
+def test_spill_serialization_roundtrip(rng, tmp_path):
+    base, centers = make_clustered_dataset(rng, n=400, dim=32, k=8)
+    idx = build_index(base, centers, key=jax.random.key(5), spill=0.25)
+    dump_to_dir(idx, tmp_path / "idx")
+    idx2 = load_from_dir(tmp_path / "idx")
+    assert idx2.dedup_ids
+    params = SearchParams(probe=8, topk=5, rerank=60)
+    d1, i1 = _search_ids(idx, base[:16], params)
+    d2, i2 = _search_ids(idx2, base[:16], params)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+
+def test_spill_mutations(rng):
+    base, centers = make_clustered_dataset(rng, n=600, dim=32, k=8)
+    idx = build_index(base, centers, key=jax.random.key(6), spill=0.3)
+    params = SearchParams(probe=8, topk=5, rerank=80)
+
+    # delete kills BOTH copies.
+    victim = int(np.asarray(idx.map_ids)[0])
+    idx_d = delete(idx, [victim])
+    _, ids = _search_ids(idx_d, base[victim][None, :], params)
+    assert victim not in ids[0].tolist()
+
+    # update: new vector answers under the old id, old vector gone.
+    target = 42
+    new_vec = base[7] * -3.0 + 11.0
+    idx_u = update(idx, new_vec[None, :], [target])
+    _, ids = _search_ids(idx_u, new_vec[None, :], params)
+    assert ids[0, 0] == target
+    for row in np.asarray(ids):
+        live = row[row >= 0]
+        assert np.unique(live).shape[0] == live.shape[0]
+
+    # compact preserves ids, dedup flag, and the spill fraction.
+    idx_c, _ = compact(idx_u)
+    assert idx_c.dedup_ids
+    n_rows = np.asarray(idx_c.map_ids).shape[0]
+    assert 600 < n_rows <= 600 + 200  # ~0.3 spill re-applied
+    _, ids = _search_ids(idx_c, new_vec[None, :], params)
+    assert ids[0, 0] == target
+
+
+def test_spill_insert_dedups_against_memtable(rng):
+    base, centers = make_clustered_dataset(rng, n=300, dim=24, k=4)
+    idx = build_index(base, centers, key=jax.random.key(7), spill=0.3)
+    idx = insert(idx, base[:2] + 1e-5)
+    params = SearchParams(probe=4, topk=6, rerank=60)
+    _, ids = _search_ids(idx, base[:2], params)
+    for row in ids:
+        live = row[row >= 0]
+        assert np.unique(live).shape[0] == live.shape[0]
+    assert 300 in ids[0].tolist() and 0 in ids[0].tolist()
+
+
+def test_spill_adaptive_no_duplicates(rng):
+    base, centers = make_clustered_dataset(rng, n=900, dim=32, k=16)
+    idx = build_index(base, centers, key=jax.random.key(8), spill=0.4)
+    params = SearchParams(probe=2, topk=8, rerank=60)
+    d, ids, probe_used = search_adaptive(
+        idx, jnp.asarray(base[:32]), params
+    )
+    ids = np.asarray(ids)
+    for row in ids:
+        live = row[row >= 0]
+        assert np.unique(live).shape[0] == live.shape[0]
+    assert (ids[:, 0] == np.arange(32)).all()
+
+
+def test_spill_store_tier_no_duplicates(rng):
+    from rabitq_tpu.store.vector_store import DeviceStore, search_with_store
+
+    base, centers = make_clustered_dataset(rng, n=500, dim=32, k=8)
+    idx = build_index(base, centers, key=jax.random.key(9), spill=0.4)
+    import dataclasses
+
+    # Store rows follow the (spilled) cluster-sorted layout.
+    sorted_base = np.asarray(idx.base)
+    idx_nb = dataclasses.replace(idx, base=None, base_bf16=None)
+    store = DeviceStore(sorted_base)
+    params = SearchParams(probe=8, topk=6, rerank=60)
+    d, ids = search_with_store(idx_nb, base[:32], params, store)
+    for row in ids:
+        live = row[row >= 0]
+        assert np.unique(live).shape[0] == live.shape[0]
+    assert (ids[:, 0] == np.arange(32)).all()
+
+
+def test_spill_sharded_no_duplicates(rng):
+    pytest.importorskip("jax")
+    if jax.device_count() < 2:
+        pytest.skip("needs a multi-device mesh")
+    from rabitq_tpu.parallel.sharding import (
+        make_mesh,
+        shard_index,
+        sharded_search,
+    )
+
+    base, centers = make_clustered_dataset(rng, n=1200, dim=32, k=16)
+    idx = build_index(base, centers, key=jax.random.key(10), spill=0.4)
+    mesh = make_mesh(4)
+    sidx = shard_index(idx, mesh)
+    params = SearchParams(probe=8, topk=8, rerank=80)
+    d, ids = sharded_search(
+        sidx, jnp.asarray(base[:32]), params, mesh, exact=True
+    )
+    ids = np.asarray(ids)
+    for row in ids:
+        live = row[row >= 0]
+        assert np.unique(live).shape[0] == live.shape[0], row
+    assert (ids[:, 0] == np.arange(32)).all()

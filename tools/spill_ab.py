@@ -1,0 +1,150 @@
+"""Spill multi-assignment A/B on the real TPU, within one process.
+
+Builds spill=0 and spill=S indexes from the same corpus/centroids and
+interleaves (probe, rerank) combos across both, so tunnel variance
+(which invalidates cross-process comparisons) cancels. Reports the
+recall/QPS frontier shift: spill raises IVF coverage per probe at zero
+scan cost (capacity-quota'd copies), paying only extra rerank slots for
+the duplicates.
+
+Usage: python tools/spill_ab.py [--spill 0.2] [--n 1000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--bits", type=int, default=4)
+    ap.add_argument("--balance", type=float, default=1.5)
+    ap.add_argument("--spill", type=float, default=0.2)
+    ap.add_argument(
+        "--probes", type=str, default="20,24,28,32,36"
+    )
+    ap.add_argument("--reranks", type=str, default="32,64")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu import SearchParams, build_index, calculate_recall
+    from rabitq_tpu.index.search import search
+    from rabitq_tpu.kmeans import kmeans
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    from bench import _cached, ground_truth, make_dataset
+
+    nq = args.batch
+    base, queries = _cached(
+        f"tune_ds_{args.n}_{args.dim}_1024_{nq}_s{args.seed}",
+        lambda: make_dataset(args.n, args.dim, 1024, nq, seed=args.seed),
+    )
+    centroids = kmeans(
+        base[: min(args.n, 200_000)], args.k, iters=8, key=jax.random.key(1)
+    )
+    (truth,) = _cached(
+        f"tune_gt_{args.n}_{args.dim}_1024_{nq}_s{args.seed}"
+        f"_top{args.topk}",
+        lambda: ground_truth(base, queries, args.topk),
+    )
+    qd = jnp.asarray(queries)
+
+    indexes = {}
+    for s in (0.0, args.spill):
+        t0 = time.time()
+        indexes[s] = build_index(
+            base,
+            centroids,
+            key=jax.random.key(2),
+            bits=args.bits,
+            balance=args.balance,
+            spill=s,
+        )
+        log(
+            f"spill={s}: built in {time.time()-t0:.1f}s "
+            f"(capacity={indexes[s].capacity}, "
+            f"rows={indexes[s].map_ids.shape[0]})"
+        )
+
+    def timed_recall(index, params):
+        ids = np.asarray(search(index, qd, params)[1])
+        rec = float(
+            np.mean(
+                [
+                    calculate_recall(truth[i], ids[i], args.topk)
+                    for i in range(nq)
+                ]
+            )
+        )
+
+        @jax.jit
+        def loop(idx, qs):
+            def body(i, acc):
+                d, out = search(
+                    idx, qs + i.astype(jnp.float32) * 1e-6, params
+                )
+                return acc + d.sum() + out.sum().astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, args.iters, body, 0.0)
+
+        @jax.jit
+        def loop1(idx, qs):
+            d, out = search(idx, qs, params)
+            return d.sum() + out.sum().astype(jnp.float32)
+
+        _ = float(loop(index, qd))
+        _ = float(loop1(index, qd))
+        ts, t1s = [], []
+        for r in range(3):
+            qp = qd + np.float32(1e-5) * (r + 1)
+            t0 = time.time()
+            _ = float(loop(index, qp))
+            ts.append(time.time() - t0)
+            t0 = time.time()
+            _ = float(loop1(index, qp))
+            t1s.append(time.time() - t0)
+        per = (min(ts) - min(t1s)) / (args.iters - 1)
+        return rec, per
+
+    probes = [int(p) for p in args.probes.split(",")]
+    reranks = [int(r) for r in args.reranks.split(",")]
+    for probe in probes:
+        for rr in reranks:
+            p = SearchParams(
+                probe=probe,
+                topk=args.topk,
+                rerank=rr,
+                select_passes=2,
+            )
+            row = []
+            for s in (0.0, args.spill):
+                rec, per = timed_recall(indexes[s], p)
+                row.append(
+                    f"s={s}: {rec:.4f} {per*1e3:5.2f}ms "
+                    f"{args.batch/per:7,.0f}qps"
+                )
+            log(f"probe={probe:3d} rerank={rr:3d}  " + "  |  ".join(row))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,13 @@ def main():
         "sets the kernel window span)",
     )
     ap.add_argument(
+        "--spill",
+        type=float,
+        default=0.0,
+        help="build_index multi-assignment fraction (capacity-quota'd, "
+        "scan-time free; duplicates consume rerank slots)",
+    )
+    ap.add_argument(
         "--passes",
         type=int,
         default=1,
@@ -88,9 +95,12 @@ def main():
     )
     index = build_index(
         base, centroids, key=jax.random.key(2), bits=args.bits,
-        balance=args.balance,
+        balance=args.balance, spill=args.spill,
     )
-    log(f"built in {time.time()-t0:.1f}s (capacity={index.capacity})")
+    log(
+        f"built in {time.time()-t0:.1f}s (capacity={index.capacity}, "
+        f"rows={index.map_ids.shape[0]})"
+    )
     (truth,) = _cached(
         f"tune_gt_{args.n}_{args.dim}_1024_{nq}_s{args.seed}"
         f"_top{args.topk}",
