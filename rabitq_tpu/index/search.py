@@ -664,13 +664,14 @@ def _pos_to_ids(
 def _dedup_topk(
     index: RaBitQIndex, vals: jax.Array, pos: jax.Array, topk: int
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Top-k with id-dedup, over the top-2k winners only.
+    """Top-k with id-dedup, over the top-(copies*topk) winners only.
 
     A spilled build (build_index(spill=...)) indexes boundary vectors in
     two clusters, so the same id can reach the rerank twice. Each id has
-    at most 2 copies among ``vals``, so by counting, the best copy of the
-    j-th best distinct id ranks within the top 2j-1 entries — deduping
-    the top 2*topk winners is exact, and only those [B, 2k] winners pay
+    at most c copies among ``vals`` (c=2; 3 with a live memtable), so by
+    counting, the best copy of the j-th best distinct id ranks within
+    the top c(j-1)+1 entries — deduping the top c*topk winners is
+    exact, and only those [B, c*topk] winners pay
     the map_ids element gather (~10 ns/element; a full-width [B, R]
     gather would cost more than the duplicates it saves). Sorting
     lexicographically by (id, value) makes each id's copies adjacent
@@ -680,7 +681,13 @@ def _dedup_topk(
 
     Returns (dists [B, topk], ids [B, topk], pos [B, topk]).
     """
-    m = min(2 * topk, vals.shape[-1])
+    copies = 2
+    if index.extra_base is not None and index.extra_base.shape[0] > 0:
+        # A live memtable can hold a THIRD copy of an id (insert of an
+        # existing id is upsert-misuse but must not corrupt results);
+        # the counting bound then needs a 3*topk window.
+        copies = 3
+    m = min(copies * topk, vals.shape[-1])
     neg, ei = jax.lax.top_k(-vals, m)
     v = -neg
     p = jnp.take_along_axis(pos, ei, axis=-1)

@@ -186,6 +186,24 @@ def test_spill_insert_dedups_against_memtable(rng):
     assert 300 in ids[0].tolist() and 0 in ids[0].tolist()
 
 
+def test_spill_triple_copy_memtable_upsert(rng):
+    """insert() of an id that already exists (upsert-misuse; update() is
+    the API) can put a THIRD copy of an id in play on a spilled index —
+    dedup must still return each id at most once, preferring the best
+    copy."""
+    base, centers = make_clustered_dataset(rng, n=400, dim=24, k=4)
+    idx = build_index(base, centers, key=jax.random.key(12), spill=0.5)
+    # Re-insert existing ids 0..7 with slightly moved vectors (no delete).
+    moved = base[:8] + 1e-4
+    idx = insert(idx, moved, ids=np.arange(8, dtype=np.int32))
+    params = SearchParams(probe=4, topk=8, rerank=80)
+    d, ids = _search_ids(idx, base[:16], params)
+    for row in ids:
+        live = row[row >= 0]
+        assert np.unique(live).shape[0] == live.shape[0], row
+    assert (ids[:, 0] == np.arange(16)).all()
+
+
 def test_spill_adaptive_no_duplicates(rng):
     base, centers = make_clustered_dataset(rng, n=900, dim=32, k=16)
     idx = build_index(base, centers, key=jax.random.key(8), spill=0.4)

@@ -42,7 +42,16 @@ def main():
         "--probes", type=str, default="20,24,28,32,36"
     )
     ap.add_argument("--reranks", type=str, default="32,64")
+    ap.add_argument(
+        "--gist",
+        action="store_true",
+        help="use the GIST north-star shape (1M x 960, topk 100, "
+        "batch 1024, rerank 400) on the bench's cached dataset",
+    )
     args = ap.parse_args()
+    if args.gist:
+        args.dim, args.topk, args.batch = 960, 100, 1024
+        args.probes, args.reranks = "48,64,80,96", "400"
 
     import jax
     import jax.numpy as jnp
@@ -54,25 +63,49 @@ def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
     from bench import _cached, ground_truth, make_dataset
 
-    nq = args.batch
-    base, queries = _cached(
-        f"tune_ds_{args.n}_{args.dim}_1024_{nq}_s{args.seed}",
-        lambda: make_dataset(args.n, args.dim, 1024, nq, seed=args.seed),
-    )
-    centroids = kmeans(
-        base[: min(args.n, 200_000)], args.k, iters=8, key=jax.random.key(1)
-    )
-    (truth,) = _cached(
-        f"tune_gt_{args.n}_{args.dim}_1024_{nq}_s{args.seed}"
-        f"_top{args.topk}",
-        lambda: ground_truth(base, queries, args.topk),
-    )
+    if args.gist:
+        # Reuse the bench's cached GIST-shape dataset/ground-truth
+        # (generation is ~29 min/shape on this one-core box).
+        nq_ds = 4096
+        base, queries = _cached(
+            f"ds_make_dataset_{args.n}_{args.dim}_1024_{nq_ds}",
+            lambda: make_dataset(args.n, args.dim, 1024, nq_ds),
+        )
+        (truth,) = _cached(
+            f"gt_make_dataset_{args.n}_{args.dim}_1024_{nq_ds}"
+            f"_top{args.topk}",
+            lambda: ground_truth(base, queries, args.topk),
+        )
+        nq = args.batch
+        queries, truth = queries[:nq], truth[:nq]
+        centroids = kmeans(
+            base[: min(args.n, 260_000)],
+            args.k,
+            iters=8,
+            key=jax.random.key(1),
+        )
+    else:
+        nq = args.batch
+        base, queries = _cached(
+            f"tune_ds_{args.n}_{args.dim}_1024_{nq}_s{args.seed}",
+            lambda: make_dataset(args.n, args.dim, 1024, nq, seed=args.seed),
+        )
+        centroids = kmeans(
+            base[: min(args.n, 200_000)],
+            args.k,
+            iters=8,
+            key=jax.random.key(1),
+        )
+        (truth,) = _cached(
+            f"tune_gt_{args.n}_{args.dim}_1024_{nq}_s{args.seed}"
+            f"_top{args.topk}",
+            lambda: ground_truth(base, queries, args.topk),
+        )
     qd = jnp.asarray(queries)
 
-    indexes = {}
-    for s in (0.0, args.spill):
+    def build(s):
         t0 = time.time()
-        indexes[s] = build_index(
+        idx = build_index(
             base,
             centroids,
             key=jax.random.key(2),
@@ -82,9 +115,9 @@ def main():
         )
         log(
             f"spill={s}: built in {time.time()-t0:.1f}s "
-            f"(capacity={indexes[s].capacity}, "
-            f"rows={indexes[s].map_ids.shape[0]})"
+            f"(capacity={idx.capacity}, rows={idx.map_ids.shape[0]})"
         )
+        return idx
 
     def timed_recall(index, params):
         ids = np.asarray(search(index, qd, params)[1])
@@ -128,22 +161,41 @@ def main():
 
     probes = [int(p) for p in args.probes.split(",")]
     reranks = [int(r) for r in args.reranks.split(",")]
-    for probe in probes:
-        for rr in reranks:
-            p = SearchParams(
-                probe=probe,
-                topk=args.topk,
-                rerank=rr,
-                select_passes=2,
-            )
-            row = []
-            for s in (0.0, args.spill):
-                rec, per = timed_recall(indexes[s], p)
-                row.append(
-                    f"s={s}: {rec:.4f} {per*1e3:5.2f}ms "
+    combos = [(pb, rr) for pb in probes for rr in reranks]
+    if args.gist:
+        # Two 1M x 960 f32 bases (3.84 GB each) don't fit HBM together:
+        # build -> sweep -> free, sequentially within one process (still
+        # a same-process A/B — tunnel health is process-level).
+        for s in (0.0, args.spill):
+            index = build(s)
+            for probe, rr in combos:
+                p = SearchParams(
+                    probe=probe, topk=args.topk, rerank=rr, select_passes=2
+                )
+                rec, per = timed_recall(index, p)
+                log(
+                    f"s={s} probe={probe:3d} rerank={rr:3d}  "
+                    f"{rec:.4f} {per*1e3:6.2f}ms "
                     f"{args.batch/per:7,.0f}qps"
                 )
-            log(f"probe={probe:3d} rerank={rr:3d}  " + "  |  ".join(row))
+            del index
+        return
+    indexes = {s: build(s) for s in (0.0, args.spill)}
+    for probe, rr in combos:
+        p = SearchParams(
+            probe=probe,
+            topk=args.topk,
+            rerank=rr,
+            select_passes=2,
+        )
+        row = []
+        for s in (0.0, args.spill):
+            rec, per = timed_recall(indexes[s], p)
+            row.append(
+                f"s={s}: {rec:.4f} {per*1e3:5.2f}ms "
+                f"{args.batch/per:7,.0f}qps"
+            )
+        log(f"probe={probe:3d} rerank={rr:3d}  " + "  |  ".join(row))
 
 
 if __name__ == "__main__":
