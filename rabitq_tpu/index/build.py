@@ -578,32 +578,68 @@ def build_index(
                 ),
             )
         pick = pick[np.argsort(ratio[pick], kind="stable")]
-        tgt = sec_lab[pick]
         quota = np.maximum(cap_unspilled - sizes0, 0)
-        # Per-cluster arrival rank (stable sort keeps ambiguity order
-        # within a cluster): rank j is admitted iff j < quota[cluster].
-        srt = np.argsort(tgt, kind="stable")
-        t_s = tgt[srt]
-        idx = np.arange(t_s.size)
-        grp_start = np.maximum.accumulate(
-            np.where(np.r_[True, t_s[1:] != t_s[:-1]], idx, 0)
-        )
-        arrival = np.empty(t_s.size, dtype=np.int64)
-        arrival[srt] = idx - grp_start
-        keep = arrival < quota[tgt]
-        if not keep.all():
+
+        def _arrival_rank(tgt_r: np.ndarray) -> np.ndarray:
+            # Per-cluster arrival rank (stable sort keeps ambiguity order
+            # within a cluster): rank j is admitted iff j < quota[cluster].
+            srt = np.argsort(tgt_r, kind="stable")
+            t_s = tgt_r[srt]
+            idx = np.arange(t_s.size)
+            grp_start = np.maximum.accumulate(
+                np.where(np.r_[True, t_s[1:] != t_s[:-1]], idx, 0)
+            )
+            arrival = np.empty(t_s.size, dtype=np.int64)
+            arrival[srt] = idx - grp_start
+            return arrival
+
+        # Cascading admission: round 0 offers each pick its runner-up
+        # cluster (sec_lab); a pick whose target is quota-full is
+        # re-offered to its NEXT-nearest candidate cluster with room
+        # (rounds 1..top-2) instead of being dropped outright — a copy in
+        # the 3rd-nearest cluster still raises coverage, and scan time is
+        # unchanged either way (admission never exceeds the unspilled
+        # capacity). Preference order per pick: its distance-sorted
+        # top-``top`` candidate clusters minus its home cluster, with
+        # sec_lab first (for balancer-evicted rows sec_lab IS
+        # cand_labels[:, 0], so the compaction below preserves that).
+        prefs = cand_labels[pick]  # [m, top], distance-sorted
+        valid = prefs != labels[pick][:, None]
+        order = np.argsort(~valid, axis=1, kind="stable")
+        prefs = np.take_along_axis(prefs, order, axis=1)
+        nvalid = valid.sum(axis=1)
+        admitted = np.full(pick.size, -1, dtype=np.int64)
+        remaining = quota.copy()
+        per_round = []
+        for r in range(prefs.shape[1]):
+            todo = np.nonzero((admitted < 0) & (r < nvalid))[0]
+            if todo.size == 0:
+                break
+            tgt_r = prefs[todo, r]
+            keep_r = _arrival_rank(tgt_r) < remaining[tgt_r]
+            hit = todo[keep_r]
+            admitted[hit] = tgt_r[keep_r]
+            remaining -= np.bincount(
+                tgt_r[keep_r], minlength=k
+            ).astype(remaining.dtype)
+            per_round.append(int(hit.size))
+        ok = admitted >= 0
+        if not ok.all() or len(per_round) > 1:
             logger.info(
-                "build: spill quota dropped %d/%d picks (capacity %d)",
-                int(pick.size - keep.sum()),
+                "build: spill quota admitted %d/%d picks "
+                "(per cascade round %s, capacity %d)",
+                int(ok.sum()),
                 pick.size,
+                per_round,
                 cap_unspilled,
             )
-        pick = pick[keep]
+        pick = pick[ok]
+        spill_tgt = admitted[ok].astype(np.int32)
         n_spill = int(pick.size)
     if n_spill > 0:
         s_pad = -(-n_spill // chunk) * chunk
         pick_pad = np.pad(pick, (0, s_pad - n_spill))
-        lab_spill = np.pad(sec_lab[pick], (0, s_pad - n_spill)).astype(
+        lab_spill = np.pad(spill_tgt, (0, s_pad - n_spill)).astype(
             np.int32
         )
         if device_build:
@@ -649,7 +685,7 @@ def build_index(
                 [factors, np.asarray(jnp.concatenate([o[2] for o in pend]))[:n_spill]]
             )
             del pend
-        labels = np.concatenate([labels, sec_lab[pick]])
+        labels = np.concatenate([labels, spill_tgt])
         orig_of = np.concatenate([orig_of, pick])
         logger.info(
             "build: spilled %d rows in %.1fs",

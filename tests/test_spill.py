@@ -65,6 +65,55 @@ def test_spill_no_duplicate_results(rng):
     assert (ids[:, 0] == np.arange(64)).all()
 
 
+def test_spill_quota_cascade(rng):
+    """A pick whose runner-up cluster is quota-full must cascade its copy
+    to the next-nearest candidate cluster with room, not be dropped.
+
+    Layout: three clusters on a line, A(x=0) at exactly the unspilled
+    capacity (quota 0), B(x=10) and C(x=20) small. The ambiguous picks sit
+    between A and B (home B, runner-up A): with A full, their copies must
+    land in C (3rd-nearest), never in A, never in their home cluster."""
+    dim = 32
+    a = 0.3 * rng.standard_normal((256, dim)).astype(np.float32)
+    b = 0.3 * rng.standard_normal((70, dim)).astype(np.float32)
+    b[:, 0] += 10.0
+    c = 0.3 * rng.standard_normal((100, dim)).astype(np.float32)
+    c[:, 0] += 20.0
+    bd = np.zeros((30, dim), dtype=np.float32)
+    bd[:, 0] = np.linspace(5.2, 6.0, 30)  # home B, runner-up A
+    base = np.concatenate([a, b, bd, c])  # n=456
+    centers = np.zeros((3, dim), dtype=np.float32)
+    centers[1, 0], centers[2, 0] = 10.0, 20.0
+    idx = build_index(
+        base, centers, key=jax.random.key(3), spill=32 / 456
+    )
+    assert idx.capacity == 256  # A is exactly at capacity -> quota[A]=0
+    ids = np.asarray(idx.map_ids)
+    off = np.asarray(idx.offsets)
+    row_cluster = (
+        np.searchsorted(off, np.arange(ids.shape[0]), side="right") - 1
+    )
+    uniq, counts = np.unique(ids, return_counts=True)
+    dup = uniq[counts == 2]
+    # The 30 boundary vectors (ids 326..355) are the most ambiguous picks;
+    # all must be admitted via the cascade (round 0 target A is full).
+    boundary = np.arange(326, 356)
+    assert np.isin(boundary, dup).all(), dup
+    for did in dup:
+        rows = np.nonzero(ids == did)[0]
+        cl = row_cluster[rows]
+        assert cl[0] != cl[1], (did, cl)  # never in the home cluster
+        assert 0 not in cl[1:], (did, cl)  # A has no quota
+    # Boundary copies specifically landed in C.
+    for did in boundary[:10]:
+        rows = np.nonzero(ids == did)[0]
+        assert set(row_cluster[rows]) == {1, 2}, row_cluster[rows]
+    # And search still dedups + finds everyone.
+    params = SearchParams(probe=3, topk=5, rerank=60)
+    d, res = _search_ids(idx, base[320:360], params)
+    assert (res[:, 0] == np.arange(320, 360)).all()
+
+
 def test_spill_zero_is_identity(rng):
     base, centers = make_clustered_dataset(rng, n=500, dim=32, k=8)
     a = build_index(base, centers, key=jax.random.key(2), spill=0.0)
