@@ -382,6 +382,13 @@ def main():
         "at +0.6pt recall margin), 0 elsewhere",
     )
     ap.add_argument(
+        "--spill-mode",
+        choices=["dist", "soar"],
+        default="dist",
+        help="spill target-cluster preference: centroid distance or "
+        "ScaNN's SOAR objective",
+    )
+    ap.add_argument(
         "--rerank",
         type=int,
         default=None,
@@ -481,6 +488,7 @@ def main():
     index = build_index(
         base, centroids, key=jax.random.key(2), bits=args.bits,
         balance=args.balance, spill=args.spill,
+        spill_mode=args.spill_mode,
     )
     if args.rerank_bf16:
         from rabitq_tpu.index.index import with_bf16_base

@@ -50,6 +50,7 @@ def _load_or_build(args) -> "object":
         key=jax.random.key(args.seed),
         bits=getattr(args, "bits", 1),
         spill=getattr(args, "spill", 0.0),
+        spill_mode=getattr(args, "spill_mode", "dist"),
     )
     log.info("saving index to %s", saved)
     dump_to_dir(index, saved)
@@ -260,6 +261,15 @@ def main(argv=None) -> None:
             "fraction of the most boundary-ambiguous vectors in their "
             "runner-up cluster (raises IVF coverage per probe for ~spill"
             "x extra memory; queries dedup ids automatically)",
+        )
+        p.add_argument(
+            "--spill-mode",
+            choices=["dist", "soar"],
+            default="dist",
+            help="how a spilled vector ranks its candidate target "
+            "clusters: dist = centroid distance (runner-up first); "
+            "soar = ScaNN's SOAR objective (prefers a secondary whose "
+            "residual is orthogonal to the primary's)",
         )
 
     p_run = sub.add_parser("run", help="build-or-load index and evaluate")

@@ -353,6 +353,8 @@ def build_index(
     bits: int = 1,
     device_build: bool | None = None,
     spill: float = 0.0,
+    spill_mode: str = "dist",
+    spill_soar_lambda: float = 1.0,
 ) -> RaBitQIndex:
     """Build a RaBitQ index from base vectors and pre-trained centroids.
 
@@ -398,10 +400,20 @@ def build_index(
                 unchanged: copies are admitted per cluster only up to the
                 UNSPILLED capacity (the kernel scans a fixed
                 scan_span(capacity) window per probed cluster either
-                way), so over-quota picks are dropped, least-ambiguous
-                first. Duplicate copies do occupy rerank slots — budget
-                ~1.5-2x the unspilled rerank at equal recall. 0 = off
-                (reference behavior).
+                way); a pick whose target is quota-full cascades to its
+                next-preferred candidate cluster with room. Duplicate
+                copies do occupy rerank slots — budget ~1.5-2x the
+                unspilled rerank at equal recall. 0 = off (reference
+                behavior).
+    spill_mode: how a pick ranks its candidate target clusters.
+                "dist" (default): by centroid distance (runner-up
+                first). "soar": by the SOAR objective (Sun et al. 2023,
+                ScaNN's multi-assignment) — distance plus
+                ``spill_soar_lambda`` times the squared projection of
+                the candidate residual onto the PRIMARY residual
+                direction: a secondary whose residual is orthogonal to
+                the primary's covers exactly the query directions where
+                the primary estimate is worst.
     device_build: force (True) or forbid (False) the device-resident build
                 path: the padded corpus is uploaded ONCE and both passes
                 run as on-device scans, with the blob assembled on device
@@ -455,6 +467,7 @@ def build_index(
     #     corpora whose build working set exceeds one device's HBM (the
     #     host-store tier's raison d'etre).
     assert 0.0 <= spill <= 1.0, spill
+    assert spill_mode in ("dist", "soar"), spill_mode
     n_chunks = -(-n // chunk)
     n_pad = n_chunks * chunk
     top = 4 if (balance or spill > 0) else 1
@@ -605,7 +618,32 @@ def build_index(
         # cand_labels[:, 0], so the compaction below preserves that).
         prefs = cand_labels[pick]  # [m, top], distance-sorted
         valid = prefs != labels[pick][:, None]
-        order = np.argsort(~valid, axis=1, kind="stable")
+        if spill_mode == "soar":
+            # SOAR preference: d(x, c_j)^2 + lambda * ((x-c_j)·r̂1)^2,
+            # r1 = x - c_home. Chunked: the [m, top, d] diff transient
+            # is the peak (16k * 4 * d floats per chunk).
+            score = np.empty(prefs.shape, dtype=np.float32)
+            for s in range(0, pick.size, 16384):
+                pk = pick[s : s + 16384]
+                x = base[pk]
+                r1 = x - centroids[labels[pk]]
+                r1 /= np.maximum(
+                    np.linalg.norm(r1, axis=1, keepdims=True),
+                    _MIN_NORMAL_F32,
+                )
+                diff = x[:, None, :] - centroids[prefs[s : s + 16384]]
+                proj = np.einsum(
+                    "mtd,md->mt", diff, r1, optimize=True
+                )
+                score[s : s + 16384] = (
+                    np.sum(diff * diff, axis=2)
+                    + spill_soar_lambda * proj * proj
+                )
+            order = np.argsort(
+                np.where(valid, score, np.inf), axis=1, kind="stable"
+            )
+        else:
+            order = np.argsort(~valid, axis=1, kind="stable")
         prefs = np.take_along_axis(prefs, order, axis=1)
         nvalid = valid.sum(axis=1)
         admitted = np.full(pick.size, -1, dtype=np.int64)

@@ -114,6 +114,44 @@ def test_spill_quota_cascade(rng):
     assert (res[:, 0] == np.arange(320, 360)).all()
 
 
+def test_spill_soar_mode(rng):
+    """spill_mode='soar' ranks each pick's target clusters by the SOAR
+    objective instead of plain distance; the index must stay structurally
+    valid (copies outside the home cluster, dedup intact) and search must
+    still find everyone."""
+    base, centers = make_clustered_dataset(rng, n=1200, dim=32, k=8)
+    idx = build_index(
+        base,
+        centers,
+        key=jax.random.key(5),
+        spill=0.3,
+        spill_mode="soar",
+        spill_soar_lambda=1.0,
+    )
+    assert idx.dedup_ids
+    ids = np.asarray(idx.map_ids)
+    uniq, counts = np.unique(ids, return_counts=True)
+    assert uniq.shape[0] == 1200 and counts.max() == 2
+    assert (counts == 2).sum() > 0
+    off = np.asarray(idx.offsets)
+    row_cluster = (
+        np.searchsorted(off, np.arange(ids.shape[0]), side="right") - 1
+    )
+    for did in uniq[counts == 2][:30]:
+        rows = np.nonzero(ids == did)[0]
+        assert row_cluster[rows[0]] != row_cluster[rows[1]]
+    params = SearchParams(probe=8, topk=10, rerank=150)
+    d, res = _search_ids(idx, base[:64], params)
+    assert (res[:, 0] == np.arange(64)).all()
+    for row in res:
+        live = row[row >= 0]
+        assert np.unique(live).shape[0] == live.shape[0], row
+    with pytest.raises(AssertionError):
+        build_index(
+            base, centers, spill=0.2, spill_mode="nonsense"
+        )
+
+
 def test_spill_zero_is_identity(rng):
     base, centers = make_clustered_dataset(rng, n=500, dim=32, k=8)
     a = build_index(base, centers, key=jax.random.key(2), spill=0.0)

@@ -43,6 +43,20 @@ def main():
     )
     ap.add_argument("--reranks", type=str, default="32,64")
     ap.add_argument(
+        "--modes",
+        type=str,
+        default="dist",
+        help="comma list of spill target-selection modes to A/B "
+        "(dist, soar); each adds an index arm at --spill",
+    )
+    ap.add_argument("--soar-lambda", type=float, default=1.0)
+    ap.add_argument(
+        "--no-baseline",
+        action="store_true",
+        help="skip the spill=0 arm (recall numbers are deterministic "
+        "given a build; only timings need same-process baselines)",
+    )
+    ap.add_argument(
         "--gist",
         action="store_true",
         help="use the GIST north-star shape (1M x 960, topk 100, "
@@ -51,7 +65,10 @@ def main():
     args = ap.parse_args()
     if args.gist:
         args.dim, args.topk, args.batch = 960, 100, 1024
-        args.probes, args.reranks = "48,64,80,96", "400"
+        if args.probes == ap.get_default("probes"):
+            args.probes = "48,64,80,96"
+        if args.reranks == ap.get_default("reranks"):
+            args.reranks = "400"
 
     import jax
     import jax.numpy as jnp
@@ -103,7 +120,7 @@ def main():
         )
     qd = jnp.asarray(queries)
 
-    def build(s):
+    def build(s, mode="dist"):
         t0 = time.time()
         idx = build_index(
             base,
@@ -112,9 +129,11 @@ def main():
             bits=args.bits,
             balance=args.balance,
             spill=s,
+            spill_mode=mode,
+            spill_soar_lambda=args.soar_lambda,
         )
         log(
-            f"spill={s}: built in {time.time()-t0:.1f}s "
+            f"spill={s}/{mode}: built in {time.time()-t0:.1f}s "
             f"(capacity={idx.capacity}, rows={idx.map_ids.shape[0]})"
         )
         return idx
@@ -162,25 +181,28 @@ def main():
     probes = [int(p) for p in args.probes.split(",")]
     reranks = [int(r) for r in args.reranks.split(",")]
     combos = [(pb, rr) for pb in probes for rr in reranks]
+    arms = [(args.spill, m) for m in args.modes.split(",")]
+    if not args.no_baseline:
+        arms = [(0.0, "dist")] + arms
     if args.gist:
         # Two 1M x 960 f32 bases (3.84 GB each) don't fit HBM together:
         # build -> sweep -> free, sequentially within one process (still
         # a same-process A/B — tunnel health is process-level).
-        for s in (0.0, args.spill):
-            index = build(s)
+        for s, mode in arms:
+            index = build(s, mode)
             for probe, rr in combos:
                 p = SearchParams(
                     probe=probe, topk=args.topk, rerank=rr, select_passes=2
                 )
                 rec, per = timed_recall(index, p)
                 log(
-                    f"s={s} probe={probe:3d} rerank={rr:3d}  "
+                    f"s={s}/{mode} probe={probe:3d} rerank={rr:3d}  "
                     f"{rec:.4f} {per*1e3:6.2f}ms "
                     f"{args.batch/per:7,.0f}qps"
                 )
             del index
         return
-    indexes = {s: build(s) for s in (0.0, args.spill)}
+    indexes = {arm: build(*arm) for arm in arms}
     for probe, rr in combos:
         p = SearchParams(
             probe=probe,
@@ -189,10 +211,10 @@ def main():
             select_passes=2,
         )
         row = []
-        for s in (0.0, args.spill):
-            rec, per = timed_recall(indexes[s], p)
+        for arm in arms:
+            rec, per = timed_recall(indexes[arm], p)
             row.append(
-                f"s={s}: {rec:.4f} {per*1e3:5.2f}ms "
+                f"s={arm[0]}/{arm[1]}: {rec:.4f} {per*1e3:5.2f}ms "
                 f"{args.batch/per:7,.0f}qps"
             )
         log(f"probe={probe:3d} rerank={rr:3d}  " + "  |  ".join(row))
