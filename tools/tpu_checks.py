@@ -40,6 +40,7 @@ def main():
     )
     ap.add_argument("--rerank", type=int, default=100)
     ap.add_argument("--bits", type=int, default=1, choices=range(1, 8))
+    ap.add_argument("--spill", type=float, default=0.0)
     ap.add_argument("--select-passes", type=int, default=None, choices=[1, 2])
     ap.add_argument(
         "--probe-recall",
@@ -102,7 +103,8 @@ def main():
         base[: min(args.n, 200_000)], args.k, iters=8, key=jax.random.key(1)
     )
     index = build_index(
-        base, centroids, key=jax.random.key(2), bits=args.bits
+        base, centroids, key=jax.random.key(2), bits=args.bits,
+        spill=args.spill,
     )
     if args.rerank_bf16:
         from rabitq_tpu.index.index import with_bf16_base
