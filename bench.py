@@ -620,28 +620,83 @@ def main():
     # Chunked-async fused dispatch: all chunks are dispatched up front
     # (async), then results are forced in order — chunk i's ~40-60 ms
     # result download through the tunnel overlaps chunk i+1's device
-    # compute instead of serializing after ALL compute (measured: the
-    # per-query e2e overhead is download-dominated and roughly linear in
-    # nq, so one whole-set call cannot amortize it away; 4-batch chunks
-    # at 32k queries run 113k vs 94k QPS for the single fused call).
-    # The query set is tiled to >= TILE_TO rows to amortize the fixed
-    # dispatch cost; each tile copy is perturbed DIFFERENTLY so the
-    # runtime's (executable, inputs) memoization cannot skip any chunk,
-    # and recall is scored on the untiled rows.
+    # compute instead of serializing after ALL compute. The query set is
+    # tiled to >= TILE_TO rows to amortize the fixed dispatch cost; each
+    # tile copy is perturbed DIFFERENTLY so the runtime's (executable,
+    # inputs) memoization cannot skip any chunk, and recall is scored on
+    # the untiled rows.
+    #
+    # The chunk size (batches per dispatch) and the id transport (raw
+    # int32 vs 20-bit bit-plane packed, ops/idpack.py) are AUTOTUNED
+    # in-process: the optimum trades per-dispatch tunnel latency
+    # (~10-30 ms, favors few big chunks) against download/compute overlap
+    # (favors several chunks) and download bytes (favors packed), and
+    # the balance moves with daily tunnel health (tools/d2h_ab.py
+    # measured raw-cb4/packed-cb8 winners 180k-222k across two runs of
+    # the same binary). One timing pass per arm, full 3-pass timing on
+    # the winner.
     import math
+
+    from rabitq_tpu.index.search import search_many_packed
+    from rabitq_tpu.ops.idpack import nbits_for, unpack_ids
 
     TILE_TO = 32768
     reps = max(1, min(8, TILE_TO // nq_pad))
-    cb = math.gcd(4, q3.shape[0] * reps)  # batches per chunk
     qt = jnp.concatenate(
         [q3 + np.float32(3e-6) * r for r in range(reps)]
     )
-    nch = qt.shape[0] // cb
+    nb_tot = qt.shape[0]
+    nbits = nbits_for(n)
+
+    def run_fused(qt4, cb, nch, packed):
+        """Dispatch all chunks async, force in order; returns ids."""
+        if packed:
+            outs = [
+                search_many_packed(index, qt4[c], params, nbits)
+                for c in range(nch)
+            ]
+            return np.concatenate(
+                [
+                    unpack_ids(
+                        np.asarray(o), nbits, cb * batch * args.topk
+                    ).reshape(cb * batch, args.topk)
+                    for o in outs
+                ]
+            )
+        outs = [search_many(index, qt4[c], params)[1] for c in range(nch)]
+        return np.concatenate(
+            [np.asarray(o).reshape(cb * batch, -1) for o in outs]
+        )
+
+    # cb=4 (the old fixed choice) lost to 8/16 in every tools/d2h_ab.py
+    # run; each arm costs one ~30 s pipeline compile, so keep the set
+    # tight and fall back to a divisor of nb_tot for small query sets.
+    cbs = [cb for cb in (8, 16) if nb_tot % cb == 0] or [
+        math.gcd(4, nb_tot)
+    ]
+    arms = [(cb, p) for cb in cbs for p in (False, True)]
+    if args.quick:
+        arms = [(cbs[0], False)]  # skip the autotune compiles
+    pert = 0
+    arm_t = {}
+    for cb, packed in arms:
+        nch = nb_tot // cb
+        qt4 = qt.reshape(nch, cb, batch, -1)
+        _ = run_fused(qt4, cb, nch, packed)  # compile + warm
+        pert += 1
+        qp = qt4 + np.float32(7e-6) * pert
+        t0 = time.time()
+        _ = run_fused(qp, cb, nch, packed)
+        arm_t[(cb, packed)] = time.time() - t0
+        log(
+            f"fused arm cb={cb} {'packed' if packed else 'raw':6s}: "
+            f"{arm_t[(cb, packed)]*1e3:.0f} ms"
+        )
+    cb, packed_t = min(arm_t, key=arm_t.get)
+    log(f"fused transport: cb={cb} packed={packed_t}")
+    nch = nb_tot // cb
     qt4 = qt.reshape(nch, cb, batch, -1)
-    outs = [search_many(index, qt4[c], params)[1] for c in range(nch)]
-    ids_f = np.concatenate(
-        [np.asarray(o).reshape(cb * batch, -1) for o in outs]
-    )[:nq_pad]
+    ids_f = run_fused(qt4, cb, nch, packed_t)[:nq_pad]
     recall_f = float(
         np.mean(
             [
@@ -655,11 +710,10 @@ def main():
         # Perturb per pass: the device runtime memoizes identical
         # (executable, inputs) executions, which would make repeat passes
         # free and the timing fictional.
-        qp = qt4 + np.float32(1e-5) * (it + 1)
+        pert += 1
+        qp = qt4 + np.float32(1e-5) * pert
         t0 = time.time()
-        outs = [search_many(index, qp[c], params)[1] for c in range(nch)]
-        for o in outs:
-            _ = np.asarray(o)
+        _ = run_fused(qp, cb, nch, packed_t)
         times_f.append(time.time() - t0)
         # Pipelined per-batch path: per-batch dispatches overlap
         # uploads/downloads with compute at single-batch granularity —
@@ -702,6 +756,7 @@ def main():
                     batch=batch,
                     qps_fused=round(qps_fused, 1),
                     qps_pipelined=round(qps_pipe, 1),
+                    transport=f"cb{cb}-" + ("packed" if packed_t else "raw"),
                     build_seconds=round(build_s, 1),
                     device=str(jax.devices()[0]),
                 ),

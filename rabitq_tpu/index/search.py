@@ -738,6 +738,30 @@ def search_many(
     return jax.lax.map(lambda q: search(index, q, params), queries)
 
 
+@functools.partial(jax.jit, static_argnames=("params", "nbits"))
+def search_many_packed(
+    index: RaBitQIndex,
+    queries: jax.Array,
+    params: SearchParams,
+    nbits: int,
+) -> jax.Array:
+    """search_many returning bit-packed ids only (compact transport).
+
+    Same compute as search_many, but the result is the ids flattened and
+    packed to ``nbits`` bits each (ops/idpack.py) in the SAME dispatch —
+    [nb*batch*topk/32, nbits] uint32 words, 37.5% fewer bytes at the 1M
+    scale (20-bit ids). Decode host-side with
+    ``ops.idpack.unpack_ids(words, nbits, nb*batch*topk)``. Use when the
+    device→host link, not the device, bounds e2e throughput (the fused
+    bench path, remote serving over DCN); distances are dropped — recall
+    and id consumers don't need them.
+    """
+    from rabitq_tpu.ops.idpack import pack_ids
+
+    _, ids = search_many(index, queries, params)
+    return pack_ids(ids, nbits)
+
+
 def _certificate_safe(
     index: RaBitQIndex,
     y: jax.Array,

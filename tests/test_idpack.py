@@ -1,0 +1,54 @@
+"""Round-trip and search-parity tests for bit-plane id packing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rabitq_tpu.ops.idpack import nbits_for, pack_ids, unpack_ids
+
+
+def test_nbits_sentinel_out_of_range():
+    for n in (1, 2, 1000, 1_000_000, (1 << 20) - 1, 1 << 20):
+        nb = nbits_for(n)
+        assert (1 << nb) - 1 > n - 1
+
+
+def test_roundtrip_random():
+    rng = np.random.default_rng(0)
+    for n_ids in (1, 31, 32, 33, 2048 * 10, 12345):
+        n = 1_000_000
+        nb = nbits_for(n)
+        ids = rng.integers(0, n, size=n_ids).astype(np.int32)
+        ids[rng.random(n_ids) < 0.1] = -1
+        words = np.asarray(pack_ids(jnp.asarray(ids), nb))
+        assert words.dtype == np.uint32
+        assert words.shape == (-(-n_ids // 32), nb)
+        out = unpack_ids(words, nb, n_ids)
+        np.testing.assert_array_equal(out, ids)
+
+
+def test_roundtrip_full_range():
+    nb = 20
+    ids = np.array([0, 1, (1 << nb) - 2, -1, 7, 0], dtype=np.int32)
+    out = unpack_ids(np.asarray(pack_ids(jnp.asarray(ids), nb)), nb, 6)
+    np.testing.assert_array_equal(out, ids)
+
+
+def test_search_many_packed_parity():
+    from rabitq_tpu import SearchParams, build_index
+    from rabitq_tpu.index.search import search_many, search_many_packed
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((16, 32)).astype(np.float32)
+    base = (
+        centers[rng.integers(0, 16, 2000)]
+        + 0.1 * rng.standard_normal((2000, 32))
+    ).astype(np.float32)
+    index = build_index(base, centers, key=jax.random.key(0))
+    params = SearchParams(probe=4, topk=10, rerank=32)
+    q = jnp.asarray(base[:64]).reshape(2, 32, 32)
+    _, ids = search_many(index, q, params)
+    nb = nbits_for(2000)
+    words = search_many_packed(index, q, params, nb)
+    out = unpack_ids(np.asarray(words), nb, 2 * 32 * 10)
+    np.testing.assert_array_equal(out, np.asarray(ids).reshape(-1))

@@ -1,0 +1,130 @@
+"""A/B id-download transport for the fused e2e path (one process).
+
+The fused bench path is d2h-download-bound on the tunneled chip
+(BASELINE.md round-3 fourth pass): per chunk the int32 id download
+exceeds the device compute. Arms, all in one process so tunnel variance
+cancels:
+
+  raw    — search_many, download [cb*batch, topk] int32 ids (today)
+  packed — search_many_packed, download bit-plane words (20-bit ids,
+           37.5% fewer bytes) + host unpack
+
+Each arm is swept over chunk sizes (batches per dispatch) since packing
+shifts the compute:download balance that picked cb=4.
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--probe", type=int, default=28)
+    ap.add_argument("--rerank", type=int, default=32)
+    ap.add_argument("--nq", type=int, default=32768)
+    ap.add_argument("--batch", type=int, default=2048)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu import SearchParams, build_index
+    from rabitq_tpu.index.search import search_many, search_many_packed
+    from rabitq_tpu.ops.idpack import nbits_for, unpack_ids
+    from rabitq_tpu.kmeans import kmeans
+    from bench import _cached, make_dataset
+
+    assert jax.default_backend() == "tpu"
+    n, dim, k = args.n, 128, 4096
+    base, queries = _cached(
+        f"tune_ds_{n}_{dim}_1024_4096_s7",
+        lambda: make_dataset(n, dim, 1024, 4096, seed=7),
+    )
+    centroids = kmeans(base[:200_000], k, iters=8, key=jax.random.key(1))
+    index = build_index(
+        base, centroids, key=jax.random.key(2), bits=4, balance=1.5,
+        spill=0.2,
+    )
+    log(f"built (capacity={index.capacity})")
+    params = SearchParams(
+        probe=args.probe, topk=10, rerank=args.rerank, select_passes=2
+    )
+    batch, topk = args.batch, 10
+    nb_total = args.nq // batch
+    reps = -(-nb_total * batch // queries.shape[0])
+    q = np.tile(queries, (reps, 1))[: nb_total * batch]
+    q3 = jnp.asarray(q.reshape(nb_total, batch, dim))
+    nbits = nbits_for(n)
+    results = {}
+
+    for cb in (4, 8, 16):
+        nch = nb_total // cb
+        q4 = q3[: nch * cb].reshape(nch, cb, batch, dim)
+
+        # Warm up both executables.
+        _ = np.asarray(search_many(index, q4[0], params)[1])
+        _ = np.asarray(search_many_packed(index, q4[0], params, nbits))
+
+        for arm in ("raw", "packed"):
+            times = []
+            for it in range(3):
+                qp = q4 + np.float32(1e-5) * (it + 1)
+                t0 = time.time()
+                if arm == "raw":
+                    outs = [
+                        search_many(index, qp[c], params)[1]
+                        for c in range(nch)
+                    ]
+                    ids = np.concatenate(
+                        [np.asarray(o).reshape(cb * batch, -1) for o in outs]
+                    )
+                else:
+                    outs = [
+                        search_many_packed(index, qp[c], params, nbits)
+                        for c in range(nch)
+                    ]
+                    ids = np.concatenate(
+                        [
+                            unpack_ids(
+                                np.asarray(o), nbits, cb * batch * topk
+                            ).reshape(cb * batch, topk)
+                            for o in outs
+                        ]
+                    )
+                times.append(time.time() - t0)
+                assert ids.shape == (nch * cb * batch, topk)
+            qps = nch * cb * batch / min(times)
+            results[(arm, cb)] = qps
+            log(f"cb={cb} {arm:6s}: {min(times)*1e3:8.1f} ms = {qps:,.0f} QPS")
+
+    import json
+
+    best_raw = max(v for (a, c), v in results.items() if a == "raw")
+    best_packed = max(v for (a, c), v in results.items() if a == "packed")
+    print(
+        json.dumps(
+            {
+                "best_raw_qps": round(best_raw, 1),
+                "best_packed_qps": round(best_packed, 1),
+                "ratio": round(best_packed / best_raw, 4),
+                "per_cb": {
+                    f"{a}_cb{c}": round(v, 1) for (a, c), v in results.items()
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
