@@ -514,9 +514,13 @@ def main():
         # cover fold/selection collisions (tools/tune_select.py at the
         # post-glue-fix pipeline: probe=36, 2-pass — rerank 32 and 64
         # give IDENTICAL recall@10 0.9607, rerank 24 still 0.9604;
-        # 32 = ~3x topk, lane-aligned, -12% device time vs 64).
+        # 32 = ~3x topk, lane-aligned, -12% device time vs 64). At
+        # topk=100 the floor is even lower relative to topk: 1.5x
+        # (tools/gist_rr_ab.py, one build: rerank 150 vs 250 at probe 80
+        # = recall@100 0.9629 BOTH, 22.2 vs 27.7 ms/batch — the gather
+        # is row-count-bound at 960-d, so 40% fewer rows is +25% QPS).
         if args.bits >= 3:
-            return max(32, args.topk * 5 // 2)
+            return max(32, args.topk * 3 // 2)
         return max(140, 3 * probe, 4 * args.topk)
 
     t0 = time.time()

@@ -365,6 +365,13 @@ class SearchParams(NamedTuple):
     # cost as much as the f32 gather it replaced); >0 = explicit row
     # count.
     rerank_refine: int = -1
+    # Rerank gather chunking: >0 = compute the [B, R, D] candidate
+    # gather + exact L2 in lax.map chunks of this many queries, capping
+    # the transient at [chunk, R, D] (a single [2048, 250, 960] f32
+    # gather is ~2 GB — the reason the 960-d bench capped batch at
+    # 1024). 0 = one gather (default; right whenever it fits, the
+    # chunks serialize device-side).
+    rerank_chunk: int = 0
     # Probe ranking key. "centroid" (default): squared distance to the
     # centroid — classic IVF. "annulus": the exact geometric lower bound
     # on any member's distance, i.e. the squared distance from d(q, c)

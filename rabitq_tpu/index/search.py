@@ -564,6 +564,42 @@ def search_with_stats(
     return dists, ids, SearchStats(rough=cand.n_scanned, precise=precise)
 
 
+def _gather_l2(
+    base: jax.Array,
+    pos: jax.Array,
+    q_pad: jax.Array,
+    chunk: int,
+    cast_f32: bool = False,
+) -> jax.Array:
+    """Squared L2 of gathered candidate rows: [B, R] from base[pos].
+
+    chunk > 0 runs the gather + reduction in lax.map chunks of that many
+    queries, capping the [B, R, D] transient at [chunk, R, D] — the
+    enabler for large batches at large dim (a [2048, 250, 960] f32
+    gather alone is ~2 GB). Chunks serialize device-side; the gather is
+    row-count-bound either way, so the cost is flat (measured at the
+    GIST shape) and the default stays unchunked.
+    """
+
+    def f(p, q):
+        xb = base[p]
+        if cast_f32:
+            xb = xb.astype(jnp.float32)
+        diff = xb - q[:, None, :]
+        return jnp.sum(diff * diff, axis=-1)
+
+    b = pos.shape[0]
+    if chunk <= 0 or b <= chunk or b % chunk:
+        return f(pos, q_pad)
+    return jax.lax.map(
+        lambda a: f(*a),
+        (
+            pos.reshape(b // chunk, chunk, -1),
+            q_pad.reshape(b // chunk, chunk, -1),
+        ),
+    ).reshape(b, -1)
+
+
 def _exact_rerank(
     index: RaBitQIndex,
     q_pad: jax.Array,
@@ -587,9 +623,10 @@ def _exact_rerank(
     """
     if params.rerank_bf16 and index.base_bf16 is not None:
         r = cand.pos.shape[1]
-        xb = index.base_bf16[cand.pos].astype(jnp.float32)  # [B, R, D]
-        diff = xb - q_pad[:, None, :]
-        approx = jnp.sum(diff * diff, axis=-1)
+        approx = _gather_l2(
+            index.base_bf16, cand.pos, q_pad, params.rerank_chunk,
+            cast_f32=True,
+        )
         approx = jnp.where(
             jnp.isfinite(cand.lower_bound), approx, jnp.inf
         )
@@ -616,9 +653,9 @@ def _exact_rerank(
     if bf16_only:
         exact = approx
     else:
-        xb = index.base[cand.pos]  # [B, R, D]
-        diff = xb - q_pad[:, None, :]
-        exact = jnp.sum(diff * diff, axis=-1)  # [B, R]
+        exact = _gather_l2(
+            index.base, cand.pos, q_pad, params.rerank_chunk
+        )  # [B, R]
         exact = jnp.where(jnp.isfinite(cand.lower_bound), exact, jnp.inf)
     pos_all = cand.pos
 

@@ -134,7 +134,10 @@ class BatchingEngine:
         top_k = min(int(top_k), MAX_TOPK)
         probe = min(int(probe), MAX_PROBE, k)
         rerank = (
-            max(self.default_rerank, top_k)
+            # 1.5x topk is the measured budget floor at large topk
+            # (tools/gist_rr_ab.py: rerank 150 == 250 on recall@100);
+            # default_rerank keeps the 2x margin for small requests.
+            max(self.default_rerank, top_k * 3 // 2)
             if rerank is None
             else min(max(int(rerank), top_k), MAX_RERANK)
         )

@@ -1,0 +1,52 @@
+"""rerank_chunk must be bit-identical to the unchunked rerank."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rabitq_tpu import SearchParams, build_index
+from rabitq_tpu.index.index import with_bf16_base
+from rabitq_tpu.index.search import search
+
+
+def _mk(rng, n=3000, dim=64, k=16):
+    centers = rng.standard_normal((k, dim)).astype(np.float32)
+    base = (
+        centers[rng.integers(0, k, n)]
+        + 0.1 * rng.standard_normal((n, dim))
+    ).astype(np.float32)
+    return base, centers
+
+
+def test_rerank_chunk_parity():
+    rng = np.random.default_rng(11)
+    base, centers = _mk(rng)
+    index = build_index(base, centers, key=jax.random.key(0), bits=4)
+    q = jnp.asarray(base[:128])
+    p0 = SearchParams(probe=6, topk=10, rerank=64)
+    d0, i0 = search(index, q, p0)
+    for chunk in (32, 64):
+        pc = p0._replace(rerank_chunk=chunk)
+        d, i = search(index, q, pc)
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(d0))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i0))
+    # Non-dividing / oversized chunks fall back to the unchunked path.
+    for chunk in (48, 999):
+        pc = p0._replace(rerank_chunk=chunk)
+        d, i = search(index, q, pc)
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(d0))
+
+
+def test_rerank_chunk_bf16_parity():
+    rng = np.random.default_rng(12)
+    base, centers = _mk(rng)
+    index = with_bf16_base(
+        build_index(base, centers, key=jax.random.key(0), bits=4)
+    )
+    q = jnp.asarray(base[:64])
+    p0 = SearchParams(probe=6, topk=10, rerank=64, rerank_bf16=True,
+                      rerank_refine=0)
+    d0, i0 = search(index, q, p0)
+    d, i = search(index, q, p0._replace(rerank_chunk=32))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d0))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i0))

@@ -1,0 +1,146 @@
+"""GIST-shape batch-size A/B with chunked rerank (one process, one build).
+
+At 960-d the scan stage's window DMA reads essentially the whole code
+blob once per batch at probe 80 (all 4096 clusters hit), so doubling the
+batch halves the per-query DMA — but batch 2048 was blocked by the
+[2048, R, 960] f32 rerank gather transient (~2 GB). rerank_chunk caps
+that transient, making 2048 feasible. Arms share one build:
+
+  b1024-c0     today's config
+  b2048-c256   chunked rerank, 256-query chunks
+  b2048-c512
+  b1024-c256   chunk overhead control at the old batch
+
+Reports device ns/query (differential fori_loop) + recall@100 parity.
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--probe", type=int, default=80)
+    ap.add_argument("--rerank", type=int, default=250)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--spill", type=float, default=0.2)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu import SearchParams, build_index
+    from rabitq_tpu.index.search import search
+    from rabitq_tpu.kmeans import kmeans
+    from rabitq_tpu.utils import calculate_recall
+    from bench import _cached, make_dataset, ground_truth
+
+    assert jax.default_backend() == "tpu"
+    n, dim, k, nq, topk = 1_000_000, 960, 4096, 4096, 100
+    base, queries = _cached(
+        f"ds_make_dataset_{n}_{dim}_1024_{nq}",
+        lambda: make_dataset(n, dim, 1024, nq),
+    )
+    (truth,) = _cached(
+        f"gt_make_dataset_{n}_{dim}_1024_{nq}_top{topk}",
+        lambda: ground_truth(base, queries, topk),
+    )
+    t0 = time.time()
+    centroids = kmeans(base[:260_000], k, iters=15, key=jax.random.key(1))
+    index = build_index(
+        base, centroids, key=jax.random.key(2), bits=4, balance=1.5,
+        spill=args.spill,
+    )
+    log(f"built in {time.time()-t0:.1f}s (capacity={index.capacity})")
+    qd = jnp.asarray(queries)
+
+    arms = [
+        ("b1024-c0", 1024, 0),
+        ("b1024-c256", 1024, 256),
+        ("b2048-c256", 2048, 256),
+        ("b2048-c512", 2048, 512),
+    ]
+    results = {}
+    for name, batch, chunk in arms:
+        params = SearchParams(
+            probe=args.probe, topk=topk, rerank=args.rerank,
+            select_passes=2, rerank_chunk=chunk,
+        )
+
+        ids = np.concatenate(
+            [
+                np.asarray(search(index, qd[s : s + batch], params)[1])
+                for s in range(0, nq, batch)
+            ]
+        )
+        rec = float(
+            np.mean(
+                [calculate_recall(truth[i], ids[i], topk) for i in range(nq)]
+            )
+        )
+
+        def make(iters, batch=batch, params=params):
+            @jax.jit
+            def loop(idx, qs):
+                def body(i, acc):
+                    d, out = search(
+                        idx, qs + i.astype(jnp.float32) * 1e-6, params
+                    )
+                    return (
+                        acc
+                        + jnp.where(jnp.isfinite(d), d, 0.0).sum()
+                        + out.sum().astype(jnp.float32)
+                    )
+
+                return jax.lax.fori_loop(0, iters, body, 0.0)
+
+            return loop
+
+        ln, l1 = make(args.iters), make(1)
+        qb = qd[:batch]
+        _ = float(ln(index, qb))
+        _ = float(l1(index, qb))
+        ts, t1s = [], []
+        for r in range(3):
+            qp = qb + np.float32(1e-5) * (r + 1)
+            t0 = time.time()
+            _ = float(ln(index, qp))
+            ts.append(time.time() - t0)
+            t0 = time.time()
+            _ = float(l1(index, qp))
+            t1s.append(time.time() - t0)
+        ms = (min(ts) - min(t1s)) / (args.iters - 1) * 1e3
+        results[name] = (rec, ms, batch)
+        log(
+            f"{name:11s}: recall@100 {rec:.4f}  {ms:7.2f} ms/batch-{batch} "
+            f"= {ms/batch*1e6:5.0f} ns/q = {batch/ms*1e3:,.0f} QPS/chip"
+        )
+
+    import json
+
+    print(
+        json.dumps(
+            {
+                name: {
+                    "recall": round(r, 4),
+                    "ms": round(m, 3),
+                    "ns_per_q": round(m / b * 1e6, 1),
+                }
+                for name, (r, m, b) in results.items()
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

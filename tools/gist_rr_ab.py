@@ -1,0 +1,149 @@
+"""GIST-shape rerank-stage A/B (one process, one build).
+
+The 960-d stage split (tools/tpu_checks.py --stages, batch 1024,
+probe 80, rerank 250, topk 100) shows rerank_topk at 13.15 ms of the
+28.5 ms batch — as large as the scan. Arms, sharing one spilled build so
+tunnel variance cancels:
+
+  f32-250       today's default
+  f32-150       smaller gather (earlier cross-process runs showed equal
+                recall but could not see the device-time win)
+  bf16only-250  rerank_bf16 + rerank_refine=0: gather the bf16 base copy
+                (half the bytes), rank AND report bf16 distances
+  bf16only-150  both
+  bf16ref-250   bf16 gather + f32 re-verify top 120 (partial refine)
+
+Each arm: recall@100 over all 4096 bench queries (4 batches) + device
+ms/batch via the differential fori_loop methodology.
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--probe", type=int, default=80)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--spill", type=float, default=0.2)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu import SearchParams, build_index
+    from rabitq_tpu.index.index import with_bf16_base
+    from rabitq_tpu.index.search import search
+    from rabitq_tpu.kmeans import kmeans
+    from rabitq_tpu.utils import calculate_recall
+    from bench import _cached, make_dataset, ground_truth
+
+    assert jax.default_backend() == "tpu"
+    n, dim, k, nq, batch, topk = 1_000_000, 960, 4096, 4096, 1024, 100
+    base, queries = _cached(
+        f"ds_make_dataset_{n}_{dim}_1024_{nq}",
+        lambda: make_dataset(n, dim, 1024, nq),
+    )
+    (truth,) = _cached(
+        f"gt_make_dataset_{n}_{dim}_1024_{nq}_top{topk}",
+        lambda: ground_truth(base, queries, topk),
+    )
+    t0 = time.time()
+    centroids = kmeans(base[:260_000], k, iters=15, key=jax.random.key(1))
+    index = build_index(
+        base, centroids, key=jax.random.key(2), bits=4, balance=1.5,
+        spill=args.spill,
+    )
+    index = with_bf16_base(index)
+    log(f"built in {time.time()-t0:.1f}s (capacity={index.capacity})")
+    qd = jnp.asarray(queries)
+
+    arms = [
+        ("f32-250", dict(rerank=250)),
+        ("f32-150", dict(rerank=150)),
+        ("bf16only-250", dict(rerank=250, rerank_bf16=True, rerank_refine=0)),
+        ("bf16only-150", dict(rerank=150, rerank_bf16=True, rerank_refine=0)),
+        ("bf16ref-250", dict(rerank=250, rerank_bf16=True,
+                             rerank_refine=120)),
+    ]
+    results = {}
+    for name, kw in arms:
+        params = SearchParams(
+            probe=args.probe, topk=topk, select_passes=2, **kw
+        )
+
+        # Recall over the full query set.
+        ids = np.concatenate(
+            [
+                np.asarray(search(index, qd[s : s + batch], params)[1])
+                for s in range(0, nq, batch)
+            ]
+        )
+        rec = float(
+            np.mean(
+                [calculate_recall(truth[i], ids[i], topk) for i in range(nq)]
+            )
+        )
+
+        # Device time: differential fori_loop.
+        def make(iters):
+            @jax.jit
+            def loop(idx, qs):
+                def body(i, acc):
+                    d, out = search(
+                        idx, qs + i.astype(jnp.float32) * 1e-6, params
+                    )
+                    return (
+                        acc
+                        + jnp.where(jnp.isfinite(d), d, 0.0).sum()
+                        + out.sum().astype(jnp.float32)
+                    )
+
+                return jax.lax.fori_loop(0, iters, body, 0.0)
+
+            return loop
+
+        ln, l1 = make(args.iters), make(1)
+        qb = qd[:batch]
+        _ = float(ln(index, qb))
+        _ = float(l1(index, qb))
+        ts, t1s = [], []
+        for r in range(3):
+            qp = qb + np.float32(1e-5) * (r + 1)
+            t0 = time.time()
+            _ = float(ln(index, qp))
+            ts.append(time.time() - t0)
+            t0 = time.time()
+            _ = float(l1(index, qp))
+            t1s.append(time.time() - t0)
+        ms = (min(ts) - min(t1s)) / (args.iters - 1) * 1e3
+        results[name] = (rec, ms)
+        log(
+            f"{name:13s}: recall@100 {rec:.4f}  {ms:7.2f} ms/batch "
+            f"= {batch/ms*1e3:,.0f} QPS/chip"
+        )
+
+    import json
+
+    print(
+        json.dumps(
+            {
+                name: {"recall": round(r, 4), "ms": round(m, 3)}
+                for name, (r, m) in results.items()
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

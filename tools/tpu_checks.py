@@ -39,6 +39,7 @@ def main():
         "--dataset", choices=["manifold", "blobs"], default="manifold"
     )
     ap.add_argument("--rerank", type=int, default=100)
+    ap.add_argument("--topk", type=int, default=10)
     ap.add_argument("--bits", type=int, default=1, choices=range(1, 8))
     ap.add_argument("--spill", type=float, default=0.0)
     ap.add_argument("--select-passes", type=int, default=None, choices=[1, 2])
@@ -81,11 +82,34 @@ def main():
         # Same generator as bench.py: low-intrinsic-dim Gaussian mixture
         # (realistic cluster balance — what the headline numbers run on).
         sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-        from bench import make_dataset
+        from bench import _cached, make_dataset
 
-        base, queries = make_dataset(
-            args.n, args.dim, 1024, args.batch, seed=7
+        # Reuse any cached dataset of the right corpus shape (bench's or
+        # the tune tools') before paying the ~29 min single-core
+        # generation for big shapes; only the query count differs and the
+        # batch is sliced from it.
+        data_dir = pathlib.Path(__file__).resolve().parent.parent / "data"
+
+        def _nq_of(stem):
+            fields = [f for f in stem.split("_") if f.isdigit()]
+            return int(fields[-1]) if fields else 0
+
+        hit = sorted(
+            p
+            for p in data_dir.glob(f"*ds_*_{args.n}_{args.dim}_1024_*.npz")
+            if _nq_of(p.stem) >= args.batch
         )
+        if hit:
+            with np.load(hit[0]) as z:
+                base, queries = (z[k] for k in z.files)
+            log(f"dataset cache hit: {hit[0].name}")
+        else:
+            base, queries = _cached(
+                f"tune_ds_{args.n}_{args.dim}_1024_{args.batch}_s7",
+                lambda: make_dataset(
+                    args.n, args.dim, 1024, args.batch, seed=7
+                ),
+            )
     else:
         # Well-separated blobs: adversarially skewed k-means clusters
         # (capacity stress; ~4x the bench capacity at k=4096).
@@ -115,7 +139,8 @@ def main():
     # --- Parity: compiled Pallas kernel vs portable jnp scan ------------
     qd = jnp.asarray(queries[:32])
     pk = SearchParams(
-        probe=args.probe, topk=10, rerank=args.rerank, use_kernel=True
+        probe=args.probe, topk=args.topk, rerank=args.rerank,
+        use_kernel=True
     )
     if args.select_passes is not None:
         pk = pk._replace(select_passes=args.select_passes)
