@@ -412,6 +412,14 @@ def main():
         help="f32 re-verify budget of --rerank-bf16 (-1 auto, 0 rank "
         "and report by bf16 distances, >0 explicit rows)",
     )
+    ap.add_argument(
+        "--rerank-chunk",
+        type=int,
+        default=None,
+        help="lax.map chunk (queries) for the rerank gather; default "
+        "256 on the gist config (tools/gist_batch_ab.py: -7.5%% device "
+        "time at identical recall), 0 elsewhere",
+    )
     args = ap.parse_args()
 
     import jax
@@ -444,7 +452,13 @@ def main():
         n, dim, k, nq, n_centers = 1_000_000, 960, 4096, 4096, 1024
         train_cap = 260_000
         topk = args.topk or 100
+        # batch 2048 is a measured dead end at 960-d (tools/
+        # gist_batch_ab.py: no per-query gain, -0.8pt recall from the
+        # [2048, probe*384] amk reduction geometry); 1024 + chunked
+        # rerank is the operating point.
         args.batch = min(args.batch, 1024)
+        if args.rerank_chunk is None:
+            args.rerank_chunk = 256
     else:
         # sift AND blobs: same scale, different generator below.
         # nq = 8 batches: enough dispatches for the pipelined sweep to
@@ -558,6 +572,7 @@ def main():
             rerank_refine=(
                 args.rerank_refine if args.rerank_refine is not None else -1
             ),
+            rerank_chunk=args.rerank_chunk or 0,
         )
         _ = np.asarray(search(index, qd[:batch], params)[1])  # compile
         # Pipelined eval: batch N+1's dispatch is issued before batch N's
@@ -607,6 +622,7 @@ def main():
         rerank_refine=(
             args.rerank_refine if args.rerank_refine is not None else -1
         ),
+        rerank_chunk=args.rerank_chunk or 0,
     )
     q3 = qd[:nq_pad].reshape(nq_pad // batch, batch, -1)
     # Drain pipeline counters for the chosen setting (one batch is
