@@ -165,8 +165,10 @@ def main():
 
     if args.sweep:
         results = {}
-        for qpc in (8, 16, 32, 64):
-            for g2 in (2, 4, 8):
+        qpcs = (8, 16, 32, 64) if args.dim <= 256 else (16, 24, 32, 48, 64)
+        g2s = (2, 4, 8) if args.dim <= 256 else (8,)
+        for qpc in qpcs:
+            for g2 in g2s:
                 try:
                     per = timed(qpc, g2)
                 except Exception as e:

@@ -41,6 +41,18 @@ def main():
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--probe", type=int, default=32)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--bits", type=int, default=1)
+    ap.add_argument("--spill", type=float, default=0.0)
+    ap.add_argument("--balance", type=float, default=2.0)
+    # --nq > 0: reuse bench.py's cached dataset file
+    # (ds_make_dataset_{n}_{dim}_1024_{nq}, seed 0) instead of a fresh
+    # seed-7 generation — at 960-d generation costs ~29 min on this
+    # 1-core host, the cache is free.
+    ap.add_argument("--nq", type=int, default=0)
+    # Override the kernel's qpc clamp (scan_kernel._QPC_MAX) to measure
+    # the FULL-scan effect of larger task groups (kbench only sees the
+    # kernel; the grouping glue's padded-row gathers scale the other way).
+    ap.add_argument("--qpc-max", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -54,6 +66,7 @@ def main():
         quantize_query_residuals,
         rotate,
     )
+    import rabitq_tpu.ops.scan_kernel as sk
     from rabitq_tpu.ops.scan_kernel import (
         _G2,
         _group_bound,
@@ -61,16 +74,34 @@ def main():
         prepare_groups,
     )
 
+    if args.qpc_max:
+        sk._QPC_MAX = args.qpc_max
+
     assert jax.default_backend() == "tpu"
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-    from bench import make_dataset
+    from bench import _cached, make_dataset
 
-    base, queries = make_dataset(args.n, args.dim, 1024, args.batch, seed=7)
+    if args.nq > 0:
+        base, queries = _cached(
+            f"ds_make_dataset_{args.n}_{args.dim}_1024_{args.nq}",
+            lambda: make_dataset(args.n, args.dim, 1024, args.nq),
+        )
+    else:
+        base, queries = make_dataset(
+            args.n, args.dim, 1024, args.batch, seed=7
+        )
     t0 = time.time()
     centroids = kmeans(
         base[: min(args.n, 200_000)], args.k, iters=8, key=jax.random.key(1)
     )
-    index = build_index(base, centroids, key=jax.random.key(2))
+    index = build_index(
+        base,
+        centroids,
+        key=jax.random.key(2),
+        bits=args.bits,
+        spill=args.spill,
+        balance=args.balance,
+    )
     log(f"built in {time.time()-t0:.1f}s capacity={index.capacity}")
 
     params = SearchParams(probe=args.probe, topk=10, rerank=140)
