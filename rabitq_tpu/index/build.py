@@ -245,25 +245,45 @@ def _quantize_all(x_all, labels_all, orthogonal, centroids_rot, dim: int,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",))
-def _make_blob_device(codes, factors, capacity: int):
-    """Device-side make_blob (index.py:153-174), bit-identical layout.
+@functools.partial(jax.jit, static_argnames=("n_cols",))
+def _make_blob_device(codes, factors, src, n_cols: int):
+    """Device-side make_blob (index.py make_blob), bit-identical layout.
 
     codes [n, W*B] u32 and factors [n, 4] f32 are already cluster-sorted
-    (gathered by `order` on device). Assembling the [n_tiles, R, 128] blob
-    here avoids downloading the codes and re-uploading the (larger) blob
-    through the host tunnel.
+    (gathered by `order` on device); ``src`` [n_cols] holds the dense
+    source index of each ALIGNED blob column (-1 for dead pad columns —
+    zero words, masked by cluster extents at scan time). Assembling the
+    [n_tiles, R, 128] blob here avoids downloading the codes and
+    re-uploading the (larger) blob through the host tunnel; the aligned
+    placement is a row GATHER (fast), never a column scatter.
     """
     n, w = codes.shape
     rows = ((w + 4 + 7) // 8) * 8
-    pad_cols = ((capacity + 127) // 128) * 128 + 256
-    n_tiles = (n + pad_cols + 127) // 128
-    flat = jnp.zeros((rows, n_tiles * 128), dtype=jnp.uint32)
-    flat = flat.at[:w, :n].set(codes.T)
-    flat = flat.at[w : w + 4, :n].set(
-        jax.lax.bitcast_convert_type(factors, jnp.uint32).T
+    valid = src >= 0
+    srcc = jnp.maximum(src, 0)
+    cpad = jnp.where(valid[:, None], codes[srcc], jnp.uint32(0))
+    fpad = jnp.where(
+        valid[:, None],
+        jax.lax.bitcast_convert_type(factors, jnp.uint32)[srcc],
+        jnp.uint32(0),
     )
-    return flat.reshape(rows, n_tiles, 128).transpose(1, 0, 2)
+    flat = jnp.zeros((rows, n_cols), dtype=jnp.uint32)
+    flat = flat.at[:w, :].set(cpad.T)
+    flat = flat.at[w : w + 4, :].set(fpad.T)
+    return flat.reshape(rows, n_cols // 128, 128).transpose(1, 0, 2)
+
+
+def _blob_src_cols(offsets: np.ndarray, capacity: int) -> np.ndarray:
+    """[n_cols] dense source index per aligned blob column (-1 = pad)."""
+    from rabitq_tpu.index.index import dense_to_padded, padded_offsets
+
+    n = int(offsets[-1])
+    n_pad = int(padded_offsets(offsets)[-1])
+    pad_cols = ((capacity + 127) // 128) * 128 + 256
+    n_cols = ((n_pad + pad_cols + 127) // 128) * 128
+    src = np.full(n_cols, -1, np.int32)
+    src[dense_to_padded(offsets, np.arange(n))] = np.arange(n)
+    return src
 
 
 def balance_assignments(
@@ -781,10 +801,12 @@ def build_index(
     base_sorted = None
     if device_build:
         order_dev = jnp.asarray(order)
+        src_cols = _blob_src_cols(offsets, capacity)
         blob = _make_blob_device(
             jnp.take(codes_dev, order_dev, axis=0),
             jnp.take(factors_dev, order_dev, axis=0),
-            capacity,
+            jnp.asarray(src_cols),
+            src_cols.shape[0],
         )
         if keep_base:
             # Spilled copies gather the SAME original row (bitwise-equal
@@ -799,7 +821,9 @@ def build_index(
             base_sorted = jnp.asarray(
                 pad_last_dim(base[orig_of[order]], dim)
             )
-        blob = jnp.asarray(make_blob(codes[order], factors[order], capacity))
+        blob = jnp.asarray(
+            make_blob(codes[order], factors[order], capacity, offsets)
+        )
     logger.info(
         "build: sort+%s %.1fs (total %.1fs)",
         "device-blob" if device_build else "upload",

@@ -50,7 +50,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rabitq_tpu.consts import WORD_BITS
+from rabitq_tpu.consts import LANES, WORD_BITS
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,21 +126,30 @@ class RaBitQIndex:
         return (1 << self.code_bits) - 1
 
     def _untiled(self) -> jax.Array:
-        """[R, n_tiles*128] row-major view of the tiled blob."""
+        """[R, n_tiles*128] row-major view of the tiled blob (ALIGNED
+        columns — dense position p lives at column dense_to_padded(p))."""
         t, r, lanes = self.blob.shape
         return self.blob.transpose(1, 0, 2).reshape(r, t * lanes)
+
+    def _dense_cols(self) -> np.ndarray:
+        """Blob columns of the n dense positions, in dense order."""
+        return dense_to_padded(np.asarray(self.offsets), np.arange(self.n))
 
     @property
     def codes(self) -> jax.Array:
         """Row-major packed codes [N, W*B] (serialization/debug view)."""
-        return self._untiled()[: self.code_rows, : self.n].T
+        return self._untiled()[: self.code_rows][
+            :, jnp.asarray(self._dense_cols())
+        ].T
 
     @property
     def factors(self) -> jax.Array:
         """Row-major factor quads [N, 4] (serialization/debug view)."""
         cr = self.code_rows
         return jax.lax.bitcast_convert_type(
-            self._untiled()[cr : cr + 4, : self.n].T,
+            self._untiled()[cr : cr + 4][
+                :, jnp.asarray(self._dense_cols())
+            ].T,
             jnp.float32,
         )
 
@@ -159,25 +168,68 @@ class RaBitQIndex:
         return total
 
 
-def make_blob(
-    codes_rows: np.ndarray, factors_rows: np.ndarray, capacity: int
-) -> np.ndarray:
-    """Assemble the tiled scan blob from row-major codes and factors.
+def padded_offsets(offsets: np.ndarray) -> np.ndarray:
+    """Aligned-blob cluster starts: cluster c's rows live at columns
+    [padded_offsets[c], padded_offsets[c] + size_c) of the blob, with
+    every start on a 128-lane boundary (each cluster's extent is padded
+    to whole lane tiles with dead columns). The scan window of a probed
+    cluster is then exactly ceil(capacity/128)*128 lanes from its start
+    — no +128 alignment-slack tile (scan_span), and the in-window slot
+    of a row IS its rank within the cluster (win_lo == 0). Works on
+    numpy or jax arrays; [k+1] like ``offsets``."""
+    sizes = offsets[1:] - offsets[:-1]
+    spans = ((sizes + LANES - 1) // LANES) * LANES
+    if isinstance(offsets, np.ndarray):
+        out = np.zeros_like(offsets)
+        np.cumsum(spans, out=out[1:])
+        return out
+    import jax.numpy as _jnp
 
-    Shape [n_tiles, R, 128]: R = W+4 rounded up to a sublane multiple of 8;
-    tile t, row r, lane l = word r of vector 128*t + l. Tile padding covers
-    the widest scan window the kernel may read (round_up(capacity, 128) +
-    one lane group of slack for the aligned-down start), so a window
-    starting at the last cluster never reads out of bounds.
+    return _jnp.concatenate(
+        [_jnp.zeros((1,), offsets.dtype), _jnp.cumsum(spans)]
+    )
+
+
+def dense_to_padded(offsets: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Translate dense (cluster-sorted) positions to aligned-blob
+    columns (host-side numpy; used by tombstones and serialization)."""
+    offsets = np.asarray(offsets)
+    opad = padded_offsets(offsets)
+    c = np.searchsorted(offsets, pos, side="right") - 1
+    return (opad[c] + (pos - offsets[c])).astype(np.int32)
+
+
+def make_blob(
+    codes_rows: np.ndarray,
+    factors_rows: np.ndarray,
+    capacity: int,
+    offsets: np.ndarray,
+) -> np.ndarray:
+    """Assemble the tiled scan blob from row-major codes and factors
+    (cluster-sorted; ``offsets`` are the dense [k+1] cluster bounds).
+
+    Shape [n_tiles, R, 128]: R = W+4 rounded up to a sublane multiple of
+    8; tile t, row r, lane l = word r of the vector at blob column
+    128*t + l. Columns follow the ALIGNED layout (padded_offsets): every
+    cluster starts on a lane boundary, dead pad columns hold zero words
+    (masked by cluster extents at scan time, never read unmasked). Tile
+    padding at the end covers the widest scan window the kernel may
+    read, so a window starting at the last cluster stays in bounds.
     """
     w = codes_rows.shape[1]
     n = codes_rows.shape[0]
+    offsets = np.asarray(offsets)
+    assert offsets[-1] == n, (offsets[-1], n)
+    dst = dense_to_padded(offsets, np.arange(n))
+    n_pad = int(padded_offsets(offsets)[-1])
     rows = ((w + 4 + 7) // 8) * 8
     pad_cols = ((capacity + 127) // 128) * 128 + 256
-    n_tiles = (n + pad_cols + 127) // 128
+    n_tiles = (n_pad + pad_cols + 127) // 128
     flat = np.zeros((rows, n_tiles * 128), dtype=np.uint32)
-    flat[:w, :n] = codes_rows.T
-    flat[w : w + 4, :n] = np.ascontiguousarray(factors_rows.T).view(np.uint32)
+    flat[:w, dst] = codes_rows.T
+    flat[w : w + 4, dst] = np.ascontiguousarray(factors_rows.T).view(
+        np.uint32
+    )
     return np.ascontiguousarray(
         flat.reshape(rows, n_tiles, 128).transpose(1, 0, 2)
     )

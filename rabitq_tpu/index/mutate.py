@@ -101,12 +101,21 @@ def delete(index: RaBitQIndex, ids) -> RaBitQIndex:
     new_map = index.map_ids
     if victim_pos.size:
         row = index.code_rows + 3  # cdsq factor row
+        # Dense positions index map_ids; the blob/factors_tiled use the
+        # ALIGNED column layout (index.dense_to_padded).
+        from rabitq_tpu.index.index import dense_to_padded
+
+        vp_blob = jnp.asarray(
+            dense_to_padded(np.asarray(index.offsets), victim_pos)
+        )
         vp = jnp.asarray(victim_pos)
-        blob = blob.at[vp // 128, row, vp % 128].set(jnp.uint32(_INF_BITS))
+        blob = blob.at[vp_blob // 128, row, vp_blob % 128].set(
+            jnp.uint32(_INF_BITS)
+        )
         if factors_tiled is not None:  # keep the MXU operand consistent
-            factors_tiled = factors_tiled.at[vp // 128, 3, vp % 128].set(
-                jnp.inf
-            )
+            factors_tiled = factors_tiled.at[
+                vp_blob // 128, 3, vp_blob % 128
+            ].set(jnp.inf)
         new_map = new_map.at[vp].set(-1)
 
     extra_ids = index.extra_ids

@@ -31,7 +31,11 @@ import jax
 import jax.numpy as jnp
 
 from rabitq_tpu.consts import THETA_LOG_DIM
-from rabitq_tpu.index.index import RaBitQIndex, SearchParams
+from rabitq_tpu.index.index import (
+    RaBitQIndex,
+    SearchParams,
+    padded_offsets,
+)
 from rabitq_tpu.ops import (
     pack_query_bitplanes,
     pairwise_l2sq,
@@ -49,9 +53,12 @@ from rabitq_tpu.ops.scan_kernel import (
 
 def scan_span(cap: int) -> int:
     """Kernel window span for a cluster capacity: whole 128-lane tiles
-    covering any cluster extent (+1 tile because a cluster may start at
-    an unaligned position within its first tile)."""
-    return ((cap + LANES - 1) // LANES) * LANES + LANES
+    covering any cluster extent. The blob's ALIGNED layout
+    (index.padded_offsets) starts every cluster on a lane boundary, so
+    no extra slack tile is needed — at capacity 384 the window is 384
+    lanes, not the 512 of the unaligned layout (-25% window DMA bytes,
+    MXU passes, and epilogue tiles per probed cluster)."""
+    return ((cap + LANES - 1) // LANES) * LANES
 
 
 class Candidates(NamedTuple):
@@ -80,9 +87,12 @@ class SearchStats(NamedTuple):
 class RoughScan(NamedTuple):
     """Rough-distance scan output in cluster-visit order.
 
-    Without pre-reduction ``rough`` holds every slot of every probed
-    window ([B, probe * span]) and the position of flat value j is
-    starts[b, j // span] + j % span. With the kernel's lane-fold
+    ``starts`` are the DENSE cluster starts (rows of base/map_ids); the
+    blob's aligned layout makes a window slot equal the row's rank
+    within its cluster, so positions decode identically on both scan
+    paths. Without pre-reduction ``rough`` holds every slot of every
+    probed window ([B, probe * width]) and the position of flat value j
+    is starts[b, j // width] + j % width. With the kernel's lane-fold
     pre-selection (SearchParams.select_reduce), ``rough`` is the
     per-bucket minima ([B, probe * 256]), SLOT-PACKED: each finite value
     carries its window slot in its low ``fold_slot_bits(span)`` mantissa
@@ -91,7 +101,7 @@ class RoughScan(NamedTuple):
     """
 
     rough: jax.Array      # [B, probe * width] f32 (+inf on padded slots)
-    starts: jax.Array     # [B, probe] int32 cluster start positions
+    starts: jax.Array     # [B, probe] int32 DENSE cluster start positions
     n_scanned: jax.Array  # [B] int32
 
 
@@ -111,10 +121,13 @@ def _cluster_radius_band(index: RaBitQIndex) -> tuple[jax.Array, jax.Array]:
 
     Rows are sorted by centroid distance within a cluster, so the first
     and last rows' center_distance_square factors bound every member's
-    d(x, c). Read straight off the blob — two [K]-element gathers."""
+    d(x, c). Read straight off the blob — two [K]-element gathers
+    (aligned-blob columns: cluster c's rows start at padded_offsets[c])."""
     off = index.offsets
-    first = off[:-1]
-    last = jnp.maximum(off[1:] - 1, 0)
+    opad = padded_offsets(off)
+    sizes = off[1:] - off[:-1]
+    first = opad[:-1]
+    last = opad[:-1] + jnp.maximum(sizes - 1, 0)
     w3 = index.code_rows + 3
 
     def cdsq_at(pos):
@@ -335,12 +348,28 @@ def rough_scan(
     scal_f = scal.reshape(s, 4)
 
     if kernel_path:
-        # The kernel scans a lane-aligned window per cluster; positions are
-        # aligned_start + slot. span rounds capacity up so indexes built
-        # with legacy non-lane-aligned capacities still work.
+        # The kernel scans each probed cluster's aligned-blob window
+        # (padded_offsets: every cluster starts on a lane boundary, so
+        # the window is exactly scan_span(cap) lanes and the in-window
+        # slot of a row IS its rank within the cluster). Candidate
+        # positions decode as dense_start + slot downstream, so
+        # RoughScan.starts carries the DENSE starts; the kernel's
+        # window table is the padded per-cluster starts (starts_k).
         span = scan_span(cap)
+        opad_k = padded_offsets(index.offsets)[:-1]
         qvals = qq.quantized.reshape(s, index.dim).astype(jnp.int8)
-        rough, _, aligned = pallas_rough_scan(
+        # Nibble-pack the 4-bit query values two-per-byte (split-half
+        # layout) when the half stays lane-aligned: the [rows, D] int8
+        # group-spread gather is the grouping stage's dominant cost at
+        # large dim (~2.4 ms of 3.6 at 960-d, tools/scanprof.py) and
+        # moves half the bytes packed; the kernel contracts each nibble
+        # half against the matching code half — bit-exact.
+        qpack = index.dim % 256 == 0
+        if qpack:
+            d2 = index.dim // 2
+            qu = qvals.astype(jnp.uint8)
+            qvals = (qu[:, :d2] | (qu[:, d2:] << 4)).astype(jnp.int8)
+        rough, _, _ = pallas_rough_scan(
             index.codes_pm1,
             index.factors_tiled,
             starts_f,
@@ -355,19 +384,24 @@ def rough_scan(
             # grouping applies (sort-free, ~2x less glue cost), with
             # scatter-free per-group metadata via the cluster-start table.
             cids=cids,
-            starts_k=starts_k,
+            starts_k=opad_k,
+            aligned=True,
+            qpack=qpack,
         )
         width = rough.shape[-1]
-        pos_base = aligned.reshape(b, pe)
         return RoughScan(
             rough=rough.reshape(b, pe * width),
-            starts=pos_base,
+            starts=starts,
             n_scanned=sizes_all.sum(axis=-1).astype(jnp.int32),
         )
     planes = pack_query_bitplanes(qq.quantized)  # [B, probe, T, W]
+    # The jnp path gathers blob columns, which follow the ALIGNED layout
+    # — scan windows start at the padded per-cluster starts, while the
+    # decoded candidate positions (RoughScan.starts + slot) stay dense.
+    starts_pad_f = padded_offsets(index.offsets)[:-1][cids].reshape(s)
     rough = _jnp_scan(
         index,
-        starts_f,
+        starts_pad_f,
         sizes_f,
         planes.reshape(s, THETA_LOG_DIM, w),
         scal_f,

@@ -163,7 +163,7 @@ def load_from_dir(
         )
 
     return with_scan_operands(RaBitQIndex(
-        blob=jnp.asarray(make_blob(codes, factors, capacity)),
+        blob=jnp.asarray(make_blob(codes, factors, capacity, offsets)),
         offsets=jnp.asarray(offsets),
         map_ids=jnp.asarray(map_ids),
         centroids_rot=jnp.asarray(centroids_rot),
@@ -215,9 +215,10 @@ def load_from_json(path: str | Path) -> RaBitQIndex:
     capacity = int(z["capacity"])
     codes = np.asarray(z["codes"], dtype=np.uint32)
     factors = np.asarray(z["factors"], dtype=np.float32)
+    offsets = np.asarray(z["offsets"], np.int32)
     return with_scan_operands(RaBitQIndex(
-        blob=jnp.asarray(make_blob(codes, factors, capacity)),
-        offsets=jnp.asarray(np.asarray(z["offsets"], np.int32)),
+        blob=jnp.asarray(make_blob(codes, factors, capacity, offsets)),
+        offsets=jnp.asarray(offsets),
         map_ids=jnp.asarray(np.asarray(z["map_ids"], np.int32)),
         centroids_rot=jnp.asarray(np.asarray(z["centroids_rot"], np.float32)),
         orthogonal=jnp.asarray(np.asarray(z["orthogonal"], np.float32)),
@@ -281,7 +282,9 @@ def load_from_npz(path: str | Path, *, keep_base: bool = True) -> RaBitQIndex:
         if keep_base and "base" in z:
             base = jnp.asarray(z["base"])
         return with_scan_operands(RaBitQIndex(
-            blob=jnp.asarray(make_blob(z["codes"], z["factors"], capacity)),
+            blob=jnp.asarray(
+                make_blob(z["codes"], z["factors"], capacity, z["offsets"])
+            ),
             offsets=jnp.asarray(z["offsets"]),
             map_ids=jnp.asarray(z["map_ids"]),
             centroids_rot=jnp.asarray(z["centroids_rot"]),

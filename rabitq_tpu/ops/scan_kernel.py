@@ -100,6 +100,7 @@ def _kernel(
     g2: int,
     fold: int,
     slot_bits: int,
+    qpack: bool = False,
 ):
     (out_ref, wbuf, fbuf, sems) = refs
     step = pl.program_id(0)
@@ -176,12 +177,37 @@ def _kernel(
                 tiles * LANES, -1
             )  # [span, D] int8
             rows = slice(j2 * qpc, (j2 + 1) * qpc)
-            dot = jax.lax.dot_general(
-                qg_ref[rows, :],
-                codes,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)  # [qpc, span]
+            if qpack:
+                # Nibble-packed query operand (split-half layout: byte i
+                # holds dims i and i + D/2): unpack to the two halves and
+                # contract each against the matching code half — the int32
+                # sum equals the full-width dot exactly, while the group
+                # spread gather upstream moves HALF the bytes.
+                qi = qg_ref[rows, :].astype(jnp.int32)  # [qpc, D/2]
+                d2 = qi.shape[1]
+                ql = (qi & 15).astype(jnp.int8)
+                qh = ((qi >> 4) & 15).astype(jnp.int8)
+                dot = (
+                    jax.lax.dot_general(
+                        ql,
+                        codes[:, :d2],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    + jax.lax.dot_general(
+                        qh,
+                        codes[:, d2:],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                ).astype(jnp.float32)  # [qpc, span]
+            else:
+                dot = jax.lax.dot_general(
+                    qg_ref[rows, :],
+                    codes,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)  # [qpc, span]
 
             # Per-task scalars -> broadcastable [qpc, 1] columns. Vector
             # lanes cannot be sliced at unaligned offsets; a one-hot
@@ -439,9 +465,16 @@ def prepare_groups_structured(
     g2: int,
     g_pad: int,
     starts_k: jax.Array | None = None,  # [k] per-cluster starts
+    aligned: bool = False,
 ):
     """Sort-free grouping for the structured task list the query pipeline
     produces (each query probes ``probe`` DISTINCT clusters).
+
+    aligned=True: the blob uses the aligned layout (every cluster starts
+    on a lane boundary, index.padded_offsets) — window extents are
+    [0, size) (win_lo == 0) and the per-task ``starts`` operand is not
+    consulted at all (``starts_k`` must then be the PADDED per-cluster
+    starts, which alone place the windows).
 
     The generic prepare_groups lexsorts the flat task list — ~3.4 ms of
     the 7.7 ms scan stage at batch 2048 x probe 32 (tools/scanprof.py).
@@ -530,6 +563,7 @@ def prepare_groups_structured(
             0,
         )
     else:
+        assert not aligned, "aligned layout requires the starts_k table"
         tile0_g = (
             jnp.zeros((g_pad,), jnp.int32).at[gid].set(starts // LANES)
         )
@@ -537,7 +571,10 @@ def prepare_groups_structured(
     lead_g = _window_run_leaders(tile0_g, gsize_g, g2)
 
     qg = qvals[task_of_row].astype(jnp.int8)
-    win_lo_u = starts % LANES
+    if aligned:
+        win_lo_u = jnp.zeros((s,), jnp.int32)
+    else:
+        win_lo_u = starts % LANES
     scal8_u = jnp.stack(
         [
             scal[:, 0],
@@ -577,7 +614,8 @@ def effective_fold(span: int, depth: bool | int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "span", "qpc", "g2", "nbuf", "k_max", "reduce", "interpret"
+        "span", "qpc", "g2", "nbuf", "k_max", "reduce", "interpret",
+        "aligned", "qpack",
     ),
 )
 def pallas_rough_scan(
@@ -600,6 +638,15 @@ def pallas_rough_scan(
     # the sort-free structured grouping (requires k_max == #clusters).
     starts_k: jax.Array | None = None,  # [k_max] per-cluster starts:
     # enables scatter-free per-group metadata in the structured grouping.
+    aligned: bool = False,  # blob uses the aligned layout (every cluster
+    # starts on a lane boundary): windows are placed by starts_k (which
+    # must be the PADDED per-cluster starts) with extents [0, size); the
+    # per-task ``starts`` operand is ignored (callers may pass dense
+    # starts for their own position decode). Requires cids + starts_k.
+    qpack: bool = False,  # qvals are nibble-packed [S, D/2] int8 in the
+    # split-half layout (byte i = dim i | dim (i + D/2) << 4): halves the
+    # group-spread gather bytes; the kernel contracts each half against
+    # the matching code half (exact). Requires D % 256 == 0.
 ) -> tuple[jax.Array, None, jax.Array]:
     """Returns (rough, None, window_starts [S]).
 
@@ -653,9 +700,11 @@ def pallas_rough_scan(
                 g2=g2,
                 g_pad=g_pad,
                 starts_k=starts_k,
+                aligned=aligned,
             )
         )
     else:
+        assert not aligned, "aligned mode requires cids (structured path)"
         (tile0_g, gsize_g, lead_g, qg, scal8, inv_row) = prepare_groups(
             starts, sizes, qvals, scal, qpc=qpc, g2=g2, g_pad=g_pad
         )
@@ -676,6 +725,12 @@ def pallas_rough_scan(
         )
     ]
 
+    if qpack:
+        assert d % 256 == 0 and qvals.shape[1] == d // 2, (
+            d,
+            qvals.shape,
+        )
+    d_q = qvals.shape[1]
     result = pl.pallas_call(
         functools.partial(
             _kernel,
@@ -685,6 +740,7 @@ def pallas_rough_scan(
             g2=g2,
             fold=fold,
             slot_bits=fold_slot_bits(span),
+            qpack=qpack,
         ),
         out_shape=out_shape,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -692,7 +748,7 @@ def pallas_rough_scan(
             grid=(g_pad // g2,),
             in_specs=[
                 pl.BlockSpec(
-                    (g2 * qpc, d),
+                    (g2 * qpc, d_q),
                     lambda i, *_: (i, 0),
                     memory_space=pltpu.VMEM,
                 ),
@@ -733,5 +789,7 @@ def pallas_rough_scan(
     )(tile0_g, gsize_g, lead_g, qg, scal8, codes_pm1, factors_tiled)
 
     # Back to original task order (row gather; scatters are slow).
-    aligned = (starts // LANES) * LANES
-    return result[0][inv_row], None, aligned
+    # win_starts is meaningful only for the unaligned/generic layout
+    # (aligned callers decode positions off their own dense starts).
+    win_starts = (starts // LANES) * LANES
+    return result[0][inv_row], None, win_starts

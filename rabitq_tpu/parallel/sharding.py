@@ -119,7 +119,8 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
     from rabitq_tpu.index.index import make_blob
 
     cap = index.capacity
-    sh_blob = None  # allocated after the first make_blob fixes the shape
+    blob_list = []  # padded to a common tile count after the loop (the
+    # aligned blob's size depends on each shard's cluster structure)
     sh_map_ids = np.full((s, rows_max), -1, np.int32)
     sh_offsets = np.zeros((s, k_max + 1), np.int32)
     sh_centroids = np.full((s, k_max, index.dim), _FAR, np.float32)
@@ -143,10 +144,17 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
             row += m
             sh_offsets[si, li + 1] = row
         sh_offsets[si, len(group) + 1 :] = row
-        blob_si = make_blob(loc_codes, loc_factors, cap)
-        if sh_blob is None:
-            sh_blob = np.zeros((s,) + blob_si.shape, np.uint32)
-        sh_blob[si] = blob_si
+        blob_list.append(
+            make_blob(
+                loc_codes[:row], loc_factors[:row], cap, sh_offsets[si]
+            )
+        )
+    tiles_max = max(b.shape[0] for b in blob_list)
+    sh_blob = np.zeros(
+        (s, tiles_max) + blob_list[0].shape[1:], np.uint32
+    )
+    for si, b in enumerate(blob_list):
+        sh_blob[si, : b.shape[0]] = b
 
     def put(a, *trailing_none):
         return jax.device_put(a, NamedSharding(mesh, P(AXIS, *trailing_none)))

@@ -131,7 +131,11 @@ def test_scan_paths_agree_bits4(rng):
     # Pallas kernel (interpret) over the same tasks == jnp path exactly.
     probe, lo_r, cap, _ = _resolve(index, params)
     s = 6 * probe
-    starts = offs[cids_n].reshape(s)
+    # Kernel windows live at the ALIGNED blob columns.
+    from rabitq_tpu.index.index import padded_offsets
+
+    opad = np.asarray(padded_offsets(offs))
+    starts = opad[cids_n].reshape(s)
     sizes = (offs[cids_n + 1] - offs[cids_n]).reshape(s)
     scal = np.stack(
         [lo, delta, np.asarray(qq.code_sum), ycd], axis=-1

@@ -11,9 +11,14 @@ from rabitq_tpu.ops.scan_kernel import pallas_rough_scan
 
 
 def _operands(bits, factors, cap):
-    """Build the kernel operands from raw bits/factors via the blob."""
+    """Build the kernel operands from raw bits/factors via the blob.
+
+    A single all-covering cluster [0, n] makes the aligned blob layout
+    dense, so the synthetic (start, size) windows these tests use index
+    blob columns directly."""
     codes = np.asarray(pack_bits_u32(jnp.asarray(bits)))
-    blob = make_blob(codes, factors, cap)
+    n = bits.shape[0]
+    blob = make_blob(codes, factors, cap, np.array([0, n], np.int32))
     return derive_scan_operands(jnp.asarray(blob), bits.shape[1] // 32)
 
 
@@ -123,8 +128,12 @@ def test_kernel_matches_jnp_scan_path(rng):
     yr = y[:, None, :] - idx.centroids_rot[cids]
     ycd = jnp.sum(yr * yr, axis=-1)
     qq = quantize_query_residuals(yr)
-    starts = idx.offsets[cids]
-    sizes = idx.offsets[cids + 1] - starts
+    # Windows live at the ALIGNED blob columns (padded_offsets); the
+    # dense offsets only define extents.
+    from rabitq_tpu.index.index import padded_offsets
+
+    starts = padded_offsets(idx.offsets)[cids]
+    sizes = idx.offsets[cids + 1] - idx.offsets[cids]
     scal = jnp.stack([qq.lower, qq.delta, qq.code_sum, ycd], axis=-1)
     s = 4 * 8
     span = cap + 128
@@ -493,10 +502,13 @@ def test_effective_fold_gate():
     assert effective_fold(256, 1) == 1
     assert effective_fold(128, 1) == 0
     assert effective_fold(512, 0) == 0
-    # The default capacity-128 index maps to the no-fold span.
-    assert scan_span(128) == 256
+    # Aligned-layout spans: no +128 slack tile. Capacity <= 256 indexes
+    # map to no-fold spans at the default depth 2.
+    assert scan_span(128) == 128
+    assert scan_span(384) == 384
     assert effective_fold(scan_span(128), 2) == 0
-    assert effective_fold(scan_span(129), 2) == 2
+    assert effective_fold(scan_span(129), 2) == 0
+    assert effective_fold(scan_span(257), 2) == 2
 
 
 def test_reduce_noop_on_small_window_returns_raw(scan_inputs):
@@ -539,3 +551,56 @@ def test_qpc_g2_variants_identical(rng, qpc, g2):
     )
     np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_got))
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-6)
+
+
+def test_nibble_packed_query_operand(rng):
+    """qpack=True (split-half nibble packing of the 4-bit query values)
+    must be bit-identical to the unpacked kernel at lane-aligned halves
+    (D % 256 == 0)."""
+    n, d, cap, s = 500, 256, 128, 24
+    bits = rng.integers(0, 2, size=(n, d)).astype(np.int32)
+    factors = np.abs(rng.standard_normal((n, 4))).astype(np.float32)
+    codes_pm1, facs = _operands(bits, factors, cap)
+    starts = rng.integers(0, n - cap, size=s).astype(np.int32)
+    sizes = np.minimum(
+        rng.integers(0, cap + 1, size=s), n - starts
+    ).astype(np.int32)
+    quant = rng.integers(0, 16, size=(s, d)).astype(np.int32)
+    scal = _scal(rng, s, quant)
+    span = cap + 128
+
+    ref, _, _ = _run(codes_pm1, facs, starts, sizes, quant, scal, span)
+    d2 = d // 2
+    qu = quant.astype(np.uint8)
+    packed = (qu[:, :d2] | (qu[:, d2:] << 4)).astype(np.int8)
+    got, _, _ = pallas_rough_scan(
+        codes_pm1,
+        facs,
+        jnp.asarray(starts),
+        jnp.asarray(sizes),
+        jnp.asarray(packed),
+        jnp.asarray(scal),
+        span=span,
+        interpret=True,
+        qpack=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    # The folded output must match too (slot packing composes with the
+    # nibble-packed operand).
+    ref_f, _, _ = _run(
+        codes_pm1, facs, starts, sizes, quant, scal, span, reduce=True
+    )
+    got_f, _, _ = pallas_rough_scan(
+        codes_pm1,
+        facs,
+        jnp.asarray(starts),
+        jnp.asarray(sizes),
+        jnp.asarray(packed),
+        jnp.asarray(scal),
+        span=span,
+        interpret=True,
+        reduce=True,
+        qpack=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ref_f), np.asarray(got_f))

@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--probe", type=int, default=80)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--spill", type=float, default=0.2)
+    # Replace the bf16 arms with an f32 rerank-budget ladder at the
+    # gist operating point (rerank_chunk=256): e.g. "150,128,120,110".
+    ap.add_argument("--budgets", type=str, default="")
     args = ap.parse_args()
 
     import jax
@@ -68,14 +71,22 @@ def main():
     log(f"built in {time.time()-t0:.1f}s (capacity={index.capacity})")
     qd = jnp.asarray(queries)
 
-    arms = [
-        ("f32-250", dict(rerank=250)),
-        ("f32-150", dict(rerank=150)),
-        ("bf16only-250", dict(rerank=250, rerank_bf16=True, rerank_refine=0)),
-        ("bf16only-150", dict(rerank=150, rerank_bf16=True, rerank_refine=0)),
-        ("bf16ref-250", dict(rerank=250, rerank_bf16=True,
-                             rerank_refine=120)),
-    ]
+    if args.budgets:
+        arms = [
+            (f"f32c256-{r}", dict(rerank=int(r), rerank_chunk=256))
+            for r in args.budgets.split(",")
+        ]
+    else:
+        arms = [
+            ("f32-250", dict(rerank=250)),
+            ("f32-150", dict(rerank=150)),
+            ("bf16only-250", dict(rerank=250, rerank_bf16=True,
+                                  rerank_refine=0)),
+            ("bf16only-150", dict(rerank=150, rerank_bf16=True,
+                                  rerank_refine=0)),
+            ("bf16ref-250", dict(rerank=250, rerank_bf16=True,
+                                 rerank_refine=120)),
+        ]
     results = {}
     for name, kw in arms:
         params = SearchParams(

@@ -30,11 +30,29 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def make_operands(n, dim, k, cap, seed=0):
+def make_operands(n, dim, k, cap, seed=0, aligned=False):
     """Random codes/factors in the kernel's tiled layouts + a cluster
-    table with sizes ~ n/k (capped at cap), like a balanced build."""
+    table with sizes ~ n/k (capped at cap), like a balanced build.
+
+    aligned=True lays every cluster start on a 128-lane boundary
+    (inserting dead pad rows), modeling the aligned-blob layout where
+    the scan window is exactly ceil(cap/128)*128 with no +128 slack."""
     rng = np.random.default_rng(seed)
-    n_tiles = (n + 127) // 128
+    sizes = np.minimum(
+        rng.poisson(n * 0.98 / k, size=k).astype(np.int32), cap
+    )
+    while int(sizes.sum()) > n:  # trim overshoot deterministically
+        sizes[np.argmax(sizes)] -= 8
+    if aligned:
+        spans = ((sizes + 127) // 128) * 128
+        starts = np.zeros(k, np.int32)
+        starts[1:] = np.cumsum(spans)[:-1]
+        n_rows = int(spans.sum())
+    else:
+        starts = np.zeros(k, np.int32)
+        starts[1:] = np.cumsum(sizes)[:-1]
+        n_rows = n
+    n_tiles = (n_rows + 127) // 128 + (cap + 255) // 128
     codes = rng.choice(
         np.array([-1, 1], np.int8), size=(n_tiles, 128, dim)
     )
@@ -43,15 +61,6 @@ def make_operands(n, dim, k, cap, seed=0):
     facs[:, 1] = rng.standard_normal((n_tiles, 128)) * 0.1  # ppc
     facs[:, 2] = np.abs(rng.standard_normal((n_tiles, 128))) * 0.1  # err
     facs[:, 3] = np.abs(rng.standard_normal((n_tiles, 128)))  # cdsq
-
-    sizes = np.minimum(
-        rng.poisson(n * 0.98 / k, size=k).astype(np.int32), cap
-    )
-    while int(sizes.sum()) > n:  # trim overshoot deterministically
-        sizes[np.argmax(sizes)] -= 8
-    total = int(sizes.sum())
-    starts = np.zeros(k, np.int32)
-    starts[1:] = np.cumsum(sizes)[:-1]
     return codes, facs, starts, sizes
 
 
@@ -92,6 +101,7 @@ def main():
     ap.add_argument("--sweep", action="store_true")
     ap.add_argument("--qpc", type=int, default=None)
     ap.add_argument("--g2", type=int, default=None)
+    ap.add_argument("--aligned", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -101,9 +111,9 @@ def main():
 
     assert jax.default_backend() == "tpu", jax.default_backend()
 
-    span = ((args.cap + 127) // 128) * 128 + 128
+    span = ((args.cap + 127) // 128) * 128 + (0 if args.aligned else 128)
     codes, facs, starts_k, sizes_k = make_operands(
-        args.n, args.dim, args.k, args.cap
+        args.n, args.dim, args.k, args.cap, aligned=args.aligned
     )
     s = args.batch * args.probe
     t_starts, t_sizes = make_tasks(
@@ -128,16 +138,19 @@ def main():
     sc_d = jnp.asarray(scal)
 
     def timed(qpc, g2):
+        # Operands are explicit jit args, NOT closure captures: captured
+        # device arrays are serialized into the remote-compile request
+        # through the axon tunnel, which 413s at 960-d (1 GB codes).
         @jax.jit
-        def loop(qv, iters):
+        def loop(cd, fd, st, sz, qv, sc, iters):
             def body(i, acc):
                 r, _, _ = pallas_rough_scan(
-                    codes_d,
-                    facs_d,
-                    st_d,
-                    sz_d,
+                    cd,
+                    fd,
+                    st,
+                    sz,
                     qv + (i % 3).astype(jnp.int8),
-                    sc_d,
+                    sc,
                     span=span,
                     k_max=args.k,
                     reduce=args.reduce,
@@ -148,15 +161,20 @@ def main():
 
             return jax.lax.fori_loop(0, iters, body, 0.0)
 
-        _ = float(loop(qv_d, args.iters))
-        _ = float(loop(qv_d, 1))
+        def run(qv, iters):
+            return float(
+                loop(codes_d, facs_d, st_d, sz_d, qv, sc_d, iters)
+            )
+
+        _ = run(qv_d, args.iters)
+        _ = run(qv_d, 1)
 
         def best(itr, reps=3):
             ts = []
             for r in range(reps):
                 qp = qv_d + np.int8(r % 2)
                 t0 = time.time()
-                _ = float(loop(qp, itr))
+                _ = run(qp, itr)
                 ts.append(time.time() - t0)
             return min(ts)
 

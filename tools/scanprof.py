@@ -51,8 +51,9 @@ def main():
     ap.add_argument("--nq", type=int, default=0)
     # Override the kernel's qpc clamp (scan_kernel._QPC_MAX) to measure
     # the FULL-scan effect of larger task groups (kbench only sees the
-    # kernel; the grouping glue's padded-row gathers scale the other way).
-    ap.add_argument("--qpc-max", type=int, default=0)
+    # kernel; the grouping glue's padded-row gathers scale the other
+    # way). Comma list sweeps several values against ONE build.
+    ap.add_argument("--qpc-max", type=str, default="")
     args = ap.parse_args()
 
     import jax
@@ -74,8 +75,11 @@ def main():
         prepare_groups,
     )
 
-    if args.qpc_max:
-        sk._QPC_MAX = args.qpc_max
+    qpc_sweep = (
+        [int(x) for x in args.qpc_max.split(",")] if args.qpc_max else [0]
+    )
+    if qpc_sweep[0]:
+        sk._QPC_MAX = qpc_sweep[0]
 
     assert jax.default_backend() == "tpu"
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
@@ -154,6 +158,10 @@ def main():
             [qq.lower, qq.delta, qq.code_sum, ycd], axis=-1
         ).reshape(s, 4)
         qvals = qq.quantized.reshape(s, idx.dim).astype(jnp.int8)
+        if idx.dim % 256 == 0:  # mirror rough_scan's nibble packing
+            d2 = idx.dim // 2
+            qu = qvals.astype(jnp.uint8)
+            qvals = (qu[:, :d2] | (qu[:, d2:] << 4)).astype(jnp.int8)
         return starts, sizes, qvals, scal
 
     def stage_prep(idx, qs):
@@ -243,17 +251,24 @@ def main():
         return (best(ln) - best(l1)) / (args.iters - 1)
 
     t_prep = time_stage(stage_prep)
-    t_sort = time_stage(stage_group)
-    t_str = time_stage(stage_group_str)
-    t_full = time_stage(stage_full)
-    out = {
-        "prep": t_prep,
-        "group_sort_marginal": t_sort - t_prep,
-        "group_structured_marginal": t_str - t_prep,
-        "full_scan_prefix": t_full,
-        "kernel_after_group_marginal": t_full - t_str,
-    }
-    prev = t_full
+    out = {"prep": t_prep}
+    if len(qpc_sweep) == 1:
+        t_sort = time_stage(stage_group)
+        out["group_sort_marginal"] = t_sort - t_prep
+    prev = 0.0
+    for qm in qpc_sweep:
+        if qm:
+            sk._QPC_MAX = qm
+        qpc = _pick_qpc(s, index.k)
+        g_max = _group_bound(s, qpc, index.k)
+        g_pad = ((g_max + g2 - 1) // g2) * g2
+        tag = f"_q{qpc}" if len(qpc_sweep) > 1 else ""
+        t_str = time_stage(stage_group_str)
+        t_full = time_stage(stage_full)
+        out[f"group_structured_marginal{tag}"] = t_str - t_prep
+        out[f"full_scan_prefix{tag}"] = t_full
+        out[f"kernel_after_group_marginal{tag}"] = t_full - t_str
+        prev = t_full
     for name, v in out.items():
         log(f"{name:>28}: {v*1e3:7.2f} ms")
     log(
