@@ -28,7 +28,8 @@ _TINY = 1e-30
 class QuantizedQueries(NamedTuple):
     """Per-(query, probed-cluster) quantization state."""
 
-    quantized: jax.Array  # [..., D] int32 in [0, 2^B - 1]
+    quantized: jax.Array  # [..., D] int8 in [0, 2^B - 1] (int8 halves the
+    # [B, probe, D]-scale HBM write at 960-d vs the former int32)
     lower: jax.Array      # [...] f32 lo bound of the residual
     delta: jax.Array      # [...] f32 quantization step
     code_sum: jax.Array   # [...] f32 sum of quantized values
@@ -53,6 +54,6 @@ def quantize_query_residuals(
         q = jnp.round(scaled)
     else:
         q = jnp.floor(scaled + rand_bias)
-    q = jnp.clip(q, 0, _QMAX).astype(jnp.int32)
-    code_sum = q.sum(axis=-1).astype(jnp.float32)
+    q = jnp.clip(q, 0, _QMAX).astype(jnp.int8)
+    code_sum = q.sum(axis=-1, dtype=jnp.int32).astype(jnp.float32)
     return QuantizedQueries(q, lo, delta, code_sum)

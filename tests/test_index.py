@@ -433,3 +433,42 @@ def test_rerank_bf16_refine_zero(rng):
     idx2 = insert(idx, nv, ids=np.array([new_id]))
     d3, i3 = search(idx2, jnp.asarray(nv), params)
     assert new_id in set(np.asarray(i3)[0].tolist())
+
+
+def test_aligned_blob_layout_invariants(rng):
+    """padded_offsets/dense_to_padded and the blob placement they define:
+    every cluster starts on a 128-lane blob boundary, dense<->padded maps
+    are consistent, and the codes/factors dense views round-trip."""
+    import jax
+
+    from conftest import make_clustered_dataset
+    from rabitq_tpu import build_index
+    from rabitq_tpu.index.index import dense_to_padded, padded_offsets
+
+    base, centers = make_clustered_dataset(rng, n=1500, dim=64, k=12)
+    idx = build_index(base, centers, key=jax.random.key(5))
+    off = np.asarray(idx.offsets)
+    opad = np.asarray(padded_offsets(off))
+    sizes = off[1:] - off[:-1]
+    assert (opad % 128 == 0).all()
+    assert (opad[1:] - opad[:-1] == ((sizes + 127) // 128) * 128).all()
+    # dense->padded maps cluster c's rows to [opad[c], opad[c] + size).
+    pos = np.arange(off[-1])
+    dst = dense_to_padded(off, pos)
+    for c in range(len(sizes)):
+        got = dst[off[c] : off[c + 1]]
+        np.testing.assert_array_equal(
+            got, opad[c] + np.arange(sizes[c])
+        )
+    # The dense views de-interleave the padded blob consistently: the
+    # factor quad of dense row i equals the blob word at its padded
+    # column (spot-check via the cdsq lane used by the annulus band).
+    facs = np.asarray(idx.factors)
+    blob = np.asarray(idx.blob)
+    w3 = idx.code_rows + 3
+    for i in rng.integers(0, off[-1], size=16):
+        col = int(dst[i])
+        np.testing.assert_array_equal(
+            np.uint32(facs[i, 3:4].view(np.uint32)[0]),
+            blob[col // 128, w3, col % 128],
+        )
