@@ -56,9 +56,27 @@ def main():
     )
 
     assert jax.default_backend() == "tpu"
-    from bench import make_dataset
+    from bench import _cached, make_dataset
 
-    base, queries = make_dataset(args.n, args.dim, 1024, args.batch, seed=7)
+    # Reuse the bench's cached 1M dataset when present (960-d generation
+    # costs ~29 min on this 1-core host); prep costs don't depend on the
+    # corpus beyond which clusters get probed, so slicing is fine.
+    cache_nq = 4096 if args.dim == 960 else 16384
+    cache = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "data"
+        / f"ds_make_dataset_1000000_{args.dim}_1024_{cache_nq}.npz"
+    )
+    if cache.exists():
+        base, queries = _cached(
+            f"ds_make_dataset_1000000_{args.dim}_1024_{cache_nq}",
+            lambda: (_ for _ in ()).throw(RuntimeError("cache expected")),
+        )
+        base = base[: args.n]
+    else:
+        base, queries = make_dataset(
+            args.n, args.dim, 1024, args.batch, seed=7
+        )
     centroids = kmeans(
         base[:200_000], args.k, iters=6, key=jax.random.key(1)
     )
