@@ -424,6 +424,14 @@ class SearchParams(NamedTuple):
     # 1024). 0 = one gather (default; right whenever it fits, the
     # chunks serialize device-side).
     rerank_chunk: int = 0
+    # MXU precision of the all-centroid distance matmul that RANKS
+    # clusters for probing. "highest" (default): 6-pass f32 — exact
+    # ranking. "default": single bf16 pass (~6x MXU throughput, ~0.4%
+    # relative error) — flips only near-tied cluster ranks, which the
+    # probe budget's headroom absorbs; the estimator recomputes
+    # ||y - c||^2 exactly either way. Measured recall-neutral at the
+    # GIST operating point (tools/rankprec_ab.py).
+    rank_precision: str = "highest"
     # Probe ranking key. "centroid" (default): squared distance to the
     # centroid — classic IVF. "annulus": the exact geometric lower bound
     # on any member's distance, i.e. the squared distance from d(q, c)

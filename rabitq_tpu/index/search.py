@@ -298,7 +298,15 @@ def rough_scan(
     # approx_min_k is ~40x cheaper than exact top_k here (which lowers to
     # a full sort); with 2x-probe headroom its per-element recall target
     # makes missed clusters rare, and the bench shows no recall change.
-    cdist = pairwise_l2sq(y, index.centroids_rot)  # [B, K]
+    cdist = pairwise_l2sq(
+        y,
+        index.centroids_rot,
+        precision=(
+            jax.lax.Precision.DEFAULT
+            if getattr(params, "rank_precision", "highest") == "default"
+            else jax.lax.Precision.HIGHEST
+        ),
+    )  # [B, K] — ranking only; the estimator's ||y-c||^2 is exact below
     cids = _rank_clusters(index, cdist, probe, params)  # [B, probe]
     if lo:
         # Incremental escalation: both selectors return rank-sorted

@@ -39,6 +39,10 @@ def main():
     # Replace the bf16 arms with an f32 rerank-budget ladder at the
     # gist operating point (rerank_chunk=256): e.g. "150,128,120,110".
     ap.add_argument("--budgets", type=str, default="")
+    # Cluster-rank-precision A/B at the gist operating point: HIGHEST
+    # (exact ranking) vs DEFAULT (one bf16 MXU pass) for the [B, k]
+    # ranking matmul — the estimator's ||y-c||^2 stays exact either way.
+    ap.add_argument("--rank-prec", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -71,7 +75,19 @@ def main():
     log(f"built in {time.time()-t0:.1f}s (capacity={index.capacity})")
     qd = jnp.asarray(queries)
 
-    if args.budgets:
+    if args.rank_prec:
+        arms = [
+            ("rp-highest", dict(rerank=150, rerank_chunk=256)),
+            (
+                "rp-default",
+                dict(
+                    rerank=150,
+                    rerank_chunk=256,
+                    rank_precision="default",
+                ),
+            ),
+        ]
+    elif args.budgets:
         arms = [
             (f"f32c256-{r}", dict(rerank=int(r), rerank_chunk=256))
             for r in args.budgets.split(",")
