@@ -420,6 +420,16 @@ def main():
         "256 on the gist config (tools/gist_batch_ab.py: -7.5%% device "
         "time at identical recall), 0 elsewhere",
     )
+    ap.add_argument(
+        "--rank-precision",
+        choices=["highest", "default"],
+        default=None,
+        help="cluster-RANKING matmul precision; 'default' = one bf16 "
+        "MXU pass, measured recall-neutral at 960-d (+1.2%% QPS, "
+        "tools/gist_rr_ab.py --rank-prec) — the gist config's default; "
+        "'highest' elsewhere (the estimator's ||y-c||^2 is exact "
+        "either way)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -459,6 +469,8 @@ def main():
         args.batch = min(args.batch, 1024)
         if args.rerank_chunk is None:
             args.rerank_chunk = 256
+        if args.rank_precision is None:
+            args.rank_precision = "default"
     else:
         # sift AND blobs: same scale, different generator below.
         # nq = 8 batches: enough dispatches for the pipelined sweep to
@@ -573,6 +585,7 @@ def main():
                 args.rerank_refine if args.rerank_refine is not None else -1
             ),
             rerank_chunk=args.rerank_chunk or 0,
+            rank_precision=args.rank_precision or "highest",
         )
         _ = np.asarray(search(index, qd[:batch], params)[1])  # compile
         # Pipelined eval: batch N+1's dispatch is issued before batch N's
@@ -623,6 +636,7 @@ def main():
             args.rerank_refine if args.rerank_refine is not None else -1
         ),
         rerank_chunk=args.rerank_chunk or 0,
+        rank_precision=args.rank_precision or "highest",
     )
     q3 = qd[:nq_pad].reshape(nq_pad // batch, batch, -1)
     # Drain pipeline counters for the chosen setting (one batch is
