@@ -1,0 +1,148 @@
+"""Prep-stage fusion experiment on the real TPU (no index build).
+
+The scan prep computes, per (query, probed cluster): the rotated-query
+residual yr = y - c, its min/max (quantizer bounds), ycd = ||yr||^2,
+and the 4-bit quantized values. XLA materializes yr between the
+reduction pass and the quantize pass (~336 MB round-trip at the GIST
+shape, tools/prepprof.py: p1+p2 ~ 2.3 ms vs a ~0.9 ms two-read floor).
+
+Variants (identical outputs, bit-exactness asserted on one batch):
+  A  current: one gather feeding both passes (yr materialized)
+  B  barrier-split: TWO gathers of the same rows, the second behind
+     jax.lax.optimization_barrier(cids) so CSE cannot unify them —
+     letting each gather fuse into its consumer pass with no [B,pe,D]
+     materialization (if XLA cooperates; harmless if it doesn't)
+
+Usage: python tools/fuseprep.py [--batch 1024] [--probe 80] [--dim 1024]
+       [--k 4096]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--probe", type=int, default=80)
+    ap.add_argument("--dim", type=int, default=1024)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu.consts import SCALAR
+
+    assert jax.default_backend() == "tpu"
+    b, pe, d, k = args.batch, args.probe, args.dim, args.k
+    rng = np.random.default_rng(0)
+    y0 = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+    cents = jnp.asarray(rng.standard_normal((k, d)).astype(np.float32))
+    cids = jnp.asarray(
+        np.stack(
+            [rng.choice(k, size=pe, replace=False) for _ in range(b)]
+        ).astype(np.int32)
+    )
+    qmax = 15.0
+
+    def quant_from(yr):
+        lo = yr.min(axis=-1)
+        hi = yr.max(axis=-1)
+        delta = jnp.maximum((hi - lo) * jnp.float32(SCALAR), 1e-30)
+        q = jnp.clip(
+            jnp.round((yr - lo[..., None]) / delta[..., None]), 0, qmax
+        ).astype(jnp.int8)
+        return q, lo, delta
+
+    def pack(q):
+        d2 = q.shape[-1] // 2
+        qu = q.astype(jnp.uint8)
+        return (qu[..., :d2] | (qu[..., d2:] << 4)).astype(jnp.int8)
+
+    def var_a(y):
+        yr = y[:, None, :] - cents[cids]
+        ycd = jnp.sum(yr * yr, axis=-1)
+        q, lo, delta = quant_from(yr)
+        qp = pack(q)
+        cs = q.sum(axis=-1, dtype=jnp.int32).astype(jnp.float32)
+        return qp, lo, delta, cs, ycd
+
+    def var_b(y):
+        cg1 = cents[cids]
+        yr1 = y[:, None, :] - cg1
+        ycd = jnp.sum(yr1 * yr1, axis=-1)
+        lo = yr1.min(axis=-1)
+        hi = yr1.max(axis=-1)
+        delta = jnp.maximum((hi - lo) * jnp.float32(SCALAR), 1e-30)
+        # Second, CSE-proof gather: the quantize pass re-reads the rows
+        # instead of re-reading a materialized yr.
+        cids2 = jax.lax.optimization_barrier(cids)
+        yr2 = y[:, None, :] - cents[cids2]
+        q = jnp.clip(
+            jnp.round((yr2 - lo[..., None]) / delta[..., None]), 0, qmax
+        ).astype(jnp.int8)
+        qp = pack(q)
+        cs = q.sum(axis=-1, dtype=jnp.int32).astype(jnp.float32)
+        return qp, lo, delta, cs, ycd
+
+    # Bit-exactness: same rows -> same arithmetic -> identical outputs.
+    oa = jax.jit(var_a)(y0)
+    ob = jax.jit(var_b)(y0)
+    for x, z in zip(oa, ob):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(z))
+    log("variants bit-identical")
+
+    def timed(fn):
+        @jax.jit
+        def loop(y, iters):
+            def body(i, acc):
+                outs = fn(y + i.astype(jnp.float32) * 1e-6)
+                return acc + sum(
+                    o.astype(jnp.float32).sum() for o in outs
+                )
+
+            return jax.lax.fori_loop(0, iters, body, 0.0)
+
+        def run(yy, it):
+            return float(loop(yy, it))
+
+        _ = run(y0, args.iters)
+        _ = run(y0, 1)
+
+        def best(it, reps=3):
+            ts = []
+            for r in range(reps):
+                yp = y0 + np.float32(1e-5) * (r + 1)
+                t0 = time.time()
+                _ = run(yp, it)
+                ts.append(time.time() - t0)
+            return min(ts)
+
+        return (best(args.iters) - best(1)) / (args.iters - 1)
+
+    ta = timed(var_a)
+    tb = timed(var_b)
+    log(f"var_a (single gather, yr materialized): {ta*1e3:7.3f} ms")
+    log(f"var_b (barrier-split double gather):    {tb*1e3:7.3f} ms")
+    print(
+        f'{{"var_a_ms": {ta*1e3:.3f}, "var_b_ms": {tb*1e3:.3f}, '
+        f'"shape": [{b}, {pe}, {d}]}}'
+    )
+
+
+if __name__ == "__main__":
+    main()
