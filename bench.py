@@ -792,6 +792,14 @@ def main():
                     qps_pipelined=round(qps_pipe, 1),
                     transport=f"cb{cb}-" + ("packed" if packed_t else "raw"),
                     build_seconds=round(build_s, 1),
+                    # Full measurement config (reproducibility: gist
+                    # defaults rank_precision to non-library-default
+                    # "default"/bf16 ranking — record it).
+                    rerank=params.rerank,
+                    rerank_chunk=params.rerank_chunk,
+                    rank_precision=params.rank_precision,
+                    spill=args.spill,
+                    bits=args.bits,
                     device=str(jax.devices()[0]),
                 ),
             )

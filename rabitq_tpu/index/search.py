@@ -153,6 +153,25 @@ def _annulus_bound(index: RaBitQIndex, cdist: jax.Array) -> jax.Array:
     return jnp.where(sizes[None, :] == 0, jnp.inf, gap * gap)
 
 
+def _rank_cdist(
+    index: RaBitQIndex, y: jax.Array, params: SearchParams
+) -> jax.Array:
+    """All-centroid distance matrix used to RANK clusters for probing,
+    at params.rank_precision. Shared by rough_scan and the early-stop
+    certificate so that within one jitted program the two calls CSE to
+    identical values — the certificate's probed set then provably
+    matches the set actually scanned (see _certificate_safe)."""
+    return pairwise_l2sq(
+        y,
+        index.centroids_rot,
+        precision=(
+            jax.lax.Precision.DEFAULT
+            if params.rank_precision == "default"
+            else jax.lax.Precision.HIGHEST
+        ),
+    )
+
+
 def _rank_clusters(
     index: RaBitQIndex,
     cdist: jax.Array,
@@ -298,14 +317,8 @@ def rough_scan(
     # approx_min_k is ~40x cheaper than exact top_k here (which lowers to
     # a full sort); with 2x-probe headroom its per-element recall target
     # makes missed clusters rare, and the bench shows no recall change.
-    cdist = pairwise_l2sq(
-        y,
-        index.centroids_rot,
-        precision=(
-            jax.lax.Precision.DEFAULT
-            if getattr(params, "rank_precision", "highest") == "default"
-            else jax.lax.Precision.HIGHEST
-        ),
+    cdist = _rank_cdist(
+        index, y, params
     )  # [B, K] — ranking only; the estimator's ||y-c||^2 is exact below
     cids = _rank_clusters(index, cdist, probe, params)  # [B, probe]
     if lo:
@@ -854,14 +867,22 @@ def _certificate_safe(
     closer than the current kth result: every member x of cluster c
     satisfies d(q, x)^2 >= the annulus bound (distance from d(q, c) to
     the cluster's member-radius band, _annulus_bound). The probed set
-    uses the SAME ranking as the search (within one jitted level the two
-    _rank_clusters calls CSE to identical results), so escalation and
-    certificate agree on what was scanned.
+    uses the SAME ranking AT THE SAME PRECISION as the search (_rank_cdist;
+    within one jitted level the two calls CSE to identical results), so
+    escalation and certificate agree on what was scanned even under
+    rank_precision="default" (bf16 ranking). The BOUND itself is always
+    computed from a HIGHEST-precision distance matrix: a bf16-rounded
+    d(q, c) could overestimate the true distance and void the lower-bound
+    guarantee the certificate rests on.
     """
-    cd = pairwise_l2sq(y, index.centroids_rot)  # [B, K]
-    cids = _rank_clusters(index, cd, probe, params)
+    cd_rank = _rank_cdist(index, y, params)  # [B, K] ranking key
+    cids = _rank_clusters(index, cd_rank, probe, params)
 
     k = index.offsets.shape[0] - 1
+    if params.rank_precision == "default":
+        cd = pairwise_l2sq(y, index.centroids_rot)  # exact, HIGHEST
+    else:
+        cd = cd_rank  # already HIGHEST — CSEs with the scan's matmul
     bound = _annulus_bound(index, cd)  # [B, K]; empty clusters +inf
     b = y.shape[0]
     probed = (

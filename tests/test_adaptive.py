@@ -128,3 +128,31 @@ def test_adaptive_expands_probe_when_needed(rng):
     rec = np.mean([calculate_recall(truth[i], ids[i], 10) for i in range(nq)])
     # Certified or capped at full probe => high recall.
     assert rec >= 0.95, rec
+
+
+def test_certificate_sound_under_bf16_ranking(rng):
+    """rank_precision="default" (bf16 cluster ranking) must not void the
+    certificate: the probed set is ranked at the search's precision while
+    the bound always uses the HIGHEST-precision distance matrix, so
+    certified queries stay exact (advisor r3 medium finding)."""
+    base, centers = make_clustered_dataset(rng, n=2000, dim=32, k=16, spread=0.1)
+    idx = build_index(base, centers, key=jax.random.key(1))
+    nq = 16
+    queries = base[rng.choice(2000, nq, replace=False)] + (
+        0.01 * rng.standard_normal((nq, 32)).astype(np.float32)
+    )
+    truth = brute_force_topk(base, queries, 10)
+    params = SearchParams(
+        probe=16, topk=10, rerank=2000, rank_precision="default"
+    )
+    dists, ids, safe = _search_with_certificate(idx, jnp.asarray(queries), params)
+    assert np.asarray(safe).all()
+    ids = np.asarray(ids)
+    rec = np.mean([calculate_recall(truth[i], ids[i], 10) for i in range(nq)])
+    assert rec == 1.0
+    # Adaptive path at the same precision stays exact once certified.
+    d2, i2, probe_used = search_adaptive(idx, jnp.asarray(queries), params)
+    rec2 = np.mean(
+        [calculate_recall(truth[i], np.asarray(i2)[i], 10) for i in range(nq)]
+    )
+    assert rec2 == 1.0
