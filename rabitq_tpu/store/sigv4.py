@@ -328,10 +328,14 @@ class S3RangeSource:
         region: str | None = None,
         endpoint: str | None = None,
         env: dict[str, str] | None = None,
+        retries: int = 4,
+        backoff: float = 0.05,
     ) -> None:
         import urllib.request
 
         self._urllib = urllib.request
+        self._retries = retries
+        self._backoff = backoff
         bucket, key = parse_s3_url(s3_url)
         region = region or resolve_region(env)
         endpoint = endpoint or resolve_endpoint(env)
@@ -349,12 +353,29 @@ class S3RangeSource:
         return self._urllib.Request(self._url, method=method, headers=signed)
 
     def read_range(self, start: int, length: int) -> bytes:
+        from rabitq_tpu.store.vector_store import retry_range_read
+
+        return retry_range_read(
+            lambda: self._read_once(start, length),
+            what=f"{start}+{length} of {self._url}",
+            attempts=self._retries,
+            backoff=self._backoff,
+        )
+
+    def _read_once(self, start: int, length: int) -> bytes:
+        # Signatures are minted per attempt (a retry after backoff gets a
+        # fresh x-amz-date — a stale one can cross the clock-skew window).
         req = self._request(
             "GET", {"Range": f"bytes={start}-{start + length - 1}"}
         )
         with self._urllib.urlopen(req) as resp:
             body = resp.read()
             if resp.status == 206:
+                if len(body) != length:
+                    raise ConnectionError(
+                        f"range read {start}+{length} of {self._url}: "
+                        f"206 with {len(body)} bytes"
+                    )
                 return body
         # Same whole-object fallback as HttpRangeSource: a 200 with the
         # full body must be sliced, never returned as-is (every block

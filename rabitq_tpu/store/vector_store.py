@@ -25,6 +25,7 @@ import logging
 import os
 import sqlite3
 import threading
+import time
 from pathlib import Path
 from typing import Protocol
 
@@ -36,6 +37,61 @@ logger = logging.getLogger(__name__)
 
 # Reference block size: cache.rs:12 (BLOCK_BYTE_LIMIT = 1 << 19).
 BLOCK_BYTE_LIMIT = 1 << 19
+
+# HTTP statuses worth retrying: throttles and transient server/gateway
+# failures. Client errors (403/404/416) fail fast — retrying them only
+# delays the real error.
+TRANSIENT_HTTP = frozenset({408, 429, 500, 502, 503, 504})
+
+
+def retry_range_read(
+    fetch,
+    *,
+    what: str,
+    attempts: int = 4,
+    backoff: float = 0.05,
+    sleep=time.sleep,
+):
+    """Run ``fetch()`` with bounded exponential backoff on TRANSIENT
+    failures (connection errors, truncated bodies, 5xx/429 statuses).
+
+    The reference's disk tier bubbles the first S3 error and fails the
+    whole query (/root/reference/crates/disk/src/cache.rs:115-135); at
+    production claim level one flaky GET must not fail a micro-batch, so
+    every range source wraps its fetch here. Non-transient HTTP errors
+    (auth, not-found, bad range) raise immediately.
+    """
+    import http.client
+    import urllib.error
+
+    last: Exception | None = None
+    for i in range(max(1, attempts)):
+        if i:
+            sleep(backoff * (1 << (i - 1)))
+        try:
+            return fetch()
+        except urllib.error.HTTPError as e:
+            if e.code not in TRANSIENT_HTTP:
+                raise
+            last = e
+        except (
+            urllib.error.URLError,
+            http.client.HTTPException,
+            ConnectionError,
+            TimeoutError,
+            OSError,
+        ) as e:
+            last = e
+        logger.warning(
+            "transient failure reading %s (attempt %d/%d): %s",
+            what,
+            i + 1,
+            attempts,
+            last,
+        )
+    raise OSError(
+        f"range read {what}: {attempts} attempts failed"
+    ) from last
 
 
 class VectorStore(Protocol):
@@ -101,12 +157,17 @@ class HttpRangeSource:
         url: str,
         size: int | None = None,
         headers: dict[str, str] | None = None,
+        *,
+        retries: int = 4,
+        backoff: float = 0.05,
     ) -> None:
         import urllib.request
 
         self._url = url
         self._urllib = urllib.request
         self._headers = dict(headers or {})
+        self._retries = retries
+        self._backoff = backoff
         if size is None:
             req = self._urllib.Request(
                 url, method="HEAD", headers=self._headers
@@ -116,6 +177,14 @@ class HttpRangeSource:
         self.size = size
 
     def read_range(self, start: int, length: int) -> bytes:
+        return retry_range_read(
+            lambda: self._read_once(start, length),
+            what=f"{start}+{length} of {self._url}",
+            attempts=self._retries,
+            backoff=self._backoff,
+        )
+
+    def _read_once(self, start: int, length: int) -> bytes:
         req = self._urllib.Request(
             self._url,
             headers={
@@ -126,6 +195,14 @@ class HttpRangeSource:
         with self._urllib.urlopen(req) as resp:
             body = resp.read()
             if resp.status == 206:
+                # Length sanity: a truncated 206 body (connection cut
+                # mid-transfer without an exception) would parse as a
+                # short block and corrupt rerank rows — retry it.
+                if len(body) != length:
+                    raise ConnectionError(
+                        f"range read {start}+{length} of {self._url}: "
+                        f"206 with {len(body)} bytes"
+                    )
                 return body
         # The server ignored Range and sent the whole object (plain HTTP
         # servers, some proxies). Slice locally — silently returning the

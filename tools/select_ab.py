@@ -1,0 +1,230 @@
+"""A/B candidate-selection strategies over the folded scan output.
+
+The pipeline selects the rerank-budget R smallest values (and their flat
+indices) from the [B, pe*256] folded rough estimates. The incumbent is a
+two-pass approx_min_k union (task-major + lane-major), whose reduction-
+bucket collisions caused the GIST probe-64 pocket and the batch-2048
+recall regression (BASELINE.md). This measures EXACT alternatives at the
+real shapes, one process, per-iteration-varying inputs so nothing hoists.
+
+Usage: python tools/select_ab.py [--shape sift|gist|both] [--arms a,b,..]
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+SHAPES = {
+    # (B, pe, width, R)
+    "sift": (2048, 28, 256, 32),
+    "gist": (1024, 80, 256, 150),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", default="both")
+    ap.add_argument("--arms", default="")
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu.index.search import _amk_two_pass
+
+    log(f"backend: {jax.default_backend()}")
+
+    def make_arms(pe, width, rerank):
+        w = pe * width
+
+        def amk1(x):
+            return jax.lax.approx_min_k(x, rerank, recall_target=0.9)
+
+        def amk2(x):
+            return _amk_two_pass(x, pe, width, rerank, 0.9)
+
+        def topk_global(x):
+            neg, fi = jax.lax.top_k(-x, rerank)
+            return -neg, fi
+
+        def sort_global(x):
+            # full sort with index payload, slice R
+            b = x.shape[0]
+            iota = jnp.broadcast_to(
+                jnp.arange(w, dtype=jnp.int32)[None, :], (b, w)
+            )
+            v, fi = jax.lax.sort_key_val(x, iota, dimension=-1)
+            return v[:, :rerank], fi[:, :rerank]
+
+        def two_stage(x, m):
+            # per-task exact top-m, then global exact top-R over pe*m
+            b = x.shape[0]
+            xt = x.reshape(b, pe, width)
+            negt, ji = jax.lax.top_k(-xt, m)  # [B, pe, m]
+            flat = (
+                jnp.arange(pe, dtype=jnp.int32)[None, :, None] * width + ji
+            )
+            v2 = (-negt).reshape(b, pe * m)
+            f2 = flat.reshape(b, pe * m)
+            neg, sel = jax.lax.top_k(-v2, rerank)
+            return -neg, jnp.take_along_axis(f2, sel, axis=-1)
+
+        def two_stage_sort(x, m):
+            # per-task SORT (carry index payload), slice m, global top-R
+            b = x.shape[0]
+            xt = x.reshape(b * pe, width)
+            iota = jnp.broadcast_to(
+                jnp.arange(width, dtype=jnp.int32)[None, :],
+                (b * pe, width),
+            )
+            v, ji = jax.lax.sort_key_val(xt, iota, dimension=-1)
+            v = v[:, :m].reshape(b, pe, m)
+            ji = ji[:, :m].reshape(b, pe, m)
+            flat = (
+                jnp.arange(pe, dtype=jnp.int32)[None, :, None] * width + ji
+            )
+            v2 = v.reshape(b, pe * m)
+            f2 = flat.reshape(b, pe * m)
+            neg, sel = jax.lax.top_k(-v2, rerank)
+            return -neg, jnp.take_along_axis(f2, sel, axis=-1)
+
+        def iter_extract(x):
+            # R iterations of global argmin + mask (only viable small R)
+            b = x.shape[0]
+
+            def body(i, carry):
+                xc, vals, idxs = carry
+                am = jnp.argmin(xc, axis=-1)  # [B]
+                v = jnp.take_along_axis(xc, am[:, None], axis=-1)[:, 0]
+                vals = vals.at[:, i].set(v)
+                idxs = idxs.at[:, i].set(am.astype(jnp.int32))
+                xc = xc.at[jnp.arange(b), am].set(jnp.inf)
+                return xc, vals, idxs
+
+            vals = jnp.zeros((b, rerank), jnp.float32)
+            idxs = jnp.zeros((b, rerank), jnp.int32)
+            xc, vals, idxs = jax.lax.fori_loop(
+                0, rerank, body, (x, vals, idxs)
+            )
+            return vals, idxs
+
+        def count_only(x):
+            # cost probe: 24-iteration binary search on the ord32 value
+            # of the R-th smallest (no extraction)
+            b = x.shape[0]
+            bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+            o = jnp.where(bits < 0, jnp.int32(~bits), bits | jnp.int32(1 << 31))
+
+            def body(i, lohi):
+                lo, hi = lohi
+                mid = lo + (hi - lo) // 2  # int32 per row
+                cnt = jnp.sum(
+                    (o < mid[:, None]).astype(jnp.int32), axis=-1
+                )
+                take_hi = cnt >= rerank
+                return (
+                    jnp.where(take_hi, lo, mid + 1),
+                    jnp.where(take_hi, mid, hi),
+                )
+
+            lo = jnp.full((b,), jnp.int32(-(1 << 31)))
+            hi = jnp.full((b,), jnp.int32((1 << 31) - 1))
+            lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+            return lo.astype(jnp.float32)[:, None], lo[:, None]
+
+        arms = {
+            "amk1": amk1,
+            "amk2": amk2,
+            "topk_global": topk_global,
+            "sort_global": sort_global,
+            "two_stage_R": lambda x: two_stage(x, min(rerank, width)),
+            "two_stage_sort_R": lambda x: two_stage_sort(
+                x, min(rerank, width)
+            ),
+            "count_only": count_only,
+        }
+        if rerank <= 64:
+            arms["iter_extract"] = iter_extract
+            arms["two_stage_16"] = lambda x: two_stage(x, 16)
+        return arms
+
+    shapes = (
+        ["sift", "gist"] if args.shape == "both" else [args.shape]
+    )
+    want = set(a for a in args.arms.split(",") if a)
+    for sh in shapes:
+        b, pe, width, rerank = SHAPES[sh]
+        w = pe * width
+        log(f"--- {sh}: B={b} pe={pe} width={width} W={w} R={rerank}")
+        rng = np.random.default_rng(0)
+        x_np = rng.standard_normal((b, w)).astype(np.float32) * 10 + 100
+        # ~25% padded slots (+inf), like real folded output
+        x_np[rng.random((b, w)) < 0.25] = np.inf
+        x0 = np.asarray(x_np)
+        arms = make_arms(pe, width, rerank)
+
+        # correctness vs numpy exact (value multiset of the top-R)
+        ref = np.sort(x_np, axis=-1)[:, :rerank]
+        import jax.numpy as jnp
+
+        for name, fn in arms.items():
+            if want and name not in want:
+                continue
+            if name == "count_only":
+                continue
+            v, fi = jax.jit(fn)(jnp.asarray(x0))
+            v = np.asarray(v)
+            exact = np.allclose(np.sort(v, axis=-1), ref)
+            log(f"{name:>18}: exact={exact}")
+
+        iters = args.iters
+        for name, fn in arms.items():
+            if want and name not in want:
+                continue
+
+            @jax.jit
+            def loop(xin, fn=fn):
+                def body(i, acc):
+                    xi = xin + i.astype(jnp.float32) * 1e-6
+                    v = fn(xi)[0]
+                    return acc + v.sum()
+
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+            @jax.jit
+            def loop1(xin, fn=fn):
+                return fn(xin)[0].sum()
+
+            xj = jnp.asarray(x0)
+            try:
+                _ = float(loop(xj))
+                _ = float(loop1(xj))
+            except Exception as e:  # noqa: BLE001
+                log(f"{name:>18}: FAILED {type(e).__name__}: {e}")
+                continue
+            ts, t1s = [], []
+            for r in range(3):
+                xr = jnp.asarray(x_np + (r + 1) * 1e-5)
+                t0 = time.time()
+                _ = float(loop(xr))
+                ts.append(time.time() - t0)
+                t0 = time.time()
+                _ = float(loop1(xr))
+                t1s.append(time.time() - t0)
+            per = (min(ts) - min(t1s)) / (iters - 1)
+            log(f"{name:>18}: {per*1e3:7.3f} ms")
+
+
+if __name__ == "__main__":
+    main()
