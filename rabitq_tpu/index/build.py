@@ -83,6 +83,46 @@ def _assign_chunk(x_pad, orthogonal, centroids_rot, dim: int, top: int):
     return labels.astype(jnp.int32), -neg
 
 
+@functools.partial(jax.jit, static_argnames=("dim", "top", "chunk"))
+def _assign_all_exact(
+    x_all, orthogonal, centroids_rot, dim: int, top: int, chunk: int
+):
+    """_assign_all plus the EXACT residual norm of every candidate.
+
+    The direct-to-shard build must know each row's exact cdsq (the
+    within-cluster sort key, = _build_chunk's ``cdsq``) BEFORE the
+    quantize pass, because split-segment boundaries — and therefore the
+    row's shard — depend on the within-cluster order. The exact norms
+    are computed with _build_chunk's exact expression per candidate
+    column (same [chunk, D] reduce shape, so the values are bitwise
+    equal to the quantize pass's), one column at a time. Returns
+    (labels [n_pad, top], dists [n_pad, top] ranking values,
+    cd_exact [n_pad, top] exact residual norms).
+    """
+    n_chunks = x_all.shape[0] // chunk
+
+    def body(_, start):
+        x = jax.lax.dynamic_slice(
+            x_all, (start, 0), (chunk, x_all.shape[1])
+        )
+        labels, dists = _assign_chunk(x, orthogonal, centroids_rot, dim, top)
+        x_rot = rotate(x, orthogonal)
+        cds = []
+        for m in range(labels.shape[1]):
+            r = x_rot - centroids_rot[labels[:, m]]
+            cds.append(jnp.sum(r * r, axis=-1))
+        return None, (labels, dists, jnp.stack(cds, axis=-1))
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    _, (labels, dists, cd) = jax.lax.scan(body, None, starts)
+    t = labels.shape[-1]
+    return (
+        labels.reshape(-1, t),
+        dists.reshape(-1, t),
+        cd.reshape(-1, t),
+    )
+
+
 # Scale-search candidates for the multi-bit grid (relative to the scale
 # mapping max|r| onto the grid edge). Slight over-scaling (clipping the
 # few largest components) usually wins; build-time only, vectorized.
@@ -359,6 +399,131 @@ def split_oversized_clusters(
     return new_offsets, seg_src
 
 
+def _spill_admit(
+    cand_labels: np.ndarray,
+    cand_dists: np.ndarray,
+    labels: np.ndarray,
+    base: np.ndarray,
+    centroids: np.ndarray,
+    *,
+    k: int,
+    spill: float,
+    spill_mode: str,
+    spill_soar_lambda: float,
+    balance: float | None,
+    split: bool,
+) -> tuple[np.ndarray, np.ndarray, int | None]:
+    """Pick + admit the spill (multi-assignment) copies.
+
+    Pure metadata bookkeeping over the assignment outputs — shared by the
+    host build and the direct-to-shard build so both produce the identical
+    spill set. Returns (pick [m] source rows, spill_tgt [m] target
+    clusters, cap_unspilled) with m = 0 arrays when spill is off.
+
+    Capacity-preserving quota: on the kernel path every probed cluster
+    scans a fixed scan_span(capacity) window, so spill is scan-time FREE
+    exactly while capacity stays at the unspilled value (measured:
+    unquota'd spill=0.2 doubled capacity 512 -> 1024 on a 100k/256
+    build, doubling scan cost). Admit picks most-ambiguous-first, per
+    target cluster, only up to the unspilled capacity. Cascading
+    admission: round 0 offers each pick its runner-up cluster; a pick
+    whose target is quota-full is re-offered to its NEXT-nearest
+    candidate cluster with room instead of being dropped outright — a
+    copy in the 3rd-nearest cluster still raises coverage, and scan time
+    is unchanged either way.
+    """
+    n = labels.shape[0]
+    n_spill = min(n, int(round(spill * n))) if (spill > 0 and k >= 2) else 0
+    if n_spill == 0:
+        empty = np.zeros(0, np.int32)
+        return empty, empty.copy(), None
+    moved = cand_labels[:, 0] != labels
+    sec_dist = np.where(moved, cand_dists[:, 0], cand_dists[:, 1])
+    ratio = sec_dist / np.maximum(cand_dists[:, 0], _MIN_NORMAL_F32)
+    pick = np.argpartition(ratio, n_spill - 1)[:n_spill].astype(np.int32)
+    sizes0 = np.bincount(labels, minlength=k)
+    cap_unspilled = max(LANES, round_up(int(sizes0.max(initial=1)), LANES))
+    if balance and split:
+        cap_unspilled = min(
+            cap_unspilled,
+            max(LANES, round_up(int(np.ceil(balance * n / k)), LANES)),
+        )
+    pick = pick[np.argsort(ratio[pick], kind="stable")]
+    quota = np.maximum(cap_unspilled - sizes0, 0)
+
+    def _arrival_rank(tgt_r: np.ndarray) -> np.ndarray:
+        # Per-cluster arrival rank (stable sort keeps ambiguity order
+        # within a cluster): rank j is admitted iff j < quota[cluster].
+        srt = np.argsort(tgt_r, kind="stable")
+        t_s = tgt_r[srt]
+        idx = np.arange(t_s.size)
+        grp_start = np.maximum.accumulate(
+            np.where(np.r_[True, t_s[1:] != t_s[:-1]], idx, 0)
+        )
+        arrival = np.empty(t_s.size, dtype=np.int64)
+        arrival[srt] = idx - grp_start
+        return arrival
+
+    # Preference order per pick: its distance-sorted top-``top``
+    # candidate clusters minus its home cluster (for balancer-evicted
+    # rows the runner-up IS cand_labels[:, 0], which the compaction
+    # below keeps first).
+    prefs = cand_labels[pick]  # [m, top], distance-sorted
+    valid = prefs != labels[pick][:, None]
+    if spill_mode == "soar":
+        # SOAR preference: d(x, c_j)^2 + lambda * ((x-c_j)·r̂1)^2,
+        # r1 = x - c_home (Sun et al. 2023, ScaNN's multi-assignment).
+        # Chunked: the [m, top, d] diff transient is the peak.
+        score = np.empty(prefs.shape, dtype=np.float32)
+        for s in range(0, pick.size, 16384):
+            pk = pick[s : s + 16384]
+            x = base[pk]
+            r1 = x - centroids[labels[pk]]
+            r1 /= np.maximum(
+                np.linalg.norm(r1, axis=1, keepdims=True),
+                _MIN_NORMAL_F32,
+            )
+            diff = x[:, None, :] - centroids[prefs[s : s + 16384]]
+            proj = np.einsum("mtd,md->mt", diff, r1, optimize=True)
+            score[s : s + 16384] = (
+                np.sum(diff * diff, axis=2)
+                + spill_soar_lambda * proj * proj
+            )
+        order = np.argsort(
+            np.where(valid, score, np.inf), axis=1, kind="stable"
+        )
+    else:
+        order = np.argsort(~valid, axis=1, kind="stable")
+    prefs = np.take_along_axis(prefs, order, axis=1)
+    nvalid = valid.sum(axis=1)
+    admitted = np.full(pick.size, -1, dtype=np.int64)
+    remaining = quota.copy()
+    per_round = []
+    for r in range(prefs.shape[1]):
+        todo = np.nonzero((admitted < 0) & (r < nvalid))[0]
+        if todo.size == 0:
+            break
+        tgt_r = prefs[todo, r]
+        keep_r = _arrival_rank(tgt_r) < remaining[tgt_r]
+        hit = todo[keep_r]
+        admitted[hit] = tgt_r[keep_r]
+        remaining -= np.bincount(tgt_r[keep_r], minlength=k).astype(
+            remaining.dtype
+        )
+        per_round.append(int(hit.size))
+    ok = admitted >= 0
+    if not ok.all() or len(per_round) > 1:
+        logger.info(
+            "build: spill quota admitted %d/%d picks "
+            "(per cascade round %s, capacity %d)",
+            int(ok.sum()),
+            pick.size,
+            per_round,
+            cap_unspilled,
+        )
+    return pick[ok], admitted[ok].astype(np.int32), cap_unspilled
+
+
 def build_index(
     base: np.ndarray,
     centroids: np.ndarray,
@@ -583,117 +748,21 @@ def build_index(
     # (duplicate ids) flows through the cluster-sort / blob assembly
     # unchanged; queries suppress (distance, id) duplicates at top-k.
     orig_of = np.arange(n, dtype=np.int32)
-    n_spill = min(n, int(round(spill * n))) if (spill > 0 and k >= 2) else 0
-    cap_unspilled = None
-    if n_spill > 0:
-        moved = cand_labels[:, 0] != labels
-        sec_lab = np.where(moved, cand_labels[:, 0], cand_labels[:, 1])
-        sec_dist = np.where(moved, cand_dists[:, 0], cand_dists[:, 1])
-        ratio = sec_dist / np.maximum(cand_dists[:, 0], _MIN_NORMAL_F32)
-        pick = np.argpartition(ratio, n_spill - 1)[:n_spill].astype(np.int32)
-        # Capacity-preserving quota: on the kernel path every probed
-        # cluster scans a fixed span = scan_span(capacity) window, so
-        # spill is scan-time FREE exactly while capacity stays at the
-        # unspilled value (measured: unquota'd spill=0.2 doubled
-        # capacity 512 -> 1024 on a 100k/256 build, doubling scan cost).
-        # Admit picks most-ambiguous-first, per target cluster, only up
-        # to the unspilled capacity; drop the remainder.
-        sizes0 = np.bincount(labels, minlength=k)
-        cap_unspilled = max(
-            LANES, round_up(int(sizes0.max(initial=1)), LANES)
-        )
-        if balance and split:
-            cap_unspilled = min(
-                cap_unspilled,
-                max(
-                    LANES,
-                    round_up(int(np.ceil(balance * n / k)), LANES),
-                ),
-            )
-        pick = pick[np.argsort(ratio[pick], kind="stable")]
-        quota = np.maximum(cap_unspilled - sizes0, 0)
+    pick, spill_tgt, cap_unspilled = _spill_admit(
+        cand_labels,
+        cand_dists,
+        labels,
+        base,
+        centroids,
+        k=k,
+        spill=spill,
+        spill_mode=spill_mode,
+        spill_soar_lambda=spill_soar_lambda,
+        balance=balance,
+        split=split,
+    )
+    n_spill = int(pick.size)
 
-        def _arrival_rank(tgt_r: np.ndarray) -> np.ndarray:
-            # Per-cluster arrival rank (stable sort keeps ambiguity order
-            # within a cluster): rank j is admitted iff j < quota[cluster].
-            srt = np.argsort(tgt_r, kind="stable")
-            t_s = tgt_r[srt]
-            idx = np.arange(t_s.size)
-            grp_start = np.maximum.accumulate(
-                np.where(np.r_[True, t_s[1:] != t_s[:-1]], idx, 0)
-            )
-            arrival = np.empty(t_s.size, dtype=np.int64)
-            arrival[srt] = idx - grp_start
-            return arrival
-
-        # Cascading admission: round 0 offers each pick its runner-up
-        # cluster (sec_lab); a pick whose target is quota-full is
-        # re-offered to its NEXT-nearest candidate cluster with room
-        # (rounds 1..top-2) instead of being dropped outright — a copy in
-        # the 3rd-nearest cluster still raises coverage, and scan time is
-        # unchanged either way (admission never exceeds the unspilled
-        # capacity). Preference order per pick: its distance-sorted
-        # top-``top`` candidate clusters minus its home cluster, with
-        # sec_lab first (for balancer-evicted rows sec_lab IS
-        # cand_labels[:, 0], so the compaction below preserves that).
-        prefs = cand_labels[pick]  # [m, top], distance-sorted
-        valid = prefs != labels[pick][:, None]
-        if spill_mode == "soar":
-            # SOAR preference: d(x, c_j)^2 + lambda * ((x-c_j)·r̂1)^2,
-            # r1 = x - c_home. Chunked: the [m, top, d] diff transient
-            # is the peak (16k * 4 * d floats per chunk).
-            score = np.empty(prefs.shape, dtype=np.float32)
-            for s in range(0, pick.size, 16384):
-                pk = pick[s : s + 16384]
-                x = base[pk]
-                r1 = x - centroids[labels[pk]]
-                r1 /= np.maximum(
-                    np.linalg.norm(r1, axis=1, keepdims=True),
-                    _MIN_NORMAL_F32,
-                )
-                diff = x[:, None, :] - centroids[prefs[s : s + 16384]]
-                proj = np.einsum(
-                    "mtd,md->mt", diff, r1, optimize=True
-                )
-                score[s : s + 16384] = (
-                    np.sum(diff * diff, axis=2)
-                    + spill_soar_lambda * proj * proj
-                )
-            order = np.argsort(
-                np.where(valid, score, np.inf), axis=1, kind="stable"
-            )
-        else:
-            order = np.argsort(~valid, axis=1, kind="stable")
-        prefs = np.take_along_axis(prefs, order, axis=1)
-        nvalid = valid.sum(axis=1)
-        admitted = np.full(pick.size, -1, dtype=np.int64)
-        remaining = quota.copy()
-        per_round = []
-        for r in range(prefs.shape[1]):
-            todo = np.nonzero((admitted < 0) & (r < nvalid))[0]
-            if todo.size == 0:
-                break
-            tgt_r = prefs[todo, r]
-            keep_r = _arrival_rank(tgt_r) < remaining[tgt_r]
-            hit = todo[keep_r]
-            admitted[hit] = tgt_r[keep_r]
-            remaining -= np.bincount(
-                tgt_r[keep_r], minlength=k
-            ).astype(remaining.dtype)
-            per_round.append(int(hit.size))
-        ok = admitted >= 0
-        if not ok.all() or len(per_round) > 1:
-            logger.info(
-                "build: spill quota admitted %d/%d picks "
-                "(per cascade round %s, capacity %d)",
-                int(ok.sum()),
-                pick.size,
-                per_round,
-                cap_unspilled,
-            )
-        pick = pick[ok]
-        spill_tgt = admitted[ok].astype(np.int32)
-        n_spill = int(pick.size)
     if n_spill > 0:
         s_pad = -(-n_spill // chunk) * chunk
         pick_pad = np.pad(pick, (0, s_pad - n_spill))

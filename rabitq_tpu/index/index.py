@@ -432,6 +432,21 @@ class SearchParams(NamedTuple):
     # ||y - c||^2 exactly either way. Measured recall-neutral at the
     # GIST operating point (tools/rankprec_ab.py).
     rank_precision: str = "highest"
+    # Candidate-selection algorithm over the scan output. "approx"
+    # (default): approx_min_k (select_passes/select_recall apply) —
+    # cheapest, but its reduction-bucket collisions cost recall in
+    # specific geometries (measured: the GIST probe-64 pocket and the
+    # 960-d batch-2048 regression, BASELINE.md). "exact": collision-free
+    # two-stage exact top-R (per-task exact top-min(R, width), then
+    # global exact top-R over the [B, probe*min(R, width)] survivors —
+    # provably the true top-R of the scan output by a counting argument:
+    # any global top-R value ranks <= R within its own task).
+    # Deterministic and monotone in probe; costs ~1.6 ms more than the
+    # 2-pass approx union at the SIFT shape (tools/select_ab.py) but
+    # needs no second pass and no selection-loss rerank headroom.
+    # approx_select=False remains the single global exact top_k over the
+    # full width (the bit-exact parity mode; ~2x slower than "exact").
+    select_mode: str = "approx"
     # Probe ranking key. "centroid" (default): squared distance to the
     # centroid — classic IVF. "annulus": the exact geometric lower bound
     # on any member's distance, i.e. the squared distance from d(q, c)

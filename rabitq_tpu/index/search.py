@@ -459,7 +459,7 @@ def estimate_candidates(
         if (
             depth
             and on_tpu
-            and params.approx_select
+            and (params.approx_select or params.select_mode == "exact")
             and params.use_kernel
             and index.codes_pm1 is not None
             and params.select_reduce
@@ -471,7 +471,9 @@ def estimate_candidates(
     scan = rough_scan(index, queries, params, reduce=reduce)
     width = scan.rough.shape[-1] // pe
 
-    if params.approx_select and on_tpu:
+    if params.select_mode == "exact" and pe > 1:
+        lb, flat_idx = _exact_two_stage(scan.rough, pe, width, rerank)
+    elif params.approx_select and on_tpu and params.select_mode != "exact":
         passes = max(1, int(getattr(params, "select_passes", 1)))
         if passes >= 2 and pe > 1:
             lb, flat_idx = _amk_two_pass(
@@ -566,6 +568,66 @@ def _amk_two_pass(
     )
     lb_f, fi_f = jax.lax.sort_key_val(lb_d, fi_s, dimension=-1)
     return lb_f[:, :rerank], fi_f[:, :rerank]
+
+
+def _exact_two_stage(
+    rough: jax.Array, pe: int, width: int, rerank: int
+) -> tuple[jax.Array, jax.Array]:
+    """Collision-free EXACT top-R over the [B, pe*width] scan output.
+
+    Two-stage counting-argument selection: any value in the global top-R
+    ranks <= R within its own task, so a per-task exact top-m with
+    m = min(R, width) followed by a global exact top-R over the
+    [B, pe*m] survivors returns exactly the global top-R (values; tie
+    ORDER across equal values may differ from a single global top_k).
+    Both stages are lax.top_k on narrow rows — measured 1.98 ms at
+    [2048, 28*256] R=32 vs 4.34 ms for the single global top_k and
+    0.38 ms for the 2-pass approx union (tools/select_ab.py); what the
+    extra cost buys is the absence of approx_min_k's reduction-bucket
+    collisions, the GIST probe-64 pocket and the 960-d batch-2048 recall
+    regression among them (BASELINE.md). The final index lookup is a
+    one-hot contraction (pe*m <= 4096 columns), not an element gather.
+
+    Returns (lb, flat_idx) in the approx_min_k contract; works on raw
+    and slot-packed (folded) scan values alike.
+    """
+    b = rough.shape[0]
+    m = min(rerank, width)
+    xt = rough.reshape(b, pe, width)
+    negt, ji = jax.lax.top_k(-xt, m)  # [B, pe, m] per-task exact
+    flat = (
+        jnp.arange(pe, dtype=jnp.int32)[None, :, None] * width + ji
+    )
+    v2 = (-negt).reshape(b, pe * m)
+    f2 = flat.reshape(b, pe * m)
+    neg, sel = jax.lax.top_k(-v2, rerank)  # global exact
+    exact_int = pe * width < (1 << 24)
+    if pe * m <= 4096 or not exact_int:
+        fi = _take_int_onehot(f2, sel, exact=exact_int)
+    else:
+        # Wide survivor rows (e.g. GIST probe 80 x m 150 = 12000): a
+        # single one-hot would materialize [B, R, pe*m]; decompose the
+        # lookup as (task, within-task rank) — two small one-hot
+        # contractions (ji values < width < 2^24, exact in f32).
+        task = sel // m
+        rank = sel % m
+        hi = jax.lax.Precision.HIGHEST
+        oh_t = (
+            task[..., None]
+            == jnp.arange(pe, dtype=task.dtype)[None, None, :]
+        ).astype(jnp.float32)
+        ji_t = jnp.einsum(
+            "brp,bpm->brm", oh_t, ji.astype(jnp.float32), precision=hi
+        )
+        oh_r = (
+            rank[..., None]
+            == jnp.arange(m, dtype=rank.dtype)[None, None, :]
+        ).astype(jnp.float32)
+        j_sel = jnp.einsum(
+            "brm,brm->br", oh_r, ji_t, precision=hi
+        ).astype(jnp.int32)
+        fi = task.astype(jnp.int32) * width + j_sel
+    return -neg, fi
 
 
 def _take_int_onehot(

@@ -472,3 +472,47 @@ def test_aligned_blob_layout_invariants(rng):
             np.uint32(facs[i, 3:4].view(np.uint32)[0]),
             blob[col // 128, w3, col % 128],
         )
+
+
+def test_exact_select_mode_matches_global_topk(rng):
+    """select_mode='exact' (two-stage per-task + global top-R) must return
+    the same results as the single global exact top_k (approx_select=False)
+    — the counting-argument equivalence in search._exact_two_stage."""
+    import jax
+
+    base, centers = make_clustered_dataset(rng, n=4000, dim=64, k=32)
+    idx = build_index(base, centers, key=jax.random.key(3))
+    queries = base[rng.choice(4000, 16, replace=False)]
+    qd = jnp.asarray(queries)
+    p_exact2 = SearchParams(probe=8, topk=10, rerank=48, select_mode="exact")
+    p_global = SearchParams(probe=8, topk=10, rerank=48, approx_select=False)
+    d2, i2 = search(idx, qd, p_exact2)
+    dg, ig = search(idx, qd, p_global)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(ig))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(dg), rtol=0, atol=0)
+
+
+def test_exact_select_mode_multibit_spill(rng):
+    """Exact selection composes with multi-bit codes + spill dedup."""
+    import jax
+
+    base, centers = make_clustered_dataset(rng, n=4000, dim=64, k=32)
+    idx = build_index(
+        base, centers, key=jax.random.key(3), bits=4, spill=0.2
+    )
+    queries = base[rng.choice(4000, 16, replace=False)]
+    qd = jnp.asarray(queries)
+    p = SearchParams(probe=8, topk=10, rerank=48, select_mode="exact")
+    d, i = search(idx, qd, p)
+    # Parity with the single global exact top_k (the fixture itself is
+    # IVF-coverage-bound, so recall is asserted relative, not absolute).
+    dg, ig = search(idx, qd, p._replace(
+        select_mode="approx", approx_select=False
+    ))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ig))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(dg))
+    # no duplicate ids in any row (spill dedup holds under exact select)
+    ids = np.asarray(i)
+    for q in range(16):
+        row = ids[q][ids[q] >= 0]
+        assert len(set(row.tolist())) == row.size

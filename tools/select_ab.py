@@ -5,7 +5,15 @@ indices) from the [B, pe*256] folded rough estimates. The incumbent is a
 two-pass approx_min_k union (task-major + lane-major), whose reduction-
 bucket collisions caused the GIST probe-64 pocket and the batch-2048
 recall regression (BASELINE.md). This measures EXACT alternatives at the
-real shapes, one process, per-iteration-varying inputs so nothing hoists.
+real shapes.
+
+Measurement note: a big (tens-of-MB) LOOP-INVARIANT input to a fori_loop
+body runs ~1 GB/s on this tunneled chip (measured: a fused multiply+min
+over a [2048, 7168] f32 closure input costs ~63 ms/iter while the same
+array generated in-loop costs <1 ms) — so the selection input is
+GENERATED on device inside the loop from small perturbed operands, like
+the real pipeline does, and the generation cost (gen_only arm) is
+subtracted from every arm.
 
 Usage: python tools/select_ab.py [--shape sift|gist|both] [--arms a,b,..]
 """
@@ -58,15 +66,6 @@ def main():
             neg, fi = jax.lax.top_k(-x, rerank)
             return -neg, fi
 
-        def sort_global(x):
-            # full sort with index payload, slice R
-            b = x.shape[0]
-            iota = jnp.broadcast_to(
-                jnp.arange(w, dtype=jnp.int32)[None, :], (b, w)
-            )
-            v, fi = jax.lax.sort_key_val(x, iota, dimension=-1)
-            return v[:, :rerank], fi[:, :rerank]
-
         def two_stage(x, m):
             # per-task exact top-m, then global exact top-R over pe*m
             b = x.shape[0]
@@ -80,7 +79,7 @@ def main():
             neg, sel = jax.lax.top_k(-v2, rerank)
             return -neg, jnp.take_along_axis(f2, sel, axis=-1)
 
-        def two_stage_sort(x, m):
+        def sort_task(x, m):
             # per-task SORT (carry index payload), slice m, global top-R
             b = x.shape[0]
             xt = x.reshape(b * pe, width)
@@ -119,111 +118,109 @@ def main():
             )
             return vals, idxs
 
-        def count_only(x):
-            # cost probe: 24-iteration binary search on the ord32 value
-            # of the R-th smallest (no extraction)
-            b = x.shape[0]
-            bits = jax.lax.bitcast_convert_type(x, jnp.int32)
-            o = jnp.where(bits < 0, jnp.int32(~bits), bits | jnp.int32(1 << 31))
-
-            def body(i, lohi):
-                lo, hi = lohi
-                mid = lo + (hi - lo) // 2  # int32 per row
-                cnt = jnp.sum(
-                    (o < mid[:, None]).astype(jnp.int32), axis=-1
-                )
-                take_hi = cnt >= rerank
-                return (
-                    jnp.where(take_hi, lo, mid + 1),
-                    jnp.where(take_hi, mid, hi),
-                )
-
-            lo = jnp.full((b,), jnp.int32(-(1 << 31)))
-            hi = jnp.full((b,), jnp.int32((1 << 31) - 1))
-            lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
-            return lo.astype(jnp.float32)[:, None], lo[:, None]
-
         arms = {
             "amk1": amk1,
             "amk2": amk2,
             "topk_global": topk_global,
-            "sort_global": sort_global,
             "two_stage_R": lambda x: two_stage(x, min(rerank, width)),
-            "two_stage_sort_R": lambda x: two_stage_sort(
-                x, min(rerank, width)
-            ),
-            "count_only": count_only,
+            "sort_task_R": lambda x: sort_task(x, min(rerank, width)),
         }
         if rerank <= 64:
             arms["iter_extract"] = iter_extract
             arms["two_stage_16"] = lambda x: two_stage(x, 16)
+        else:
+            arms["two_stage_64"] = lambda x: two_stage(x, 64)
         return arms
 
-    shapes = (
-        ["sift", "gist"] if args.shape == "both" else [args.shape]
-    )
+    shapes = ["sift", "gist"] if args.shape == "both" else [args.shape]
     want = set(a for a in args.arms.split(",") if a)
     for sh in shapes:
         b, pe, width, rerank = SHAPES[sh]
         w = pe * width
         log(f"--- {sh}: B={b} pe={pe} width={width} W={w} R={rerank}")
         rng = np.random.default_rng(0)
-        x_np = rng.standard_normal((b, w)).astype(np.float32) * 10 + 100
-        # ~25% padded slots (+inf), like real folded output
-        x_np[rng.random((b, w)) < 0.25] = np.inf
-        x0 = np.asarray(x_np)
+        # small seeds; rough is generated on device (see module note)
+        seed_np = rng.standard_normal((b, 128)).astype(np.float32)
+        proj_np = rng.standard_normal((128, w)).astype(np.float32)
+        seed0 = seed_np
+        proj = jnp.asarray(proj_np)
+
+        def gen(s):
+            # [B, W] pseudo-estimates with ~25% +inf padded slots
+            r = s @ proj  # MXU, bf16 pass is fine for timing
+            return jnp.where(r > 0.7, jnp.inf, r)
+
         arms = make_arms(pe, width, rerank)
 
         # correctness vs numpy exact (value multiset of the top-R)
+        x_np = np.asarray(jax.jit(gen)(jnp.asarray(seed0)))
         ref = np.sort(x_np, axis=-1)[:, :rerank]
-        import jax.numpy as jnp
-
         for name, fn in arms.items():
             if want and name not in want:
                 continue
-            if name == "count_only":
-                continue
-            v, fi = jax.jit(fn)(jnp.asarray(x0))
-            v = np.asarray(v)
-            exact = np.allclose(np.sort(v, axis=-1), ref)
-            log(f"{name:>18}: exact={exact}")
+            v, fi = jax.jit(fn)(jnp.asarray(x_np))
+            sv = np.sort(np.asarray(v), axis=-1)
+            exact = bool(
+                np.all((sv == ref) | (np.isinf(sv) & np.isinf(ref)))
+            )
+            # flat indices must address the right values
+            got = np.take_along_axis(x_np, np.asarray(fi), axis=-1)
+            addr_ok = bool(
+                np.all(
+                    (got == np.asarray(v))
+                    | (np.isinf(got) & np.isinf(np.asarray(v)))
+                )
+            )
+            log(f"{name:>14}: exact={exact} addr_ok={addr_ok}")
 
         iters = args.iters
-        for name, fn in arms.items():
-            if want and name not in want:
-                continue
+        timed = {}
 
+        def run(name, fn):
             @jax.jit
-            def loop(xin, fn=fn):
+            def loop(sd):
                 def body(i, acc):
-                    xi = xin + i.astype(jnp.float32) * 1e-6
-                    v = fn(xi)[0]
-                    return acc + v.sum()
+                    x = gen(sd + i.astype(jnp.float32) * 1e-6)
+                    v = fn(x)[0] if fn is not None else x
+                    return acc + jnp.where(jnp.isfinite(v), v, 0.0).sum()
 
                 return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
             @jax.jit
-            def loop1(xin, fn=fn):
-                return fn(xin)[0].sum()
+            def loop1(sd):
+                x = gen(sd)
+                v = fn(x)[0] if fn is not None else x
+                return jnp.where(jnp.isfinite(v), v, 0.0).sum()
 
-            xj = jnp.asarray(x0)
-            try:
-                _ = float(loop(xj))
-                _ = float(loop1(xj))
-            except Exception as e:  # noqa: BLE001
-                log(f"{name:>18}: FAILED {type(e).__name__}: {e}")
-                continue
+            sj = jnp.asarray(seed0)
+            _ = float(loop(sj))
+            _ = float(loop1(sj))
             ts, t1s = [], []
             for r in range(3):
-                xr = jnp.asarray(x_np + (r + 1) * 1e-5)
+                sr = jnp.asarray(seed_np + (r + 1) * 1e-4)
                 t0 = time.time()
-                _ = float(loop(xr))
+                _ = float(loop(sr))
                 ts.append(time.time() - t0)
                 t0 = time.time()
-                _ = float(loop1(xr))
+                _ = float(loop1(sr))
                 t1s.append(time.time() - t0)
-            per = (min(ts) - min(t1s)) / (iters - 1)
-            log(f"{name:>18}: {per*1e3:7.3f} ms")
+            return (min(ts) - min(t1s)) / (iters - 1)
+
+        base_t = run("gen_only", None)
+        log(f"{'gen_only':>14}: {base_t*1e3:7.3f} ms")
+        for name, fn in arms.items():
+            if want and name not in want:
+                continue
+            try:
+                t = run(name, fn)
+            except Exception as e:  # noqa: BLE001
+                log(f"{name:>14}: FAILED {type(e).__name__}: {e}")
+                continue
+            timed[name] = t - base_t
+            log(
+                f"{name:>14}: {t*1e3:7.3f} ms total, "
+                f"{(t-base_t)*1e3:7.3f} ms marginal"
+            )
 
 
 if __name__ == "__main__":

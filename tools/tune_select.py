@@ -66,6 +66,12 @@ def main():
         "of the base sweep (the selection-loss compensation surface)",
     )
     ap.add_argument(
+        "--select-mode",
+        default="approx",
+        choices=["approx", "exact"],
+        help="SearchParams.select_mode applied to every combo",
+    )
+    ap.add_argument(
         "--combos",
         type=str,
         default=None,
@@ -151,6 +157,7 @@ def main():
         topk=args.topk,
         rerank=args.rerank,
         select_passes=args.passes,
+        select_mode=args.select_mode,
     )
     if args.combos:
         for spec in args.combos.split(","):
@@ -160,6 +167,7 @@ def main():
             passes = int(parts[4]) if len(parts) > 4 else args.passes
             probe = int(parts[5]) if len(parts) > 5 else args.probe
             fdepth = int(parts[6]) if len(parts) > 6 else 2
+            mode = parts[7] if len(parts) > 7 else args.select_mode
             p = base_p._replace(
                 probe_recall=float(pr),
                 select_recall=float(sr),
@@ -168,11 +176,12 @@ def main():
                 select_passes=passes,
                 probe=probe,
                 fold_depth=fdepth,
+                select_mode=mode,
             )
             rec, per = timed_recall(p)
             log(
                 f"pr={pr} sr={sr} rerank={rr} fold={int(reduce_on)} "
-                f"passes={passes} probe={probe} fd={fdepth}: "
+                f"passes={passes} probe={probe} fd={fdepth} mode={mode}: "
                 f"recall@{args.topk}={rec:.4f}  {per*1e3:6.2f} ms/batch "
                 f"= {args.batch/per:,.0f} QPS/chip"
             )
