@@ -1,4 +1,6 @@
 from rabitq_tpu.parallel.sharding import (
+    build_index_sharded,
+    init_distributed,
     make_mesh,
     shard_index,
     shard_global_positions,
@@ -9,6 +11,8 @@ from rabitq_tpu.parallel.sharding import (
 )
 
 __all__ = [
+    "build_index_sharded",
+    "init_distributed",
     "make_mesh",
     "shard_index",
     "shard_global_positions",
