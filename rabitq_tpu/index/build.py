@@ -94,33 +94,26 @@ def _assign_all_exact(
     quantize pass, because split-segment boundaries — and therefore the
     row's shard — depend on the within-cluster order. The exact norms
     are computed with _build_chunk's exact expression per candidate
-    column (same [chunk, D] reduce shape, so the values are bitwise
-    equal to the quantize pass's), one column at a time. Returns
+    column (per-row minor-axis reduce, position-independent, so the
+    values are bitwise equal to the quantize pass's). Returns
     (labels [n_pad, top], dists [n_pad, top] ranking values,
     cd_exact [n_pad, top] exact residual norms).
     """
-    n_chunks = x_all.shape[0] // chunk
-
-    def body(_, start):
-        x = jax.lax.dynamic_slice(
-            x_all, (start, 0), (chunk, x_all.shape[1])
-        )
-        labels, dists = _assign_chunk(x, orthogonal, centroids_rot, dim, top)
-        x_rot = rotate(x, orthogonal)
-        cds = []
-        for m in range(labels.shape[1]):
-            r = x_rot - centroids_rot[labels[:, m]]
-            cds.append(jnp.sum(r * r, axis=-1))
-        return None, (labels, dists, jnp.stack(cds, axis=-1))
-
-    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    _, (labels, dists, cd) = jax.lax.scan(body, None, starts)
-    t = labels.shape[-1]
-    return (
-        labels.reshape(-1, t),
-        dists.reshape(-1, t),
-        cd.reshape(-1, t),
+    labels, dists = _assign_all(
+        x_all, orthogonal, centroids_rot, dim, top, chunk
     )
+    # The exact norms run OUTSIDE the assignment scan: a row gather
+    # inside lax.scan scalarizes on XLA:CPU (measured 33x slower; a
+    # one-hot matmul replacement was 150 ms/chunk for the one-hot
+    # alone) while the same gather over the whole slice is a fast row
+    # gather on every backend. Per-row values are position-independent,
+    # so they remain bitwise-equal to the quantize pass's cdsq.
+    x_rot = rotate(x_all, orthogonal)
+    cds = []
+    for m in range(labels.shape[1]):
+        r = x_rot - centroids_rot[labels[:, m]]
+        cds.append(jnp.sum(r * r, axis=-1))
+    return labels, dists, jnp.stack(cds, axis=-1)
 
 
 # Scale-search candidates for the multi-bit grid (relative to the scale

@@ -1,0 +1,159 @@
+"""Sharding at scale on the virtual 8-device CPU mesh (r3 verdict weak #3).
+
+Measures, at >=512k rows / k>=2048 with Zipf-skewed cluster populations:
+  - build + shard wall-clock for BOTH paths (unsharded build ->
+    shard_index vs the direct-to-shard build) and their peak RSS
+    (each path runs in its own subprocess so ru_maxrss isolates it),
+  - padded-layout waste: [S, rows_max] row padding and [S, k_max]
+    cluster padding overhead percentages,
+  - a merged-search step wall-clock sanity line (CPU mesh — catches
+    pathological glue, not a QPS number).
+
+Usage: python tools/shard_scale.py [--n 524288] [--k 2048] [--bits 4]
+       (self-re-executes per path; run without --path)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import resource
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_corpus(n, dim, k, seed=1):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((k, dim)).astype(np.float32) * 4.0
+    w = 1.0 / np.arange(1, k + 1, dtype=np.float64) ** 1.1
+    lab = rng.choice(k, size=n, p=w / w.sum())
+    base = (centers[lab] + 0.3 * rng.standard_normal((n, dim))).astype(
+        np.float32
+    )
+    return base, centers
+
+
+def run_path(args):
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    # The axon plugin registers at interpreter startup and overrides
+    # JAX_PLATFORMS; steer back before the backend initializes.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    import jax.numpy as jnp
+
+    from rabitq_tpu import SearchParams, build_index
+    from rabitq_tpu.parallel import (
+        build_index_sharded,
+        make_mesh,
+        shard_index,
+        sharded_search,
+    )
+
+    base, centers = make_corpus(args.n, args.dim, args.k)
+    mesh = make_mesh(8)
+    kw = dict(key=jax.random.key(2), bits=args.bits, spill=args.spill)
+    t0 = time.time()
+    if args.path == "full":
+        idx = build_index(base, centers, **kw)
+        t_build = time.time() - t0
+        t1 = time.time()
+        sidx = shard_index(idx, mesh)
+        t_shard = time.time() - t1
+    else:
+        sidx = build_index_sharded(base, centers, mesh, **kw)
+        t_build = time.time() - t0
+        t_shard = 0.0
+    jax.block_until_ready(sidx.blob)
+
+    s, k_max = sidx.offsets.shape[0], sidx.offsets.shape[1] - 1
+    rows_max = sidx.map_ids.shape[1]
+    off = np.asarray(sidx.offsets)
+    used_rows = int(off[:, -1].sum())
+    used_k = int(
+        ((off[:, 1:] - off[:, :-1]) > 0).sum()
+    )
+    stats = {
+        "path": args.path,
+        "t_build": round(t_build, 1),
+        "t_shard": round(t_shard, 1),
+        "rss_mb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        ),
+        "rows_max": rows_max,
+        "row_pad_pct": round(
+            100 * (s * rows_max - used_rows) / max(1, s * rows_max), 1
+        ),
+        "k_max": k_max,
+        "k_pad_pct": round(
+            100 * (s * k_max - used_k) / max(1, s * k_max), 1
+        ),
+        "capacity": sidx.capacity,
+    }
+
+    # Merged-search step sanity (compile excluded, one repeat timed).
+    nq = 256
+    queries = jnp.asarray(base[:nq])
+    params = SearchParams(probe=32, topk=10, rerank=64)
+    d, i = sharded_search(sidx, queries, params, mesh)
+    np.asarray(i)
+    t2 = time.time()
+    d, i = sharded_search(
+        sidx, queries + np.float32(1e-5), params, mesh
+    )
+    np.asarray(i)
+    stats["t_search_256q_s"] = round(time.time() - t2, 2)
+    print(json.dumps(stats))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=524_288)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--k", type=int, default=2048)
+    ap.add_argument("--bits", type=int, default=4)
+    ap.add_argument("--spill", type=float, default=0.0)
+    ap.add_argument("--path", choices=["full", "direct"], default=None)
+    args = ap.parse_args()
+    if args.path:
+        run_path(args)
+        return
+    for path in ("full", "direct"):
+        cmd = [
+            sys.executable,
+            __file__,
+            "--n", str(args.n),
+            "--dim", str(args.dim),
+            "--k", str(args.k),
+            "--bits", str(args.bits),
+            "--spill", str(args.spill),
+            "--path", path,
+        ]
+        log(f"--- {path}")
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, check=False
+        )
+        sys.stderr.write(out.stderr[-2000:])
+        print(out.stdout.strip())
+
+
+if __name__ == "__main__":
+    main()
