@@ -1,18 +1,29 @@
-"""Real-TPU micro-benchmarks of the search pipeline's sub-stages.
+"""Real-TPU micro-benchmarks behind the numbers in BASELINE.md/DESIGN.md.
 
-Splits each pipeline stage into its pieces (the stage breakdown in
-tpu_checks.py stops at whole stages) so optimization effort lands on the
-actual cost centers:
+One parameterized harness (consolidates the former microbench{,2,3,4,5}.py
+working notes).  All suites use the differential fori_loop methodology:
+one dispatch, N device-side iterations with perturbed inputs (jnp.roll(i)
+or an additive epsilon so XLA cannot hoist work out of the loop, and the
+runtime cannot memoize the dispatch), minus a 1-iteration run.  Run
+OUTSIDE pytest on the real chip.
 
-  cluster_select = rotate + cdist matmul | approx_min_k
-  rough_scan     = quantize | grouping glue | kernel | inv-order gather
-  cand_select    = approx_min_k | slot take_along_axis
+Suites:
+  stages    pipeline sub-stage costs on a real built index
+            (cluster_select = rotate+cdist | approx_min_k;
+             rough_scan = quantize | grouping glue | kernel;
+             cand_select marginal)
+  glue      scan-glue pieces + selection alternatives on synthetic
+            realistically-shaped inputs (lexsort/group/spread/inv-gather,
+            amk vs top_k vs lane-fold variants)
+  decide    decision sweeps: row-gather widths, take_along vs one-hot
+            matmul, approx_min_k recall targets, 1-D vs 2-D scans
+  select    amk/top_k cost matrix at candidate widths + bit-repack fold
+            variants
+  locality  rerank row-gather: random vs row-sorted vs globally sorted
+            candidate positions (HBM burst locality)
 
-Same differential fori_loop methodology as tpu_checks.py (one dispatch,
-N device-side iterations with perturbed inputs, subtract a 1-iteration
-run). Run OUTSIDE pytest on the real chip.
-
-Usage: python tools/microbench.py [--n 1000000] [--k 4096] [--batch 2048]
+Usage: python tools/microbench.py SUITE [--n ...] [--k ...] [--batch ...]
+       python tools/microbench.py all          # every suite in sequence
 """
 
 from __future__ import annotations
@@ -26,22 +37,63 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+ITERS = 20
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=1_000_000)
-    ap.add_argument("--dim", type=int, default=128)
-    ap.add_argument("--k", type=int, default=4096)
-    ap.add_argument("--batch", type=int, default=2048)
-    ap.add_argument("--probe", type=int, default=32)
-    ap.add_argument("--rerank", type=int, default=140)
-    ap.add_argument("--iters", type=int, default=20)
-    args = ap.parse_args()
+def make_timeit(iters=ITERS, reps=3):
+    """Differential fori_loop timer: fn(i, *fargs) -> scalar contribution.
 
+    fn MUST consume i (jnp.roll(x, i) / additive epsilon) so each
+    iteration's work is data-dependent and cannot be hoisted/memoized.
+    """
+    import jax
+
+    def timeit(name, fn, *fargs):
+        def make(n):
+            @jax.jit
+            def loop(*a):
+                import jax.numpy as jnp
+
+                def body(i, acc):
+                    return acc + fn(i, *a)
+
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+            return loop
+
+        ln, l1 = make(iters), make(1)
+        _ = float(ln(*fargs))
+        _ = float(l1(*fargs))
+
+        def best_of(f):
+            ts = []
+            for _ in range(reps):
+                t0 = time.time()
+                _ = float(f(*fargs))
+                ts.append(time.time() - t0)
+            return min(ts)
+
+        t = (best_of(ln) - best_of(l1)) / (iters - 1)
+        log(f"{name:>52}: {t*1e3:8.3f} ms")
+        return t
+
+    return timeit
+
+
+def fin_sum(x):
+    import jax.numpy as jnp
+
+    return jnp.where(jnp.isfinite(x), x, 0.0).sum()
+
+
+# ---------------------------------------------------------------------------
+# suite: stages — pipeline sub-stages on a real index
+# ---------------------------------------------------------------------------
+def suite_stages(args):
     import jax
     import jax.numpy as jnp
 
@@ -49,15 +101,8 @@ def main():
     from rabitq_tpu.consts import LANES
     from rabitq_tpu.index.search import _prep_queries, _resolve
     from rabitq_tpu.kmeans import kmeans
-    from rabitq_tpu.ops import (
-        pairwise_l2sq,
-        quantize_query_residuals,
-        rotate,
-    )
+    from rabitq_tpu.ops import pairwise_l2sq, quantize_query_residuals, rotate
     from rabitq_tpu.ops import scan_kernel as SK
-
-    assert jax.default_backend() == "tpu", jax.default_backend()
-    log(f"device: {jax.devices()[0]}")
 
     from bench import make_dataset
 
@@ -76,6 +121,7 @@ def main():
     qb = jnp.asarray(queries[: args.batch])
     span = ((cap + LANES - 1) // LANES) * LANES + LANES
 
+    # Index-carrying variant of the timer: perturb queries additively.
     def timeit(name, fn, *fargs):
         def make(iters):
             @jax.jit
@@ -89,7 +135,7 @@ def main():
 
             return loop
 
-        ln, l1 = make(args.iters), make(1)
+        ln, l1 = make(ITERS), make(1)
         _ = float(ln(index, qb, *fargs))
         _ = float(l1(index, qb, *fargs))
 
@@ -102,17 +148,13 @@ def main():
                 ts.append(time.time() - t0)
             return min(ts)
 
-        t = (best_of(ln) - best_of(l1)) / (args.iters - 1)
-        log(f"{name:>28}: {t*1e3:8.3f} ms")
+        t = (best_of(ln) - best_of(l1)) / (ITERS - 1)
+        log(f"{name:>36}: {t*1e3:8.3f} ms")
         return t
 
-    def fin_sum(x):
-        return jnp.where(jnp.isfinite(x), x, 0.0).sum()
-
-    # ---- cluster_select pieces -----------------------------------------
+    # ---- cluster_select pieces ----
     def t_rotate(idx, qs):
-        y = rotate(_prep_queries(idx, qs), idx.orthogonal)
-        return y.sum()
+        return rotate(_prep_queries(idx, qs), idx.orthogonal).sum()
 
     def t_cdist(idx, qs):
         y = rotate(_prep_queries(idx, qs), idx.orthogonal)
@@ -130,7 +172,7 @@ def main():
     timeit("rotate+cdist", t_cdist)
     timeit("rotate+cdist+approx_min_k", t_csel)
 
-    # ---- rough_scan pieces ---------------------------------------------
+    # ---- rough_scan pieces ----
     def residuals(idx, qs):
         y = rotate(_prep_queries(idx, qs), idx.orthogonal)
         cdist = pairwise_l2sq(y, idx.centroids_rot)
@@ -145,15 +187,13 @@ def main():
         cids, yr, ycd = residuals(idx, qs)
         qq = quantize_query_residuals(yr, idx.rand_bias)
         return (
-            qq.quantized.astype(jnp.float32).sum()
-            + qq.lower.sum()
-            + ycd.sum()
+            qq.quantized.astype(jnp.float32).sum() + qq.lower.sum() + ycd.sum()
         )
 
     timeit("..+residual quantize", t_quant)
 
-    # Kernel inputs precomputed once (host) so the kernel piece can be
-    # timed in isolation, glue excluded.
+    # Kernel inputs precomputed once so the kernel piece can be timed in
+    # isolation, glue excluded.
     s = args.batch * probe
     cids0, yr0, ycd0 = jax.jit(residuals)(index, qb)
     qq0 = quantize_query_residuals(yr0, index.rand_bias)
@@ -174,8 +214,6 @@ def main():
 
     def t_glue(idx, qs, starts, sizes, qvals, scal):
         # Grouping + group-spread operand construction, no kernel call.
-        # Perturb starts via qs to defeat memoization (qs unused
-        # otherwise).
         order, gid, slot = SK._group_tasks(starts, sizes, qpc)
         g_max = SK._group_bound(s, qpc, idx.k)
         g_pad = ((g_max + SK._G2 - 1) // SK._G2) * SK._G2
@@ -186,9 +224,9 @@ def main():
         gsize_g = jnp.zeros((g_pad,), jnp.int32).at[gid].add(1)
         first_g = jnp.full((g_pad,), s, jnp.int32).at[gid].min(iota_s)
         rows = jnp.arange(g_pad * qpc, dtype=jnp.int32)
-        first_rep = jnp.broadcast_to(
-            first_g[:, None], (g_pad, qpc)
-        ).reshape(-1)
+        first_rep = jnp.broadcast_to(first_g[:, None], (g_pad, qpc)).reshape(
+            -1
+        )
         src_sorted = jnp.minimum(first_rep + rows % qpc, s - 1)
         src_task = order[src_sorted]
         qg = qvals[src_task].astype(jnp.int8)
@@ -214,9 +252,7 @@ def main():
             reduce=True,
         )
         return (
-            fin_sum(rough)
-            + slots.sum().astype(jnp.float32)
-            + qs.sum() * 0.0
+            fin_sum(rough) + slots.sum().astype(jnp.float32) + qs.sum() * 0.0
         )
 
     timeit("scan glue (group+spread)", t_glue, starts0, sizes0, qvals0, scal0)
@@ -229,7 +265,7 @@ def main():
         scal0,
     )
 
-    # ---- cand_select pieces --------------------------------------------
+    # ---- cand_select marginal ----
     from rabitq_tpu.index.search import estimate_candidates, rough_scan
 
     def t_scan_stage(idx, qs):
@@ -243,6 +279,440 @@ def main():
     t_scan = timeit("rough_scan stage (full)", t_scan_stage)
     t_cand_v = timeit("estimate_candidates (full)", t_cand)
     log(f"cand_select marginal: {(t_cand_v - t_scan)*1e3:.3f} ms")
+
+
+# ---------------------------------------------------------------------------
+# suite: glue — scan glue pieces + selection alternatives (synthetic)
+# ---------------------------------------------------------------------------
+def suite_glue(args):
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu.consts import LANES
+    from rabitq_tpu.ops import scan_kernel as SK
+
+    timeit = make_timeit()
+    B, K, PROBE = args.batch, args.k, 32
+    S = B * PROBE
+    N, D, RERANK = args.n, 128, 140
+    rng = np.random.default_rng(0)
+
+    sizes_np = rng.poisson(N // K, K).astype(np.int32)
+    offs = np.concatenate([[0], np.cumsum(sizes_np)]).astype(np.int32)
+    cids_np = rng.integers(0, K, (S,)).astype(np.int32)
+    starts0 = jnp.asarray(offs[cids_np])
+    sizes0 = jnp.asarray(sizes_np[cids_np])
+    qvals0 = jnp.asarray(rng.integers(0, 16, (S, D)), jnp.int8)
+    scal0 = jnp.asarray(rng.standard_normal((S, 4)).astype(np.float32) ** 2)
+    cdist0 = jnp.asarray(rng.standard_normal((B, K)).astype(np.float32) ** 2)
+    rough0 = jnp.asarray(
+        rng.standard_normal((B, PROBE * 256)).astype(np.float32) ** 2
+    )
+    slots0 = jnp.asarray(rng.integers(0, N, (B, PROBE * 256)), jnp.int32)
+    vals_wide0 = jnp.asarray(rng.standard_normal((S, 256)).astype(np.float32))
+    qpc = SK._pick_qpc(S, K)
+    g_max = SK._group_bound(S, qpc, K)
+    g_pad = ((g_max + SK._G2 - 1) // SK._G2) * SK._G2
+    log(f"S={S} qpc={qpc} g_pad={g_pad} rows={g_pad*qpc}")
+
+    # --- selection alternatives ---
+    def t_amk_cluster(i, cd):
+        c = jnp.roll(cd, i, axis=0)
+        v, ix = jax.lax.approx_min_k(c, PROBE, recall_target=0.9)
+        return v.sum() + ix.sum().astype(jnp.float32)
+
+    def t_topk_cluster(i, cd):
+        c = jnp.roll(cd, i, axis=0)
+        v, ix = jax.lax.top_k(-c, PROBE)
+        return v.sum() + ix.sum().astype(jnp.float32)
+
+    def t_fold_cluster(i, cd):
+        # Manual 2-level fold: min over axis 1 keeping args, then exact
+        # top_k over the [B, LANES] residue (same collision structure as
+        # approx_min_k, reduction ratio K/LANES).
+        c = jnp.roll(cd, i, axis=0)
+        r = c.reshape(B, K // LANES, LANES)
+        m = r.min(axis=1)
+        a = r.argmin(axis=1).astype(jnp.int32)
+        v, lane = jax.lax.top_k(-m, PROBE)
+        fold = jnp.take_along_axis(a, lane, axis=-1)
+        ids = fold * LANES + lane
+        return v.sum() + ids.sum().astype(jnp.float32)
+
+    def t_fold8_cluster(i, cd):
+        c = jnp.roll(cd, i, axis=0)
+        r = c.reshape(B, 8, K // 8)
+        m = r.min(axis=1)
+        a = r.argmin(axis=1).astype(jnp.int32)
+        v, col = jax.lax.approx_min_k(m, PROBE, recall_target=0.95)
+        fold = jnp.take_along_axis(a, col, axis=-1)
+        ids = fold * (K // 8) + col
+        return v.sum() + ids.sum().astype(jnp.float32)
+
+    timeit(f"cluster approx_min_k [{B},{K}]->32", t_amk_cluster, cdist0)
+    timeit("cluster exact top_k", t_topk_cluster, cdist0)
+    timeit("cluster lane-fold + top_k(128)", t_fold_cluster, cdist0)
+    timeit("cluster fold8 + approx_min_k(512)", t_fold8_cluster, cdist0)
+
+    def t_amk_cand(i, ro, sl):
+        r = jnp.roll(ro, i, axis=0)
+        lb, ix = jax.lax.approx_min_k(r, RERANK, recall_target=0.95)
+        pos = jnp.take_along_axis(sl, ix, axis=-1)
+        return fin_sum(lb) + pos.sum().astype(jnp.float32)
+
+    def t_amk_cand_noslot(i, ro, sl):
+        r = jnp.roll(ro, i, axis=0)
+        lb, ix = jax.lax.approx_min_k(r, RERANK, recall_target=0.95)
+        return fin_sum(lb) + ix.sum().astype(jnp.float32)
+
+    def t_fold_cand(i, ro, sl):
+        r = jnp.roll(ro, i, axis=0)
+        f = r.reshape(B, 8, (PROBE * 256) // 8)
+        m = f.min(axis=1)
+        a = f.argmin(axis=1).astype(jnp.int32)
+        lb, col = jax.lax.top_k(-m, RERANK)
+        fold = jnp.take_along_axis(a, col, axis=-1)
+        ix = fold * ((PROBE * 256) // 8) + col
+        pos = jnp.take_along_axis(sl, ix, axis=-1)
+        return fin_sum(-lb) + pos.sum().astype(jnp.float32)
+
+    timeit("cand approx_min_k [B,8192]->140 +slot", t_amk_cand, rough0, slots0)
+    timeit("cand approx_min_k, no slot gather", t_amk_cand_noslot, rough0, slots0)
+    timeit("cand fold8 + exact top_k(1024) +slot", t_fold_cand, rough0, slots0)
+
+    # --- glue pieces ---
+    def t_lexsort(i, st, sz):
+        s2 = jnp.roll(st, i)
+        order = jnp.lexsort((sz, s2))
+        return order.sum().astype(jnp.float32)
+
+    def t_group(i, st, sz):
+        s2 = jnp.roll(st, i)
+        order, gid, slot = SK._group_tasks(s2, sz, qpc)
+        return (gid.sum() + slot.sum() + order.sum()).astype(jnp.float32)
+
+    def spread_src(s2, sz, order, gid):
+        iota_s = jnp.arange(S, dtype=jnp.int32)
+        first_g = jnp.full((g_pad,), S, jnp.int32).at[gid].min(iota_s)
+        rows = jnp.arange(g_pad * qpc, dtype=jnp.int32)
+        first_rep = jnp.broadcast_to(first_g[:, None], (g_pad, qpc)).reshape(
+            -1
+        )
+        src_sorted = jnp.minimum(first_rep + rows % qpc, S - 1)
+        return src_sorted, order[src_sorted]
+
+    def t_spread_idx(i, st, sz):
+        s2 = jnp.roll(st, i)
+        order, gid, slot = SK._group_tasks(s2, sz, qpc)
+        _, src_task = spread_src(s2, sz, order, gid)
+        return src_task.sum().astype(jnp.float32)
+
+    def t_spread_qg(i, st, sz, qv):
+        s2 = jnp.roll(st, i)
+        order, gid, slot = SK._group_tasks(s2, sz, qpc)
+        _, src_task = spread_src(s2, sz, order, gid)
+        return qv[src_task].astype(jnp.float32).sum()
+
+    def t_spread_scal(i, st, sz, sc):
+        s2 = jnp.roll(st, i)
+        order, gid, slot = SK._group_tasks(s2, sz, qpc)
+        src_sorted, src_task = spread_src(s2, sz, order, gid)
+        ss = s2[order]
+        tile0_s = ss // LANES
+        win_lo = ss - tile0_s * LANES
+        packed = (win_lo + sz[order]) * LANES + win_lo
+        packed_t = packed[src_sorted]
+        lo_slot = (packed_t % LANES).astype(jnp.float32)
+        hi_slot = (packed_t // LANES).astype(jnp.float32)
+        scal_t = sc[src_task]
+        scal8 = jnp.stack(
+            [
+                scal_t[:, 0],
+                scal_t[:, 1],
+                scal_t[:, 3],
+                jnp.sqrt(scal_t[:, 3]),
+                lo_slot,
+                hi_slot,
+                jnp.zeros_like(lo_slot),
+                jnp.zeros_like(lo_slot),
+            ],
+            axis=-1,
+        )
+        return scal8.sum()
+
+    def t_inv_gather(i, st, sz, vw):
+        s2 = jnp.roll(st, i)
+        order, gid, slot = SK._group_tasks(s2, sz, qpc)
+        inv_row = jnp.zeros((S,), jnp.int32).at[order].set(gid * qpc + slot)
+        out = vw[jnp.minimum(inv_row, S - 1)]
+        return out.sum()
+
+    timeit(f"lexsort [{S}]", t_lexsort, starts0, sizes0)
+    timeit("group_tasks (lexsort+scan)", t_group, starts0, sizes0)
+    timeit("..+first_g scatter + src_task idx", t_spread_idx, starts0, sizes0)
+    timeit("..+qvals row-gather i8", t_spread_qg, starts0, sizes0, qvals0)
+    timeit("..+scal8 build f32", t_spread_scal, starts0, sizes0, scal0)
+    timeit(f"inv gather [{S},256]f32", t_inv_gather, starts0, sizes0, vals_wide0)
+
+
+# ---------------------------------------------------------------------------
+# suite: decide — gather widths, one-hot vs take_along, amk targets, scans
+# ---------------------------------------------------------------------------
+def suite_decide(args):
+    import jax
+    import jax.numpy as jnp
+
+    timeit = make_timeit()
+    B, PROBE = args.batch, 32
+    S = B * PROBE
+    ROWS = 126976
+    rng = np.random.default_rng(0)
+    src_rows0 = jnp.asarray(rng.integers(0, S, (ROWS,)), jnp.int32)
+    idx140 = jnp.asarray(rng.integers(0, PROBE, (B, 140)), jnp.int32)
+    starts_bp = jnp.asarray(rng.integers(0, 1_000_000, (B, PROBE)), jnp.int32)
+    cdist0 = jnp.asarray(rng.standard_normal((B, 4096)).astype(np.float32) ** 2)
+    rough0 = jnp.asarray(
+        rng.standard_normal((B, PROBE * 256)).astype(np.float32) ** 2
+    )
+    rough_h0 = jnp.asarray(
+        rng.standard_normal((B, PROBE * 128)).astype(np.float32) ** 2
+    )
+    mask0 = jnp.asarray(rng.integers(0, 2, (S,)), jnp.int32)
+
+    # --- row-gather width sweep ---
+    for w in (8, 32, 128):
+        a = jnp.asarray(rng.standard_normal((S, w)).astype(np.float32))
+
+        def t_rg(i, a, sr):
+            idx = jnp.roll(sr, i)
+            return a[idx].sum()
+
+        timeit(f"row gather [{ROWS/1e3:.0f}k,{w}]f32", t_rg, a, src_rows0)
+
+    a8 = jnp.asarray(rng.integers(0, 16, (S, 128)), jnp.int8)
+
+    def t_rg8(i, a, sr):
+        idx = jnp.roll(sr, i)
+        return a[idx].astype(jnp.float32).sum()
+
+    timeit("row gather [127k,128]i8", t_rg8, a8, src_rows0)
+
+    # --- element take_along vs one-hot matmul ---
+    def t_ta(i, st, ix):
+        ix2 = jnp.roll(ix, i, axis=0)
+        return jnp.take_along_axis(st, ix2, axis=-1).sum().astype(jnp.float32)
+
+    def t_onehot(i, st, ix):
+        ix2 = jnp.roll(ix, i, axis=0)
+        oh = (
+            ix2[:, :, None]
+            == jnp.arange(PROBE, dtype=jnp.int32)[None, None, :]
+        ).astype(jnp.float32)
+        val = jnp.einsum(
+            "brp,bp->br",
+            oh,
+            st.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return val.sum()
+
+    timeit(f"pos take_along [{B},32]->140", t_ta, starts_bp, idx140)
+    timeit(f"pos one-hot matmul [{B},32]->140", t_onehot, starts_bp, idx140)
+
+    # --- approx_min_k recall-target sweep ---
+    for rt in (0.99, 0.95, 0.9):
+
+        def t_amk(i, cd, rt=rt):
+            c = jnp.roll(cd, i, axis=0)
+            v, ix = jax.lax.approx_min_k(c, PROBE, recall_target=rt)
+            return v.sum() + ix.sum().astype(jnp.float32)
+
+        timeit(f"cluster amk [{B},4096]->32 rt={rt}", t_amk, cdist0)
+
+    for rt in (0.99, 0.95, 0.9):
+
+        def t_amkc(i, ro, rt=rt):
+            r = jnp.roll(ro, i, axis=0)
+            v, ix = jax.lax.approx_min_k(r, 140, recall_target=rt)
+            return fin_sum(v) + ix.sum().astype(jnp.float32)
+
+        timeit(f"cand amk [{B},8192]->140 rt={rt}", t_amkc, rough0)
+
+    def t_amk_half(i, ro):
+        r = jnp.roll(ro, i, axis=0)
+        v, ix = jax.lax.approx_min_k(r, 140, recall_target=0.95)
+        return fin_sum(v) + ix.sum().astype(jnp.float32)
+
+    timeit(f"cand amk [{B},4096]->140 rt=0.95 (fold1)", t_amk_half, rough_h0)
+
+    # --- 1-D scan alternatives ---
+    def t_cumsum1d(i, m):
+        x = jnp.roll(m, i)
+        return jnp.cumsum(x)[-1].astype(jnp.float32)
+
+    def t_cumsum2d(i, m):
+        x = jnp.roll(m, i).reshape(S // 128, 128)
+        within = jnp.cumsum(x, axis=1)
+        rows = within[:, -1]
+        carry = jnp.cumsum(rows) - rows
+        return (within + carry[:, None])[-1, -1].astype(jnp.float32)
+
+    def t_cummax1d(i, m):
+        x = jnp.roll(m, i) * jnp.arange(S, dtype=jnp.int32)
+        return jax.lax.associative_scan(jnp.maximum, x)[-1].astype(jnp.float32)
+
+    def t_cummax2d(i, m):
+        x = (jnp.roll(m, i) * jnp.arange(S, dtype=jnp.int32)).reshape(
+            S // 128, 128
+        )
+        within = jax.lax.associative_scan(jnp.maximum, x, axis=1)
+        rows = within[:, -1]
+        carry = jax.lax.associative_scan(jnp.maximum, rows)
+        carry = jnp.concatenate(
+            [jnp.full((1,), -(2**31), jnp.int32), carry[:-1]]
+        )
+        return jnp.maximum(within, carry[:, None])[-1, -1].astype(jnp.float32)
+
+    timeit(f"cumsum 1-D [{S}]", t_cumsum1d, mask0)
+    timeit(f"cumsum 2-D [{S//128},128]", t_cumsum2d, mask0)
+    timeit(f"cummax 1-D [{S}]", t_cummax1d, mask0)
+    timeit(f"cummax 2-D [{S//128},128]", t_cummax2d, mask0)
+
+
+# ---------------------------------------------------------------------------
+# suite: select — amk/top_k cost matrix + bit-repack fold variants
+# ---------------------------------------------------------------------------
+def suite_select(args):
+    import jax
+    import jax.numpy as jnp
+
+    timeit = make_timeit()
+    B = args.batch
+    rng = np.random.default_rng(0)
+    full0 = jnp.asarray(rng.standard_normal((B, 8192)).astype(np.float32) ** 2)
+
+    for w in (1024, 2048, 4096):
+        for rt in (0.95, 0.99):
+
+            def t_amk(i, x, w=w, rt=rt):
+                r = jnp.roll(x, i, axis=0)[:, :w]
+                v, ix = jax.lax.approx_min_k(r, 140, recall_target=rt)
+                return v.sum() + ix.sum().astype(jnp.float32)
+
+            timeit(f"amk [{B},{w}]->140 rt={rt}", t_amk, full0)
+
+    for w in (256, 512, 1024):
+
+        def t_topk(i, x, w=w):
+            r = jnp.roll(x, i, axis=0)[:, :w]
+            k = min(140, w)
+            v, ix = jax.lax.top_k(-r, k)
+            return v.sum() + ix.sum().astype(jnp.float32)
+
+        timeit(f"exact top_k [{B},{w}]->min(140,w)", t_topk, full0)
+
+    # Fold (repack task bits into the mantissa + min over task groups) +
+    # amk on the residue — the candidate-select pipeline variants.
+    def fold_amk(i, x, group, mask_bits):
+        r = jnp.roll(x, i, axis=0)  # [B, 8192] = [B, 32 tasks, 256]
+        bits = jax.lax.bitcast_convert_type(r, jnp.int32)
+        sub = (
+            jnp.arange(32, dtype=jnp.int32)[None, :, None] % group
+        ) << 10
+        bits = (bits.reshape(B, 32, 256) & jnp.int32(~mask_bits)) | sub
+        rp = jax.lax.bitcast_convert_type(bits, jnp.float32)
+        folded = rp.reshape(B, 32 // group, group, 256).min(axis=2).reshape(
+            B, (32 // group) * 256
+        )
+        v, ix = jax.lax.approx_min_k(folded, 140, recall_target=0.99)
+        return v.sum() + ix.sum().astype(jnp.float32)
+
+    timeit(
+        f"fold8(repack)+amk [{B},1024]->140 rt=.99",
+        lambda i, x: fold_amk(i, x, 8, 0x1FFF),
+        full0,
+    )
+    timeit(
+        f"fold4(repack)+amk [{B},2048]->140 rt=.99",
+        lambda i, x: fold_amk(i, x, 4, 0xFFF),
+        full0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# suite: locality — rerank gather burst locality
+# ---------------------------------------------------------------------------
+def suite_locality(args):
+    import jax
+    import jax.numpy as jnp
+
+    timeit = make_timeit()
+    B, R, N, D = args.batch, 140, args.n, 128
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+    # Realistic positions: per row, R candidates spread over ~32 windows
+    # of ~500 contiguous rows each.
+    win = rng.integers(0, N - 512, (B, 32))
+    pos_np = (
+        win[:, rng.integers(0, 32, R)] + rng.integers(0, 500, (B, R))
+    ).astype(np.int32)
+    pos_rand = jnp.asarray(pos_np)
+    q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+
+    def t_gather_rand(i, b, p, qq):
+        pp = jnp.roll(p, i, axis=0)
+        xb = b[pp]
+        diff = xb - qq[:, None, :]
+        return jnp.sum(diff * diff)
+
+    def t_gather_sorted(i, b, p, qq):
+        pp = jnp.sort(jnp.roll(p, i, axis=0), axis=-1)
+        xb = b[pp]
+        diff = xb - qq[:, None, :]
+        return jnp.sum(diff * diff)
+
+    def t_gather_flat_sorted(i, b, p, qq):
+        # Globally sorted flat gather (locality ceiling).
+        pp = jnp.sort(jnp.roll(p, i, axis=0).reshape(-1))
+        return b[pp].sum()
+
+    timeit("rerank gather+dist, random pos", t_gather_rand, base, pos_rand, q)
+    timeit(
+        "rerank gather+dist, row-sorted pos", t_gather_sorted, base, pos_rand, q
+    )
+    timeit(
+        "flat gather, globally sorted", t_gather_flat_sorted, base, pos_rand, q
+    )
+
+
+SUITES = {
+    "stages": suite_stages,
+    "glue": suite_glue,
+    "decide": suite_decide,
+    "select": suite_select,
+    "locality": suite_locality,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("suite", choices=[*SUITES, "all"])
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--probe", type=int, default=32)
+    ap.add_argument("--rerank", type=int, default=140)
+    args = ap.parse_args()
+
+    import jax
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    log(f"device: {jax.devices()[0]}")
+
+    for name in SUITES if args.suite == "all" else [args.suite]:
+        log(f"=== suite: {name} ===")
+        SUITES[name](args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,129 @@
+"""Rerank gather+L2 A/B: XLA gather paths vs a fused Pallas DMA kernel.
+
+The GIST rerank stage (~5.4 ms of the 20.8 ms device batch) gathers
+[B, R] scattered base rows and reduces them to squared L2 distances.
+XLA's dynamic gather is ROW-count-bound (~15 ns/row, BASELINE.md) and
+the [B, R, D] transient costs an extra HBM round-trip. A Pallas kernel
+can DMA each candidate row HBM->VMEM and accumulate the distance
+in-register — IF per-row DMA issue cost beats XLA's per-row overhead.
+This measures that directly at the GIST shape.
+
+Arms (marginal over input perturbation, device-side fori_loop):
+  xla_f32    gather base[pos] + diff^2 reduce, lax.map chunks (prod path)
+  xla_bf16   same over a bf16 base copy (cast to f32 in the reduce)
+  pl_f32     fused Pallas kernel: per-row DMA from a [N, D/128, 128]
+             tiled f32 base, diff^2 accumulated per lane tile, MXU
+             lane-reduce, no [B, R, D] transient anywhere
+
+Usage: python tools/rrk_ab.py [--n 1000000 --d 1024 --b 1024 --r 150]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--d", type=int, default=1024)
+    ap.add_argument("--b", type=int, default=1024)
+    ap.add_argument("--r", type=int, default=150)
+    ap.add_argument("--chunk", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--cpu", action="store_true", help="interpret-mode smoke")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu.ops.rerank_kernel import pallas_gather_l2
+
+    n, d, b, r = args.n, args.d, args.b, args.r
+    dt = d // 128
+    rng = np.random.default_rng(0)
+    log(f"gen base [{n}, {d}] f32 ...")
+    base = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    base_t = base.reshape(n, dt, 128)
+    base_h = jnp.asarray(np.asarray(base, dtype=np.float16)).astype(
+        jnp.bfloat16
+    )
+    q = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+    pos0 = jnp.asarray(rng.integers(0, n, (b, r)).astype(np.int32))
+
+    def gather_l2(bs, pos, qq, cast):
+        def f(p, y):
+            xb = bs[p]
+            if cast:
+                xb = xb.astype(jnp.float32)
+            diff = xb - y[:, None, :]
+            return jnp.sum(diff * diff, axis=-1)
+
+        c = args.chunk
+        if c <= 0 or b <= c or b % c:
+            return f(pos, qq)
+        return jax.lax.map(
+            lambda a: f(*a),
+            (pos.reshape(b // c, c, -1), qq.reshape(b // c, c, -1)),
+        ).reshape(b, -1)
+
+    def timed(name, fn, iters):
+        @jax.jit
+        def loop(pos, qq):
+            def body(i, acc):
+                p = (pos + i) % n
+                return acc + fn(p, qq).sum()
+
+            return jax.lax.fori_loop(0, iters, body, 0.0)
+
+        t = None
+        for _ in range(2):  # compile+warm then measure
+            t0 = time.perf_counter()
+            np.asarray(loop(pos0, q))
+            t = time.perf_counter() - t0
+        t1 = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(loop(pos0, q))
+            t1 = min(t1 or 1e9, time.perf_counter() - t0)
+        ms = t1 * 1e3 / iters
+        log(
+            f"{name:10s} {ms:8.3f} ms/call  "
+            f"{ms * 1e6 / (b * r):7.1f} ns/row"
+        )
+        return ms
+
+    # Parity first (single call, no perturbation).
+    ref = np.asarray(gather_l2(base, pos0, q, False))
+    got = np.asarray(pallas_gather_l2(base_t, pos0, q.reshape(b, dt, 128)))
+    err = np.max(np.abs(got - ref) / np.maximum(ref, 1e-6))
+    log(f"pl_f32 parity vs xla_f32: max rel err {err:.2e}")
+    assert err < 1e-4, err
+
+    timed("xla_f32", lambda p, y: gather_l2(base, p, y, False), args.iters)
+    timed("xla_bf16", lambda p, y: gather_l2(base_h, p, y, True), args.iters)
+    timed(
+        "pl_f32",
+        lambda p, y: pallas_gather_l2(base_t, p, y.reshape(b, dt, 128)),
+        args.iters,
+    )
+
+
+if __name__ == "__main__":
+    main()
