@@ -413,6 +413,13 @@ def main():
         "and report by bf16 distances, >0 explicit rows)",
     )
     ap.add_argument(
+        "--rerank-kernel",
+        action="store_true",
+        help="fused Pallas rerank: per-candidate-row DMA gather + L2 "
+        "off a lane-tiled base copy (2x base HBM at dim%%1024==0), no "
+        "[B, R, D] transient",
+    )
+    ap.add_argument(
         "--rerank-chunk",
         type=int,
         default=None,
@@ -526,6 +533,10 @@ def main():
         from rabitq_tpu.index.index import with_bf16_base
 
         index = with_bf16_base(index)
+    if args.rerank_kernel:
+        from rabitq_tpu.index.index import with_tiled_base
+
+        index = with_tiled_base(index)
     build_s = time.time() - t0
     log(f"index built in {build_s:.1f}s (capacity={index.capacity})")
 
@@ -586,6 +597,7 @@ def main():
             ),
             rerank_chunk=args.rerank_chunk or 0,
             rank_precision=args.rank_precision or "highest",
+            rerank_kernel=args.rerank_kernel,
         )
         _ = np.asarray(search(index, qd[:batch], params)[1])  # compile
         # Pipelined eval: batch N+1's dispatch is issued before batch N's
@@ -637,6 +649,7 @@ def main():
         ),
         rerank_chunk=args.rerank_chunk or 0,
         rank_precision=args.rank_precision or "highest",
+        rerank_kernel=args.rerank_kernel,
     )
     q3 = qd[:nq_pad].reshape(nq_pad // batch, batch, -1)
     # Drain pipeline counters for the chosen setting (one batch is
@@ -797,6 +810,7 @@ def main():
                     # "default"/bf16 ranking — record it).
                     rerank=params.rerank,
                     rerank_chunk=params.rerank_chunk,
+                    rerank_kernel=params.rerank_kernel,
                     rank_precision=params.rank_precision,
                     spill=args.spill,
                     bits=args.bits,

@@ -94,6 +94,11 @@ def cmd_run(args) -> None:
         params = params._replace(rerank_bf16=True)
     if getattr(args, "rerank_refine", None) is not None:
         params = params._replace(rerank_refine=args.rerank_refine)
+    if getattr(args, "rerank_kernel", False):
+        from rabitq_tpu.index.index import with_tiled_base
+
+        index = with_tiled_base(index)
+        params = params._replace(rerank_kernel=True)
     if getattr(args, "probe_rank", None):
         params = params._replace(probe_rank=args.probe_rank)
     if getattr(args, "autotune", None) is not None:
@@ -321,6 +326,13 @@ def main(argv=None) -> None:
         help="f32 re-verify budget of --rerank-bf16: -1 auto "
         "(max(4*topk, 32)), 0 = rank and report by bf16 distances "
         "(the win at large topk*dim), >0 explicit rows",
+    )
+    p_run.add_argument(
+        "--rerank-kernel",
+        action="store_true",
+        help="fused Pallas rerank: per-candidate-row DMA gather + L2 off "
+        "a lane-tiled base copy (2x base HBM at dim%%1024==0), no "
+        "[B, R, D] transient (SearchParams.rerank_kernel)",
     )
     p_run.add_argument(
         "--probe-rank",

@@ -77,6 +77,17 @@ class RaBitQIndex:
     # against the f32 base — SearchParams.rerank_bf16). Derived via
     # with_bf16_base, never serialized.
     base_bf16: Optional[jax.Array] = None  # [N, D] bf16
+    # Optional lane-tiled copy of `base` for the fused Pallas rerank
+    # kernel (ops/rerank_kernel.py): [N, dt8, 128] f32 with dt8 =
+    # ceil((dim/128)/8)*8 — per-row slabs are whole (8, 128) tiles, so a
+    # single candidate row at an ARBITRARY position is a legal Mosaic
+    # DMA (the [N, D] layout interleaves 8 consecutive rows per tile,
+    # making single-row slices sublane-misaligned). Extra rows are zero
+    # (queries are zero-padded to match, contributing 0 to the L2).
+    # Derived via with_tiled_base, never serialized. Zero layout waste
+    # at dim % 1024 == 0 (e.g. GIST's padded 1024); 8x at dim = 128 —
+    # meant for the large-dim shapes where the rerank gather dominates.
+    base_tiled: Optional[jax.Array] = None  # [N, dt8, 128] f32
     dim: int = dataclasses.field(metadata=dict(static=True), default=0)
     dim_orig: int = dataclasses.field(metadata=dict(static=True), default=0)
     capacity: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -250,6 +261,7 @@ jax.tree_util.register_dataclass(
         "codes_pm1",
         "factors_tiled",
         "base_bf16",
+        "base_tiled",
     ],
     meta_fields=[
         "dim",
@@ -312,6 +324,23 @@ def with_scan_operands(index: "RaBitQIndex") -> "RaBitQIndex":
     return dataclasses.replace(
         index, codes_pm1=codes, factors_tiled=fac_tiled
     )
+
+
+def with_tiled_base(index: "RaBitQIndex") -> "RaBitQIndex":
+    """Return the index with the lane-tiled rerank-kernel base populated
+    (no-op if set or if there is no device base). Doubles base HBM at
+    dim % 1024 == 0 (worse below — see the field comment); enables
+    SearchParams.rerank_kernel, the fused gather+L2 Pallas kernel."""
+    if index.base_tiled is not None or index.base is None:
+        return index
+    n, d = index.base.shape
+    assert d % LANES == 0, d
+    dt = d // LANES
+    dt8 = ((dt + 7) // 8) * 8
+    bt = index.base.reshape(n, dt, LANES)
+    if dt8 != dt:
+        bt = jnp.pad(bt, ((0, 0), (0, dt8 - dt), (0, 0)))
+    return dataclasses.replace(index, base_tiled=bt)
 
 
 def with_bf16_base(index: "RaBitQIndex") -> "RaBitQIndex":
@@ -447,6 +476,13 @@ class SearchParams(NamedTuple):
     # approx_select=False remains the single global exact top_k over the
     # full width (the bit-exact parity mode; ~2x slower than "exact").
     select_mode: str = "approx"
+    # Fused Pallas rerank: compute the candidate gather + exact L2 with
+    # ops/rerank_kernel.pallas_gather_l2 off the lane-tiled base copy
+    # (index.base_tiled, see with_tiled_base) — per-row HBM->VMEM DMAs,
+    # no [B, R, D] transient. Requires with_tiled_base; silently falls
+    # back to the XLA gather otherwise. Runs in interpret mode off-TPU
+    # (slow; for parity tests).
+    rerank_kernel: bool = False
     # Probe ranking key. "centroid" (default): squared distance to the
     # centroid — classic IVF. "annulus": the exact geometric lower bound
     # on any member's distance, i.e. the squared distance from d(q, c)

@@ -770,9 +770,26 @@ def _exact_rerank(
     if bf16_only:
         exact = approx
     else:
-        exact = _gather_l2(
-            index.base, cand.pos, q_pad, params.rerank_chunk
-        )  # [B, R]
+        if params.rerank_kernel and index.base_tiled is not None:
+            from rabitq_tpu.ops.rerank_kernel import pallas_gather_l2
+
+            dt8 = index.base_tiled.shape[1]
+            b, d = q_pad.shape
+            q_t = q_pad.reshape(b, d // 128, 128)
+            if q_t.shape[1] != dt8:
+                q_t = jnp.pad(
+                    q_t, ((0, 0), (0, dt8 - q_t.shape[1]), (0, 0))
+                )
+            exact = pallas_gather_l2(
+                index.base_tiled,
+                jnp.clip(cand.pos, 0, index.base_tiled.shape[0] - 1),
+                q_t,
+                interpret=jax.default_backend() != "tpu",
+            )  # [B, R]
+        else:
+            exact = _gather_l2(
+                index.base, cand.pos, q_pad, params.rerank_chunk
+            )  # [B, R]
         exact = jnp.where(jnp.isfinite(cand.lower_bound), exact, jnp.inf)
     pos_all = cand.pos
 

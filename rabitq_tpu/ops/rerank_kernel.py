@@ -1,0 +1,177 @@
+"""Fused Pallas rerank kernel: gather + squared-L2, no [B, R, D] transient.
+
+The rerank stage recomputes exact distances for the R selected
+candidates per query (the reference's heap rerank,
+/root/reference/src/rerank.rs:81-106, batched for TPU). The XLA path
+gathers base[pos] into a [B, R, D] transient and reduces it — the
+gather is row-count-bound (~15 ns/row) and the transient costs an extra
+HBM round-trip. This kernel DMAs each candidate row HBM->VMEM directly
+off a TILED base copy ([N, D/128, 128] f32 — leading-dim slices at
+arbitrary row offsets are always DMA-legal, unlike mid-tile sublane
+offsets of a [N, D] layout) and accumulates diff^2 per lane tile while
+rows stream in, so the only HBM writes are the [B, R] distances.
+
+Grid = one query per step; the query's R candidates stream through an
+nbuf-deep chunk pipeline of 128-row DMA groups. The final lane
+reduction [C, 128] -> [1, C] rides one HIGHEST-precision MXU pass so
+the result lands lane-major for the output row write.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rabitq_tpu.consts import LANES
+
+# Default candidate rows per DMA/compute chunk. 128 keeps output row
+# writes lane-aligned and the per-chunk buffer at D=1024 is 512 KiB.
+_CHUNK = 128
+
+
+def _kernel(
+    pos_ref,   # [8, r_pad] int32 candidate positions (SMEM block; the
+    #            grid step's row is program_id % 8 — Mosaic requires
+    #            blocks at least 8 sublanes deep)
+    q_ref,     # [1, dt, 128] f32 query row, tiled (VMEM block)
+    base_ref,  # [n, dt, 128] f32 tiled base (HBM, manual DMA)
+    out_ref,   # [8, r_pad] f32 squared distances (VMEM block, same
+    #            8-query window as pos_ref; each step writes one row)
+    wbuf,      # [nbuf, C, dt, 128] f32 scratch
+    sems,      # [nbuf, C] DMA semaphores
+    *,
+    chunk: int,
+    chunks: int,
+    nbuf: int,
+    rvalid: int,
+):
+    c = chunk
+    qrow = pl.program_id(0) % 8
+
+    def dma(ci, j):
+        return pltpu.make_async_copy(
+            base_ref.at[pl.ds(pos_ref[qrow, ci * c + j], 1)],
+            wbuf.at[ci % nbuf, pl.ds(j, 1)],
+            sems.at[ci % nbuf, j],
+        )
+
+    def start(ci):
+        for j in range(min(c, rvalid - ci * c)):
+            dma(ci, j).start()
+
+    for ci in range(min(nbuf, chunks)):
+        start(ci)
+
+    q = q_ref[0]  # [dt, 128]
+    ones = jnp.ones((1, LANES), jnp.float32)
+    for ci in range(chunks):
+        for j in range(min(c, rvalid - ci * c)):
+            dma(ci, j).wait()
+        x = wbuf[ci % nbuf]  # [C, dt, 128]
+        diff = x - q[None]
+        acc = jnp.sum(diff * diff, axis=1)  # [C, 128]
+        # Lane reduction to a lane-major [1, C] row via one MXU pass
+        # (a [C] sublane column could not be written into the output
+        # row without a transpose).
+        row = jax.lax.dot_general(
+            ones,
+            acc,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [1, C]
+        # Mosaic cannot store at a dynamic sublane offset; the output
+        # window is revisited for 8 consecutive steps, so a masked
+        # read-modify-write at static indices lands row `qrow` instead.
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, c), 0)
+        out_ref[:, ci * c : (ci + 1) * c] = jnp.where(
+            sub == qrow,
+            jnp.broadcast_to(row, (8, c)),
+            out_ref[:, ci * c : (ci + 1) * c],
+        )
+        if ci + nbuf < chunks:
+            start(ci + nbuf)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "chunk", "nbuf")
+)
+def pallas_gather_l2(
+    base_tiled: jax.Array,  # [n, dt, 128] f32 (dt = dim/128)
+    pos: jax.Array,         # [b, r] int32 row positions into base
+    q_tiled: jax.Array,     # [b, dt, 128] f32 queries, same tiling
+    *,
+    interpret: bool = False,
+    chunk: int | None = None,
+    nbuf: int = 2,
+) -> jax.Array:
+    """Squared L2 distances [b, r] of base_tiled[pos[b, i]] vs query b.
+
+    Matches ``jnp.sum((base[pos] - q[:, None]) ** 2, -1)`` to f32
+    reduction-order tolerance. Positions must be in [0, n); there is no
+    validity masking here (callers mask by lower-bound finiteness, as
+    the XLA path does). chunk=None picks 256 for large budgets, 128
+    otherwise (tools/rrk_ab.py sweep: at [1024, 150] x 1024-d, c256/n2
+    3.63 ms vs c128/n2 3.84 vs XLA f32 6.41 — deeper buffering (n3/n4)
+    is flat, bigger DMA groups help slightly).
+    """
+    n, dt, lanes = base_tiled.shape
+    assert lanes == LANES, base_tiled.shape
+    b, r = pos.shape
+    assert q_tiled.shape == (b, dt, LANES), q_tiled.shape
+    if chunk is None:
+        chunk = 256 if r > 128 else 128
+    assert chunk % 128 == 0, chunk  # output row writes stay lane-aligned
+    c = chunk
+    r_pad = ((r + c - 1) // c) * c
+    chunks = r_pad // c
+    nbuf = max(1, min(nbuf, chunks))
+    b_pad = ((b + 7) // 8) * 8
+    # Padded queries re-run row 0's candidates (positions pad with edge
+    # values of row 0 only when b itself pads; harmless, rows discarded).
+    pos_p = jnp.pad(pos, ((0, b_pad - b), (0, r_pad - r)))
+    q_p = jnp.pad(q_tiled, ((0, b_pad - b), (0, 0), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, chunk=c, chunks=chunks, nbuf=nbuf, rvalid=r
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_pad, r_pad), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(b_pad,),
+            in_specs=[
+                # 8-sublane-deep SMEM/VMEM windows (Mosaic block-shape
+                # floor); step i addresses row i % 8 of window i // 8.
+                pl.BlockSpec(
+                    (8, r_pad),
+                    lambda i: (i // 8, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, dt, LANES),
+                    lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (8, r_pad), lambda i: (i // 8, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((nbuf, c, dt, LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((nbuf, c)),
+            ],
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * b * r * dt * LANES,
+            bytes_accessed=b * r * (dt * LANES * 4 + 8),
+            transcendentals=0,
+        ),
+    )(pos_p, q_p, base_tiled)
+    return out[:b, :r]

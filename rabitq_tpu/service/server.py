@@ -70,6 +70,7 @@ class BatchingEngine:
         window_ms: float = 2.0,
         default_rerank: int | None = None,
         rerank_bf16: bool = False,
+        rerank_kernel: bool = False,
     ):
         if default_rerank is None:
             # Multi-bit indexes rank candidates near-exactly, so the
@@ -83,6 +84,10 @@ class BatchingEngine:
             from rabitq_tpu.index.index import with_bf16_base
 
             index = with_bf16_base(index)
+        if rerank_kernel and store is None:
+            from rabitq_tpu.index.index import with_tiled_base
+
+            index = with_tiled_base(index)
         # (index, store) live in ONE attribute so a concurrent
         # swap_index can never be observed torn by the dispatcher.
         self._istate = (index, store)
@@ -90,6 +95,7 @@ class BatchingEngine:
         self.window_s = window_ms / 1e3
         self.default_rerank = default_rerank
         self.rerank_bf16 = rerank_bf16 and store is None
+        self.rerank_kernel = rerank_kernel and store is None
         self._q: queue.Queue[_Request] = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -117,6 +123,10 @@ class BatchingEngine:
             from rabitq_tpu.index.index import with_bf16_base
 
             index = with_bf16_base(index)
+        if self.rerank_kernel and store is None:
+            from rabitq_tpu.index.index import with_tiled_base
+
+            index = with_tiled_base(index)
         self._istate = (index, store)
 
     def close(self) -> None:
@@ -146,6 +156,7 @@ class BatchingEngine:
             topk=top_k,
             rerank=rerank,
             rerank_bf16=self.rerank_bf16,
+            rerank_kernel=self.rerank_kernel,
         )
 
     def submit(
@@ -569,6 +580,7 @@ def serve(
     default_probe=100,
     default_topk=10,
     rerank_bf16=False,
+    rerank_kernel=False,
     extra_indexes: dict[str, object] | None = None,
     default_name: str = "default",
     allow_reload: bool = False,
@@ -582,6 +594,7 @@ def serve(
         max_batch=max_batch,
         window_ms=window_ms,
         rerank_bf16=rerank_bf16,
+        rerank_kernel=rerank_kernel,
     )
     engines = {default_name: engine}
     for name, idx in (extra_indexes or {}).items():
@@ -694,6 +707,13 @@ def main(argv=None):
         help="two-level rerank: bf16 candidate gather + f32 re-verify "
         "(device store only; +50%% base HBM, ~2x less gather traffic)",
     )
+    ap.add_argument(
+        "--rerank-kernel",
+        action="store_true",
+        help="fused Pallas rerank off a lane-tiled base copy (device "
+        "store only; 2x base HBM at dim%%1024==0, no [B, R, D] "
+        "transient)",
+    )
     args = ap.parse_args(argv)
 
     from rabitq_tpu.index.serialize import load_from_dir
@@ -766,6 +786,7 @@ def main(argv=None):
         max_batch=args.max_batch,
         window_ms=args.window_ms,
         rerank_bf16=args.rerank_bf16,
+        rerank_kernel=args.rerank_kernel,
         extra_indexes=extra_indexes,
         default_name=default_name,
         allow_reload=args.allow_reload,

@@ -43,6 +43,9 @@ def main():
     # (exact ranking) vs DEFAULT (one bf16 MXU pass) for the [B, k]
     # ranking matmul — the estimator's ||y-c||^2 stays exact either way.
     ap.add_argument("--rank-prec", action="store_true")
+    # Fused Pallas rerank kernel vs the chunked XLA gather, same build
+    # (r4: ops/rerank_kernel.py; standalone A/B in tools/rrk_ab.py).
+    ap.add_argument("--kernel", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -71,11 +74,25 @@ def main():
         base, centroids, key=jax.random.key(2), bits=4, balance=1.5,
         spill=args.spill,
     )
-    index = with_bf16_base(index)
+    if args.kernel:
+        # Tiled copy instead of the bf16 copy: 4.1 + 4.1 + ~1.7 GB of
+        # index state; adding the 2 GB bf16 copy too would crowd the
+        # 16 GB HBM against the scan transients.
+        from rabitq_tpu.index.index import with_tiled_base
+
+        index = with_tiled_base(index)
+    else:
+        index = with_bf16_base(index)
     log(f"built in {time.time()-t0:.1f}s (capacity={index.capacity})")
     qd = jnp.asarray(queries)
 
-    if args.rank_prec:
+    if args.kernel:
+        arms = [
+            ("f32c256-150", dict(rerank=150, rerank_chunk=256)),
+            ("krn-150", dict(rerank=150, rerank_kernel=True)),
+            ("krn-250", dict(rerank=250, rerank_kernel=True)),
+        ]
+    elif args.rank_prec:
         arms = [
             ("rp-highest", dict(rerank=150, rerank_chunk=256)),
             (

@@ -58,16 +58,16 @@ def main():
     n, d, b, r = args.n, args.d, args.b, args.r
     dt = d // 128
     rng = np.random.default_rng(0)
-    log(f"gen base [{n}, {d}] f32 ...")
-    base = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    log(f"gen base [{n}, {d}] f32 on device ...")
+    # Device-side generation: a host-side corpus would cost a 4 GB
+    # upload through the ~30 MB/s tunnel before the first arm runs.
+    base = jax.random.normal(jax.random.key(0), (n, d), jnp.float32)
     base_t = base.reshape(n, dt, 128)
-    base_h = jnp.asarray(np.asarray(base, dtype=np.float16)).astype(
-        jnp.bfloat16
-    )
+    base_h = base.astype(jnp.bfloat16)
     q = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
     pos0 = jnp.asarray(rng.integers(0, n, (b, r)).astype(np.int32))
 
-    def gather_l2(bs, pos, qq, cast):
+    def gather_l2(bs, pos, qq, cast=False):
         def f(p, y):
             xb = bs[p]
             if cast:
@@ -83,24 +83,28 @@ def main():
             (pos.reshape(b // c, c, -1), qq.reshape(b // c, c, -1)),
         ).reshape(b, -1)
 
-    def timed(name, fn, iters):
+    def timed(name, fn, bs, iters):
+        # bs rides as a jit ARGUMENT: a closure capture would embed the
+        # 4 GB base as a lowered constant inside each arm's executable
+        # (mlir "large constants" warning) and push it through the
+        # remote-compile tunnel per arm.
         @jax.jit
-        def loop(pos, qq):
+        def loop(bs, pos, qq):
             def body(i, acc):
                 p = (pos + i) % n
-                return acc + fn(p, qq).sum()
+                return acc + fn(bs, p, qq).sum()
 
             return jax.lax.fori_loop(0, iters, body, 0.0)
 
         t = None
         for _ in range(2):  # compile+warm then measure
             t0 = time.perf_counter()
-            np.asarray(loop(pos0, q))
+            np.asarray(loop(bs, pos0, q))
             t = time.perf_counter() - t0
         t1 = None
         for _ in range(2):
             t0 = time.perf_counter()
-            np.asarray(loop(pos0, q))
+            np.asarray(loop(bs, pos0, q))
             t1 = min(t1 or 1e9, time.perf_counter() - t0)
         ms = t1 * 1e3 / iters
         log(
@@ -116,13 +120,29 @@ def main():
     log(f"pl_f32 parity vs xla_f32: max rel err {err:.2e}")
     assert err < 1e-4, err
 
-    timed("xla_f32", lambda p, y: gather_l2(base, p, y, False), args.iters)
-    timed("xla_bf16", lambda p, y: gather_l2(base_h, p, y, True), args.iters)
     timed(
-        "pl_f32",
-        lambda p, y: pallas_gather_l2(base_t, p, y.reshape(b, dt, 128)),
+        "xla_f32",
+        lambda bs, p, y: gather_l2(bs, p, y),
+        base,
         args.iters,
     )
+    timed(
+        "xla_bf16",
+        lambda bs, p, y: gather_l2(bs, p, y, cast=True),
+        base_h,
+        args.iters,
+    )
+    for ck, nb in [(128, 2), (128, 3), (128, 4), (256, 2), (384, 2)]:
+        if ck > r + 127:
+            continue
+        timed(
+            f"pl c{ck} n{nb}",
+            lambda bs, p, y, ck=ck, nb=nb: pallas_gather_l2(
+                bs, p, y.reshape(b, dt, 128), chunk=ck, nbuf=nb
+            ),
+            base_t,
+            args.iters,
+        )
 
 
 if __name__ == "__main__":
