@@ -5,8 +5,11 @@ static top-R rerank budget (XLA needs static shapes). These host rerankers
 reproduce the reference's exact semantics — HeapReRanker's
 kth-distance-threshold pruning (/root/reference/src/rerank.rs:62-114) and
 HeuristicReRanker's 12-candidate-window threshold (rerank.rs:118-177) — as
-a CPU/debug path for parity checks and for workloads where per-candidate
-exact distances come from a host-resident vector store.
+a parity ORACLE: per-candidate Python loops at reference-implementation
+speeds, for tests and semantics documentation only. Production paths
+never route through them — the device rerank is batched XLA/Pallas
+(index/search.py, ops/rerank_kernel.py) and the host store tier reranks
+through the batched numpy path in store/vector_store.py.
 """
 
 from __future__ import annotations
