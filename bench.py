@@ -414,10 +414,13 @@ def main():
     )
     ap.add_argument(
         "--rerank-kernel",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
+        default=None,
         help="fused Pallas rerank: per-candidate-row DMA gather + L2 "
         "off a lane-tiled base copy (2x base HBM at dim%%1024==0), no "
-        "[B, R, D] transient",
+        "[B, R, D] transient. Default: on for the gist config "
+        "(tools/gist_rr_ab.py --kernel: 17.6 vs 20.1 ms/batch at "
+        "identical recall@100 0.961), off elsewhere",
     )
     ap.add_argument(
         "--rerank-chunk",
@@ -478,6 +481,8 @@ def main():
             args.rerank_chunk = 256
         if args.rank_precision is None:
             args.rank_precision = "default"
+        if args.rerank_kernel is None:
+            args.rerank_kernel = True
     else:
         # sift AND blobs: same scale, different generator below.
         # nq = 8 batches: enough dispatches for the pipelined sweep to
@@ -533,6 +538,7 @@ def main():
         from rabitq_tpu.index.index import with_bf16_base
 
         index = with_bf16_base(index)
+    args.rerank_kernel = bool(args.rerank_kernel)
     if args.rerank_kernel:
         from rabitq_tpu.index.index import with_tiled_base
 

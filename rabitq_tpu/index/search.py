@@ -1038,6 +1038,7 @@ def search_adaptive(
     params: SearchParams,
     *,
     max_probe: int | None = None,
+    level_width: int = 256,
 ):
     """Early-stopping search: probe geometrically more clusters until every
     query's result is certified (no unprobed cluster can contain a closer
@@ -1051,6 +1052,24 @@ def search_adaptive(
     total scan work is ~1x the final probe level (previously each level
     rescanned from rank 0, ~2x). ``params.probe`` is the starting probe.
     Returns (dists, ids, probe_used).
+
+    Serving guidance (measured, BASELINE.md round-4 adaptive table): the
+    escalation loop pays one host dispatch per sub-level, so where
+    dispatch is expensive this mode is dispatch-bound — fixed-probe +
+    autotune is the throughput serving mode; adaptive is the
+    certified/audit mode (its recall at equal final probe EXCEEDS the
+    fixed run's, since each level reranks a fresh budget).
+
+    ``level_width`` caps the cluster-rank window of any single device
+    call; wider escalations run as several fixed-width sub-calls. This
+    bounds BOTH the per-level compile blowup (every sub-call past the
+    geometric ramp reuses ONE (level_width, lo>0) executable — O(log
+    level_width/probe) distinct compiles total, independent of
+    max_probe) and the scan kernel's scalar-prefetch SMEM tables, which
+    overflow the 1 MiB SMEM near batch*window ~ 4M tasks (observed at
+    batch 2048 x window 2048: 3 x 528 KiB prefetch operands). The
+    certificate is checked once per geometric level, after its last
+    sub-call, so escalation semantics are unchanged.
     """
     k = index.offsets.shape[0] - 1
     cap_probe = min(max_probe or k, k)
@@ -1058,11 +1077,16 @@ def search_adaptive(
     b = queries.shape[0]
     dists = jnp.full((b, params.topk), jnp.inf, jnp.float32)
     pos = jnp.zeros((b, params.topk), jnp.int32)
+    w = max(1, level_width)
     lo = 0
     while True:
-        p = params._replace(probe=probe, probe_lo=lo)
-        dists, pos, safe = _adaptive_level(index, queries, p, dists, pos)
+        while lo < probe:
+            hi = min(lo + w, probe)
+            p = params._replace(probe=hi, probe_lo=lo)
+            dists, pos, safe = _adaptive_level(
+                index, queries, p, dists, pos
+            )
+            lo = hi
         if probe >= cap_probe or bool(safe.all()):
             return dists, _pos_to_ids(index, pos, dists), probe
-        lo = probe
         probe = min(probe * 2, cap_probe)

@@ -156,3 +156,29 @@ def test_certificate_sound_under_bf16_ranking(rng):
         [calculate_recall(truth[i], np.asarray(i2)[i], 10) for i in range(nq)]
     )
     assert rec2 == 1.0
+
+
+def test_level_width_chunking_matches_unchunked(rng):
+    """Chunked escalation (level_width < probe window) must return the
+    same results as the unchunked ladder — the fixed-width sub-calls
+    exist to bound compile count and the scan kernel's SMEM scalar
+    tables, not to change semantics."""
+    base, centers = make_clustered_dataset(
+        rng, n=3000, dim=48, k=32, spread=0.4
+    )
+    idx = build_index(base, centers, key=jax.random.key(9), spill=0.1)
+    queries = base[rng.choice(3000, 12, replace=False)] + (
+        0.3 * rng.standard_normal((12, 48)).astype(np.float32)
+    )
+    params = SearchParams(probe=3, topk=5, rerank=64)
+    d_ref, i_ref, p_ref = search_adaptive(
+        idx, jnp.asarray(queries), params, level_width=10_000
+    )
+    d_chk, i_chk, p_chk = search_adaptive(
+        idx, jnp.asarray(queries), params, level_width=4
+    )
+    assert p_ref == p_chk
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_chk))
+    np.testing.assert_allclose(
+        np.asarray(d_ref), np.asarray(d_chk), rtol=1e-6, atol=1e-6
+    )

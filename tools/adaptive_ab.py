@@ -1,0 +1,170 @@
+"""search_adaptive as a serving mode: cost vs fixed-probe at equal recall.
+
+The early-stop search (index/search.py::search_adaptive) escalates
+probe geometrically until every query's top-k is certified safe by the
+annulus bound. Each level is one jitted executable per (probe,
+probe_lo) pair — this measures, on the real TPU at the SIFT shape:
+
+  - fixed-probe arms: recall + device batch time (fori_loop marginal)
+  - adaptive arms (start probe p0, max_probe cap): recall, WALL time
+    per batch once warm (host loop, perturbed queries per call —
+    the runtime memoizes identical dispatches), number of levels
+    compiled, total compile time, and the certified fraction /
+    probe level distribution
+
+Usage: python tools/adaptive_ab.py [--n 1000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--probes", type=str, default="16,24,28,32,64")
+    ap.add_argument("--p0", type=str, default="16")
+    ap.add_argument("--max-probes", type=str, default="64,128,4096")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu import SearchParams, build_index, calculate_recall
+    from rabitq_tpu.index.search import search, search_adaptive
+    from rabitq_tpu.kmeans import kmeans
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    from bench import _cached, ground_truth, make_dataset
+
+    nq = args.batch
+    base, queries = _cached(
+        f"tune_ds_{args.n}_{args.dim}_1024_{nq}_s{args.seed}",
+        lambda: make_dataset(args.n, args.dim, 1024, nq, seed=args.seed),
+    )
+    centroids = kmeans(
+        base[: min(args.n, 200_000)], args.k, iters=8, key=jax.random.key(1)
+    )
+    (truth,) = _cached(
+        f"tune_gt_{args.n}_{args.dim}_1024_{nq}_s{args.seed}"
+        f"_top{args.topk}",
+        lambda: ground_truth(base, queries, args.topk),
+    )
+    qd = jnp.asarray(queries)
+
+    t0 = time.time()
+    index = build_index(
+        base,
+        centroids,
+        key=jax.random.key(2),
+        bits=4,
+        balance=1.5,
+        spill=0.2,
+    )
+    log(f"built in {time.time()-t0:.1f}s (capacity={index.capacity})")
+
+    def recall_of(ids):
+        return float(
+            np.mean(
+                [
+                    calculate_recall(truth[i], np.asarray(ids)[i], args.topk)
+                    for i in range(nq)
+                ]
+            )
+        )
+
+    # Fixed-probe arms (device-side marginal, the spill_ab pattern).
+    def timed_fixed(params):
+        ids = search(index, qd, params)[1]
+        rec = recall_of(ids)
+
+        def make(iters):
+            @jax.jit
+            def loop(idx, qs):
+                def body(i, acc):
+                    d, out = search(
+                        idx, qs + i.astype(jnp.float32) * 1e-6, params
+                    )
+                    return acc + d.sum() + out.sum().astype(jnp.float32)
+
+                return jax.lax.fori_loop(0, iters, body, 0.0)
+
+            return loop
+
+        loop, loop1 = make(args.iters), make(1)
+        _ = float(loop(index, qd))
+        _ = float(loop1(index, qd))
+        ts, t1s = [], []
+        for r in range(3):
+            qp = qd + np.float32(1e-5) * (r + 1)
+            t0 = time.time()
+            _ = float(loop(index, qp))
+            ts.append(time.time() - t0)
+            t0 = time.time()
+            _ = float(loop1(index, qp))
+            t1s.append(time.time() - t0)
+        per = (min(ts) - min(t1s)) / (args.iters - 1)
+        return rec, per
+
+    for pb in (int(p) for p in args.probes.split(",")):
+        params = SearchParams(probe=pb, topk=args.topk, rerank=32)
+        rec, per = timed_fixed(params)
+        log(
+            f"fixed   probe={pb:4d}              recall={rec:.4f} "
+            f"{per*1e3:7.2f} ms/batch  {nq/per:9.0f} QPS"
+        )
+
+    # Adaptive arms: wall-clock host loop (that IS the serving cost).
+    for p0 in (int(p) for p in args.p0.split(",")):
+        for mp in (int(m) for m in args.max_probes.split(",")):
+            params = SearchParams(probe=p0, topk=args.topk, rerank=32)
+            t0 = time.time()
+            d, ids, probe_used = search_adaptive(
+                index, qd, params, max_probe=mp
+            )
+            ids.block_until_ready()
+            compile_s = time.time() - t0
+            rec = recall_of(ids)
+            levels = 0
+            p = p0
+            while True:
+                levels += 1
+                if p >= min(mp, args.k):
+                    break
+                p = min(p * 2, mp)
+            times = []
+            for r in range(4):
+                qp = qd + np.float32(1e-5) * (r + 1)
+                t0 = time.time()
+                _, ids2, pu = search_adaptive(index, qp, params, max_probe=mp)
+                ids2.block_until_ready()
+                times.append(time.time() - t0)
+            per = min(times)
+            log(
+                f"adaptive p0={p0:3d} max={mp:5d} recall={rec:.4f} "
+                f"{per*1e3:7.2f} ms/batch  {nq/per:9.0f} QPS  "
+                f"probe_used={probe_used} levels<={levels} "
+                f"first-call(compile)={compile_s:.1f}s"
+            )
+
+
+if __name__ == "__main__":
+    main()
