@@ -68,8 +68,18 @@ def init_distributed(
     — the degenerate path tests exercise, so the code path exists on
     single-host boxes.
     """
-    if jax.process_count() > 1:
-        return True
+    # Probe "already initialized?" WITHOUT touching the backend:
+    # jax.process_count() would itself initialize XLA, after which
+    # jax.distributed.initialize refuses to run ("must be called before
+    # any JAX calls") — the one ordering bug tools/multihost_demo.py
+    # exposed. The distributed client handle is backend-init-safe.
+    try:
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is not None:
+            return jax.process_count() > 1
+    except Exception:  # private API drift — proceed to initialize
+        pass
     if coordinator_address is None and num_processes in (None, 1):
         import os
 

@@ -1,0 +1,28 @@
+"""REAL multi-process mesh: 2 OS processes form one jax.distributed
+cluster (local coordinator, CPU devices) and run sharded search over the
+process-spanning mesh — the same runtime path a TPU pod's hosts use,
+with the cross-process collectives riding gRPC instead of DCN.
+
+The heavy lifting lives in tools/multihost_demo.py (also runnable by
+hand); this test just drives it in fresh subprocesses. It found a real
+ordering bug: init_distributed's process_count() probe initialized the
+XLA backend, after which jax.distributed.initialize refused to run.
+"""
+
+import pathlib
+import subprocess
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+def test_two_process_cluster_sharded_search_parity():
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "multihost_demo.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=ROOT,
+    )
+    assert out.returncode == 0, (out.stdout, out.stderr[-2000:])
+    assert out.stdout.count("PARITY OK") == 2, out.stdout

@@ -1,0 +1,162 @@
+"""REAL multi-process (multi-host) mesh demo: 2 processes x 4 CPU devices.
+
+The dryrun exercises init_distributed degenerately (1 process); this
+spawns TWO OS processes that form one jax.distributed cluster over a
+local coordinator — the same runtime path a TPU pod's hosts use, with
+DCN-equivalent cross-process collectives over gRPC — and runs:
+
+  1. init_distributed(coordinator, 2, pid) -> process-spanning runtime
+  2. make_mesh(8) over devices owned by BOTH processes
+  3. shard_index + sharded_search(exact=True) on the spanning mesh
+  4. parity of the merged top-k vs the unsharded single-process search
+
+Every process must print PARITY OK and exit 0. Usage:
+  python tools/multihost_demo.py            # parent: spawns the 2 workers
+  python tools/multihost_demo.py --pid N    # worker (internal)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+NPROC = 2
+DEV_PER_PROC = 4
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def worker(pid: int, port: int) -> None:
+    import jax
+
+    # The env-var route is unreliable on boxes whose sitecustomize pins
+    # JAX_PLATFORMS (this repo's dev box); the config route always wins.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", DEV_PER_PROC)
+    import jax.numpy as jnp
+
+    from rabitq_tpu import SearchParams, build_index
+    from rabitq_tpu.index.search import search
+    from rabitq_tpu.parallel.sharding import (
+        init_distributed,
+        make_mesh,
+        shard_index,
+        sharded_search,
+    )
+
+    ok = init_distributed(f"localhost:{port}", NPROC, pid)
+    assert ok, "init_distributed reported single-process"
+    assert jax.process_count() == NPROC, jax.process_count()
+    n_dev = len(jax.devices())
+    assert n_dev == NPROC * DEV_PER_PROC, n_dev
+    log(
+        f"[p{pid}] cluster up: {jax.process_count()} processes, "
+        f"{n_dev} global devices ({jax.local_device_count()} local)"
+    )
+
+    # Identical corpus on both processes (same seed): the build is
+    # replicated host-side work; shard_index then places each shard on
+    # its owning process' devices.
+    rng = np.random.default_rng(0)
+    n, dim, k, nq = 12000, 64, 48, 32
+    centers = rng.standard_normal((k, dim)).astype(np.float32)
+    base = (
+        centers[rng.integers(0, k, n)]
+        + 0.25 * rng.standard_normal((n, dim))
+    ).astype(np.float32)
+    queries = base[rng.choice(n, nq, replace=False)] + (
+        0.05 * rng.standard_normal((nq, dim)).astype(np.float32)
+    )
+    index = build_index(base, centers, key=jax.random.key(3), spill=0.1)
+    # Full probe + generous rerank: both arms then return the exact
+    # top-10, so the cross-process merge is checked against ground truth
+    # (at partial probe the sharded exact mode probes a per-shard
+    # SUPERSET and can legitimately return better candidates).
+    params = SearchParams(probe=k, topk=10, rerank=1500)
+    d_u, i_u = search(index, jnp.asarray(queries), params)
+    i_u = np.asarray(i_u)
+
+    mesh = make_mesh(NPROC * DEV_PER_PROC)
+    sidx = shard_index(index, mesh)
+    d_s, i_s = sharded_search(
+        sidx, jnp.asarray(queries), params, mesh, exact=True
+    )
+    assert i_s.sharding.is_fully_replicated, i_s.sharding
+    i_s = np.asarray(i_s)
+
+    truth = np.argsort(
+        ((base[None, :, :] - queries[:, None, :]) ** 2).sum(-1), axis=1
+    )[:, :10]
+    rec_s = np.mean(
+        [
+            len(set(i_s[q].tolist()) & set(truth[q].tolist())) / 10
+            for q in range(nq)
+        ]
+    )
+    rec_u = np.mean(
+        [
+            len(set(i_u[q].tolist()) & set(truth[q].tolist())) / 10
+            for q in range(nq)
+        ]
+    )
+    log(
+        f"[p{pid}] recall vs brute force: sharded {rec_s:.4f} "
+        f"unsharded {rec_u:.4f}"
+    )
+    assert rec_s >= rec_u >= 0.999, (rec_s, rec_u)
+    print(f"[p{pid}] PARITY OK (recall {rec_s:.4f})", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pid", type=int, default=None)
+    ap.add_argument("--port", type=int, default=None)
+    args = ap.parse_args()
+    if args.pid is not None:
+        worker(args.pid, args.port)
+        return
+
+    with socket.socket() as s:  # pick a free coordinator port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=(
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={DEV_PER_PROC}"
+        ).strip(),
+    )
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                __file__,
+                "--pid",
+                str(pid),
+                "--port",
+                str(port),
+            ],
+            env=env,
+            cwd=ROOT,
+        )
+        for pid in range(NPROC)
+    ]
+    codes = [p.wait(timeout=600) for p in procs]
+    assert codes == [0] * NPROC, codes
+    log("multi-host demo: all processes PARITY OK")
+
+
+if __name__ == "__main__":
+    main()
