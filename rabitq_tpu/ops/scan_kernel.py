@@ -686,6 +686,20 @@ def pallas_rough_scan(
 
     g_max = _group_bound(s, qpc, k_max)
     g_pad = ((g_max + g2 - 1) // g2) * g2
+    # The three scalar-prefetch tables (tile0/gsize/lead, [g_pad] i32
+    # each) live in the core's 1 MiB SMEM; past it Mosaic fails with an
+    # opaque scoped-allocation OOM (observed at batch 2048 x window 2048:
+    # 3 x 528 KiB). Fail early with actionable guidance instead.
+    smem_bytes = 3 * 4 * g_pad
+    if smem_bytes > 950_000:
+        raise ValueError(
+            f"scan-kernel scalar-prefetch tables need {smem_bytes} B of "
+            f"the ~1 MiB SMEM (g_pad={g_pad}; batch x probe-window too "
+            "large for one kernel call). Split the call: smaller batch, "
+            "fewer clusters per call (search_adaptive chunks escalation "
+            "levels to level_width=256 for exactly this), or "
+            "use_kernel=False for the jnp path."
+        )
     if cids is not None:
         assert cids.shape[0] * cids.shape[1] == s, (cids.shape, s)
         (tile0_g, gsize_g, lead_g, qg, scal8, inv_row) = (
