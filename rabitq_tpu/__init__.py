@@ -10,11 +10,13 @@ dynamic pruning heap; pjit/shard_map scale the index across a device mesh.
 from rabitq_tpu import consts
 from rabitq_tpu.index import (
     RaBitQIndex,
+    RowFilter,
     SearchParams,
     build_index,
     compact,
     delete,
     insert,
+    make_row_filter,
     update,
     search,
 )
@@ -31,6 +33,8 @@ __all__ = [
     "SearchParams",
     "build_index",
     "search",
+    "RowFilter",
+    "make_row_filter",
     "insert",
     "update",
     "delete",

@@ -1,5 +1,6 @@
 from rabitq_tpu.index.index import RaBitQIndex, SearchParams
 from rabitq_tpu.index.build import build_index
+from rabitq_tpu.index.filter import RowFilter, make_row_filter
 from rabitq_tpu.index.search import search
 from rabitq_tpu.index.mutate import compact, delete, insert, update
 
@@ -8,6 +9,8 @@ __all__ = [
     "SearchParams",
     "build_index",
     "search",
+    "RowFilter",
+    "make_row_filter",
     "insert",
     "update",
     "delete",

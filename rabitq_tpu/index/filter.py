@@ -1,0 +1,99 @@
+"""Per-call row filtering (predicate search).
+
+The reference has no filtering — every query visits all indexed rows
+(/root/reference/src/rabitq.rs:268-367). This is a beyond-reference
+production feature: multi-tenant visibility, soft-delete overlays,
+time-window or attribute predicates resolved to an id set upstream.
+
+TPU-first design. A filter is a dense ``[N + span]`` f32 *penalty*
+array in cluster-sorted row order (0 = allowed, +inf = filtered),
+built once per predicate host-side from ORIGINAL ids, uploaded once,
+and reused across every query batch that carries the predicate. The
+query pipeline ADDS the penalty to the rough-scan output window by
+window: each probed cluster's window is one ``dynamic_slice`` row off
+the penalty array (row slices, never ``[B, G]`` element gathers —
+element gathers cost ~10 ns/element on TPU while row gathers stream
+at ~56 GB/s, see DESIGN.md's glue cost model). Masked rows estimate
+to +inf and never survive candidate selection, so the rerank budget
+is spent entirely on rows that pass the predicate, and the exact
+rerank / top-k stages need no changes at all.
+
+Two interactions worth knowing:
+
+- The scan kernel's lane-fold pre-reduction is forced OFF when a
+  filter is present (``estimate_candidates`` drops ``select_reduce``):
+  the fold keeps per-bucket minima *before* the penalty could apply,
+  so a masked row winning a bucket would shadow an allowed row in the
+  same bucket. The scan itself (the dominant stage) is unchanged; the
+  selection just runs over the unfolded window like the jnp path.
+- IVF probe selection is NOT filtered: a cluster whose rows are all
+  masked still occupies a probe slot. Under highly selective filters
+  raise ``probe`` (coverage) — the standard IVF-filtering trade.
+
+Spill-safe by construction: the penalty is defined per original id
+and expanded through ``map_ids``, so every spilled copy of an id
+carries the same penalty, and tombstoned rows (already +inf in the
+blob) stay masked regardless of the filter.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rabitq_tpu.consts import LANES
+from rabitq_tpu.index.index import RaBitQIndex
+
+
+class RowFilter(NamedTuple):
+    """Device-resident predicate: pass to ``search(..., row_filter=)``.
+
+    ``penalty``: [n + span] f32, 0 where the row's original id passes
+    the predicate, +inf where it is filtered (span padding keeps every
+    probed window's ``dynamic_slice`` in bounds without clamping —
+    clamping would silently shift the last cluster's window).
+    ``extra_penalty``: [M] f32 for the insert memtable, or None.
+    """
+
+    penalty: jax.Array
+    extra_penalty: Optional[jax.Array]
+
+
+def make_row_filter(
+    index: RaBitQIndex,
+    allow_ids=None,
+    deny_ids=None,
+) -> RowFilter:
+    """Build a RowFilter from an allowlist OR a denylist of original ids.
+
+    Exactly one of ``allow_ids`` / ``deny_ids`` must be given. Host
+    cost is one ``np.isin`` over the n rows (~O(n log m)); the result
+    is a [n + span] f32 upload — build once per distinct predicate and
+    reuse it across query batches (per-call upload of 4·n bytes is the
+    dominant cost of a throwaway filter on a slow host link).
+    """
+    if (allow_ids is None) == (deny_ids is None):
+        raise ValueError("pass exactly one of allow_ids / deny_ids")
+    map_ids = np.asarray(index.map_ids)
+    if allow_ids is not None:
+        allowed = np.isin(map_ids, np.asarray(allow_ids))
+    else:
+        allowed = ~np.isin(map_ids, np.asarray(deny_ids))
+    span = ((index.capacity + LANES - 1) // LANES) * LANES
+    pen = np.full(map_ids.shape[0] + span, np.inf, dtype=np.float32)
+    pen[: map_ids.shape[0]][allowed] = 0.0
+
+    extra = None
+    if index.extra_ids is not None and index.extra_ids.shape[0] > 0:
+        eids = np.asarray(index.extra_ids)
+        if allow_ids is not None:
+            eallow = np.isin(eids, np.asarray(allow_ids))
+        else:
+            eallow = ~np.isin(eids, np.asarray(deny_ids))
+        extra = jnp.asarray(
+            np.where(eallow, 0.0, np.inf).astype(np.float32)
+        )
+    return RowFilter(penalty=jnp.asarray(pen), extra_penalty=extra)

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from rabitq_tpu.consts import THETA_LOG_DIM
+from rabitq_tpu.index.filter import RowFilter
 from rabitq_tpu.index.index import (
     RaBitQIndex,
     SearchParams,
@@ -438,12 +439,21 @@ def rough_scan(
 
 @functools.partial(jax.jit, static_argnames=("params",))
 def estimate_candidates(
-    index: RaBitQIndex, queries: jax.Array, params: SearchParams
+    index: RaBitQIndex,
+    queries: jax.Array,
+    params: SearchParams,
+    row_filter: RowFilter | None = None,
 ) -> Candidates:
     """Stages 1-4: rough-distance scan and rerank-candidate selection.
 
     queries: [B, dim_orig] f32. Exposed separately so the host-store (disk)
     tier can rerank candidates off-device.
+
+    ``row_filter`` (index/filter.py) adds a 0/+inf penalty to every
+    scanned window before candidate selection — masked rows never
+    consume rerank budget. Presence of a filter forces the lane-fold
+    pre-reduction off (a masked row winning a fold bucket would shadow
+    an allowed row; the penalty must land on UNREDUCED estimates).
     """
     probe, lo, cap, rerank = _resolve(index, params)
     pe = probe - lo
@@ -463,6 +473,8 @@ def estimate_candidates(
             and params.use_kernel
             and index.codes_pm1 is not None
             and params.select_reduce
+            # the penalty must apply pre-reduction (see docstring)
+            and row_filter is None
             # folded width must fit the budget
             and rerank <= pe * depth * 128
         )
@@ -470,6 +482,19 @@ def estimate_candidates(
     )
     scan = rough_scan(index, queries, params, reduce=reduce)
     width = scan.rough.shape[-1] // pe
+
+    if row_filter is not None:
+        # One penalty row-slice per probed window (the penalty array is
+        # span-padded past n, so no slice ever clamps/shifts); +inf
+        # marks filtered rows and padded slots are +inf on both sides.
+        win = jax.vmap(
+            lambda st: jax.lax.dynamic_slice(
+                row_filter.penalty, (st,), (width,)
+            )
+        )(scan.starts.reshape(-1))
+        scan = scan._replace(
+            rough=scan.rough + win.reshape(scan.rough.shape)
+        )
 
     if params.select_mode == "exact" and pe > 1:
         lb, flat_idx = _exact_two_stage(scan.rough, pe, width, rerank)
@@ -653,7 +678,10 @@ def _take_int_onehot(
 
 @functools.partial(jax.jit, static_argnames=("params",))
 def search_with_stats(
-    index: RaBitQIndex, queries: jax.Array, params: SearchParams
+    index: RaBitQIndex,
+    queries: jax.Array,
+    params: SearchParams,
+    row_filter: RowFilter | None = None,
 ) -> tuple[jax.Array, jax.Array, SearchStats]:
     """search() plus per-query SearchStats (rough/precise counters).
 
@@ -663,9 +691,11 @@ def search_with_stats(
     dead-code-eliminates them when the stats output is unused.
     """
     assert index.base is not None, "index has no device base; use store tier"
-    cand = estimate_candidates(index, queries, params)
+    cand = estimate_candidates(index, queries, params, row_filter)
     q_pad = _prep_queries(index, queries)
-    exact, pos_all = _exact_rerank(index, q_pad, cand, params)
+    exact, pos_all = _exact_rerank(
+        index, q_pad, cand, params, row_filter=row_filter
+    )
 
     # Exact distances actually computed & kept: finite-lower-bound rerank
     # candidates plus live memtable entries (reference rerank.rs:87).
@@ -723,6 +753,7 @@ def _exact_rerank(
     cand: Candidates,
     params: SearchParams,
     include_memtable: bool = True,
+    row_filter: RowFilter | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact distances of the rerank candidates (+inf for invalid slots),
     with the insert memtable merged in as virtual positions >= n.
@@ -802,6 +833,8 @@ def _exact_rerank(
         m = index.extra_ids.shape[0]
         ex_d = pairwise_l2sq(q_pad, index.extra_base)  # [B, M]
         ex_d = jnp.where(index.extra_ids[None, :] >= 0, ex_d, jnp.inf)
+        if row_filter is not None and row_filter.extra_penalty is not None:
+            ex_d = ex_d + row_filter.extra_penalty[None, :]
         exact = jnp.concatenate([exact, ex_d], axis=1)
         virt = n + jnp.arange(m, dtype=pos_all.dtype)
         pos_all = jnp.concatenate(
@@ -878,16 +911,20 @@ def _dedup_topk(
 
 @functools.partial(jax.jit, static_argnames=("params",))
 def search(
-    index: RaBitQIndex, queries: jax.Array, params: SearchParams
+    index: RaBitQIndex,
+    queries: jax.Array,
+    params: SearchParams,
+    row_filter: RowFilter | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Full device-side search: returns (distances [B, topk], ids [B, topk]).
 
     Invalid slots (fewer than topk reachable candidates) have distance +inf
     and id -1. Requires index.base on device; use the store module for
     host-resident rerank. For METRICS accounting at host boundaries use
-    search_with_stats.
+    search_with_stats. ``row_filter`` (make_row_filter) restricts results
+    to rows passing an id predicate — see index/filter.py.
     """
-    dists, ids, _ = search_with_stats(index, queries, params)
+    dists, ids, _ = search_with_stats(index, queries, params, row_filter)
     return dists, ids
 
 

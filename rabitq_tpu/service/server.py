@@ -12,6 +12,12 @@ is reached), pads the batch to a power-of-two bucket (bounded jit cache),
 and issues ONE device call for the whole batch. Per-request probe/topk are
 grouped so each device call has uniform static params.
 
+Named row filters (beyond the reference): ``POST /filters`` registers an
+allow/deny id predicate on an engine; queries carrying ``"filter": name``
+return only ids passing it (index/filter.py). Specs are id-based and
+survive ``/admin/reload`` swaps; the device-side penalty rebuilds lazily
+per index generation. Requests micro-batch per (params, filter) group.
+
 Not-found contract (fewer than top_k reachable vectors): invalid slots
 never appear as results. Variable-length endpoints (JSON ``/query``,
 counted ``/query_bin``) return fewer entries; the fixed-stride
@@ -47,6 +53,10 @@ class _Request:
     ids: np.ndarray | None = None
     scores: np.ndarray | None = None
     error: str | None = None
+    # Named predicate (Engine.register_filter); requests micro-batch
+    # only with requests carrying the SAME filter (one device call
+    # carries one penalty array).
+    filter_name: str | None = None
 
 
 # Server-side caps on client-supplied knobs: every distinct (top_k, probe,
@@ -90,7 +100,12 @@ class BatchingEngine:
             index = with_tiled_base(index)
         # (index, store) live in ONE attribute so a concurrent
         # swap_index can never be observed torn by the dispatcher.
-        self._istate = (index, store)
+        self._istate = (index, store, 0)
+        # Named row filters: specs live as original-id sets (index-order
+        # independent); built RowFilters are position-based and cached
+        # per index generation — swap_index invalidates them.
+        self._filters: dict[str, tuple[str, np.ndarray]] = {}
+        self._filters_built: dict[str, tuple[int, object]] = {}
         self.max_batch = max_batch
         self.window_s = window_ms / 1e3
         self.default_rerank = default_rerank
@@ -127,7 +142,60 @@ class BatchingEngine:
             from rabitq_tpu.index.index import with_tiled_base
 
             index = with_tiled_base(index)
-        self._istate = (index, store)
+        # The generation rides in the same tuple as the index so the
+        # dispatcher's snapshot can never pair an index with another
+        # generation's filter cache.
+        self._istate = (index, store, self._istate[2] + 1)
+        # Built filters are position-based; the new index's row order
+        # differs. Specs survive and rebuild lazily on next use.
+        self._filters_built.clear()
+
+    def register_filter(
+        self, name: str, allow_ids=None, deny_ids=None
+    ) -> int:
+        """Register (or replace) a named id predicate for ``submit(...,
+        filter_name=)`` / the JSON ``"filter"`` field. The spec is kept
+        by original ids and survives ``swap_index`` (the device-side
+        penalty rebuilds lazily per index generation). Returns the spec
+        size. Multi-tenant serving: one filter per tenant, registered
+        once — per-request inline id lists would pay a [n] f32 upload
+        per call."""
+        if (allow_ids is None) == (deny_ids is None):
+            raise ValueError("pass exactly one of allow_ids / deny_ids")
+        if self.store is not None:
+            raise ValueError("filters are unsupported on store-tier engines")
+        mode = "allow" if allow_ids is not None else "deny"
+        ids = np.asarray(
+            allow_ids if allow_ids is not None else deny_ids, dtype=np.int64
+        ).ravel()
+        self._filters[name] = (mode, ids)
+        self._filters_built.pop(name, None)
+        return int(ids.size)
+
+    def filter_specs(self) -> dict[str, tuple[str, int]]:
+        """{name: (mode, spec size)} for the /filters listing."""
+        return {n: (m, int(i.size)) for n, (m, i) in self._filters.items()}
+
+    def _resolve_filter(self, name: str | None, index, gen: int):
+        """Name -> device RowFilter, built for this index generation."""
+        if name is None:
+            return None
+        spec = self._filters.get(name)
+        if spec is None:
+            raise ValueError(f"unknown filter {name!r}")
+        built = self._filters_built.get(name)
+        if built is not None and built[0] == gen:
+            return built[1]
+        from rabitq_tpu.index.filter import make_row_filter
+
+        mode, ids = spec
+        rf = make_row_filter(
+            index,
+            allow_ids=ids if mode == "allow" else None,
+            deny_ids=ids if mode == "deny" else None,
+        )
+        self._filters_built[name] = (gen, rf)
+        return rf
 
     def close(self) -> None:
         self._stop.set()
@@ -166,6 +234,7 @@ class BatchingEngine:
         probe: int,
         timeout_s: float = 120.0,
         rerank: int | None = None,
+        filter_name: str | None = None,
     ):
         scores, ids = self.submit_many(
             np.asarray(query, dtype=np.float32)[None, :],
@@ -173,6 +242,7 @@ class BatchingEngine:
             probe,
             timeout_s=timeout_s,
             rerank=rerank,
+            filter_name=filter_name,
         )
         return scores[0], ids[0]
 
@@ -183,15 +253,25 @@ class BatchingEngine:
         probe: int,
         timeout_s: float = 120.0,
         rerank: int | None = None,
+        filter_name: str | None = None,
     ):
         """Batch entry point: [m, dim] queries in one request. Rows ride
         the same micro-batch bucket; requests wider than the bucket are
         split and pipelined through consecutive device calls."""
         params = self._make_params(top_k, probe, rerank)
+        if filter_name is not None and filter_name not in self._filters:
+            # Fail fast on the caller's thread — an unknown name is a
+            # request error, not a batch error shared with co-batched
+            # requests.
+            raise ValueError(f"unknown filter {filter_name!r}")
         queries = np.asarray(queries, dtype=np.float32)
         assert queries.ndim == 2
         reqs = [
-            _Request(queries[s : s + self.max_batch], params)
+            _Request(
+                queries[s : s + self.max_batch],
+                params,
+                filter_name=filter_name,
+            )
             for s in range(0, queries.shape[0], self.max_batch)
         ]
         for r in reqs:
@@ -237,10 +317,10 @@ class BatchingEngine:
             batch = self._drain()
             if not batch:
                 continue
-            groups: dict[SearchParams, list[_Request]] = {}
+            groups: dict[tuple, list[_Request]] = {}
             for r in batch:
-                groups.setdefault(r.params, []).append(r)
-            for params, reqs in groups.items():
+                groups.setdefault((r.params, r.filter_name), []).append(r)
+            for (params, _), reqs in groups.items():
                 self._run_group(params, reqs)
 
     def _run_group(self, params: SearchParams, reqs: list[_Request]) -> None:
@@ -252,8 +332,12 @@ class BatchingEngine:
             from rabitq_tpu.store import search_with_store
 
             # One snapshot per group: a concurrent swap_index must not
-            # split a batch across two indexes (or mismatch index/store).
-            index, store = self._istate
+            # split a batch across two indexes (or mismatch index/store
+            # — the filter-cache generation rides in the same tuple).
+            index, store, gen = self._istate
+            row_filter = self._resolve_filter(
+                reqs[0].filter_name, index, gen
+            )
             rows = [r.query.shape[0] for r in reqs]
             b = sum(rows)
             # Pad to a power-of-two bucket (bounded jit cache, uniform
@@ -267,12 +351,14 @@ class BatchingEngine:
                 q[at : at + r.query.shape[0]] = r.query
                 at += r.query.shape[0]
             if store is not None:
+                # register_filter rejects store-tier engines, so
+                # row_filter is always None here.
                 scores, ids = search_with_store(
                     index, q, params, store, count_queries=b
                 )
             else:
                 scores, ids, stats = search_with_stats(
-                    index, jnp.asarray(q), params
+                    index, jnp.asarray(q), params, row_filter
                 )
                 scores, ids = np.asarray(scores), np.asarray(ids)
                 METRICS.add_query_count(b)
@@ -359,8 +445,54 @@ def make_handler(
                     for name, eng in registry.items()
                 }
                 self._send(200, json.dumps(listing), "application/json")
+            elif self.path == "/filters":
+                listing = {
+                    name: dict(mode=mode, size=size)
+                    for name, (mode, size) in engine.filter_specs().items()
+                }
+                self._send(200, json.dumps(listing), "application/json")
             else:
                 self._send(404, "not found")
+
+        def _register_filter(self):
+            """POST /filters {"name", "allow_ids"|"deny_ids"[, "index"]}
+            — register a named id predicate on the engine; queries then
+            pass ``"filter": name``. Specs survive /admin/reload swaps
+            (the device penalty rebuilds per index generation)."""
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if length > MAX_BODY_BYTES:
+                    self._send(413, json.dumps(dict(error="body too large")),
+                               "application/json")
+                    return
+                payload = json.loads(self.rfile.read(length))
+                name = payload.get("index")
+                eng = engine if name is None else registry.get(name)
+                if eng is None:
+                    self._send(404, json.dumps(
+                        dict(error=f"unknown index {name!r}")),
+                        "application/json")
+                    return
+                fname = payload["name"]
+                if not isinstance(fname, str) or not fname:
+                    raise ValueError("'name' must be a non-empty string")
+                size = eng.register_filter(
+                    fname,
+                    allow_ids=payload.get("allow_ids"),
+                    deny_ids=payload.get("deny_ids"),
+                )
+                self._send(
+                    200,
+                    json.dumps(dict(ok=True, name=fname, size=size)),
+                    "application/json",
+                )
+            except (KeyError, TypeError, ValueError,
+                    json.JSONDecodeError) as e:
+                self._send(400, json.dumps(dict(error=str(e))),
+                           "application/json")
+            except Exception as e:
+                self._send(500, json.dumps(dict(error=str(e))),
+                           "application/json")
 
         def _admin_reload(self):
             """POST /admin/reload {"dir": path[, "index": name]} — load a
@@ -412,6 +544,9 @@ def make_handler(
                     return
                 self._admin_reload()
                 return
+            if self.path == "/filters":
+                self._register_filter()
+                return
             eng, endpoint = self._route()
             if eng is None:
                 return
@@ -451,6 +586,16 @@ def make_handler(
                 # default — see bench.py --rerank).
                 rerank = payload.get("rerank")
                 rerank = None if rerank is None else int(rerank)
+                # Optional named predicate (registered via POST /filters);
+                # results then contain only ids passing it.
+                fname = payload.get("filter")
+                if fname is not None and fname not in eng._filters:
+                    self._send(
+                        404,
+                        json.dumps(dict(error=f"unknown filter {fname!r}")),
+                        "application/json",
+                    )
+                    return
                 batched = bool(query) and isinstance(query[0], (list, tuple))
                 if batched:
                     # Multi-query request: one POST carries a whole batch,
@@ -458,7 +603,7 @@ def make_handler(
                     # same way the engine amortizes device dispatch.
                     qarr = np.asarray(query, dtype=np.float32)
                     scores, ids = eng.submit_many(
-                        qarr, top_k, probe, rerank=rerank
+                        qarr, top_k, probe, rerank=rerank, filter_name=fname
                     )
                     self._send(
                         200,
@@ -477,7 +622,7 @@ def make_handler(
                     )
                     return
                 scores, ids = eng.submit(
-                    query, top_k, probe, rerank=rerank
+                    query, top_k, probe, rerank=rerank, filter_name=fname
                 )
                 keep = ids >= 0
                 self._send(

@@ -1,0 +1,150 @@
+"""Per-call row filtering (index/filter.py + the row_filter search arg).
+
+The reference has no filtering (every query visits all indexed rows,
+rabitq.rs:268-367); these tests pin the beyond-reference predicate
+semantics: exhaustive filtered search must equal brute force over the
+allowed subset, deny is the complement of allow, filters compose with
+the memtable (insert/update/delete) and with spilled duplicate ids,
+and an all-masking filter yields only invalid slots.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conftest import make_clustered_dataset
+from rabitq_tpu import (
+    SearchParams,
+    build_index,
+    delete,
+    insert,
+    make_row_filter,
+    search,
+)
+
+
+def _brute_force_allowed(base, queries, allow, topk):
+    """Exact top-k over only the allowed original ids (row index = id)."""
+    allow = np.asarray(sorted(allow))
+    sub = base[allow]
+    d = ((queries[:, None, :] - sub[None, :, :]) ** 2).sum(-1)
+    order = np.argsort(d, axis=1)[:, :topk]
+    return allow[order], np.take_along_axis(d, order, axis=1)
+
+
+def test_exhaustive_filtered_search_matches_allowed_brute_force(rng):
+    base, centers = make_clustered_dataset(rng, n=1500, dim=48, k=12)
+    idx = build_index(base, centers, key=jax.random.key(0))
+    queries = base[:16] + 0.01 * rng.standard_normal((16, 48)).astype(
+        np.float32
+    )
+    allow = rng.choice(1500, size=400, replace=False)
+    rf = make_row_filter(idx, allow_ids=allow)
+
+    params = SearchParams(
+        probe=12, topk=10, rerank=1500, approx_select=False
+    )
+    dists, ids = search(idx, jnp.asarray(queries), params, rf)
+    ids, dists = np.asarray(ids), np.asarray(dists)
+    tids, tdists = _brute_force_allowed(base, queries, allow, 10)
+
+    assert set(ids.ravel()) <= set(allow.tolist())
+    np.testing.assert_array_equal(np.sort(ids, 1), np.sort(tids, 1))
+    np.testing.assert_allclose(
+        np.sort(dists, 1), np.sort(tdists, 1), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_denylist_is_complement_of_allowlist(rng):
+    base, centers = make_clustered_dataset(rng, n=800, dim=32, k=8)
+    idx = build_index(base, centers, key=jax.random.key(1))
+    queries = base[:8]
+    deny = rng.choice(800, size=300, replace=False)
+    allow = np.setdiff1d(np.arange(800), deny)
+
+    params = SearchParams(probe=8, topk=5, rerank=800, approx_select=False)
+    q = jnp.asarray(queries)
+    _, ids_a = search(idx, q, params, make_row_filter(idx, allow_ids=allow))
+    _, ids_d = search(idx, q, params, make_row_filter(idx, deny_ids=deny))
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_d))
+    assert not set(np.asarray(ids_d).ravel()) & set(deny.tolist())
+
+
+def test_all_masked_filter_returns_invalid_slots(rng):
+    base, centers = make_clustered_dataset(rng, n=400, dim=32, k=4)
+    idx = build_index(base, centers, key=jax.random.key(2))
+    rf = make_row_filter(idx, allow_ids=np.array([], dtype=np.int32))
+    params = SearchParams(probe=4, topk=5, rerank=400, approx_select=False)
+    dists, ids = search(idx, jnp.asarray(base[:4]), params, rf)
+    assert (np.asarray(ids) == -1).all()
+    assert np.isinf(np.asarray(dists)).all()
+
+
+def test_filter_composes_with_memtable_and_delete(rng):
+    base, centers = make_clustered_dataset(rng, n=600, dim=32, k=6)
+    idx = build_index(base, centers, key=jax.random.key(3))
+    fresh = rng.standard_normal((4, 32)).astype(np.float32)
+    idx = insert(idx, fresh)  # memtable ids 600..603
+    idx = delete(idx, [601])
+
+    # Allow half the indexed rows plus memtable ids 600 and 601; 602/603
+    # are filtered, 601 is tombstoned — only 600 may surface.
+    allow = np.concatenate([np.arange(0, 600, 2), [600, 601]])
+    rf = make_row_filter(idx, allow_ids=allow)
+    params = SearchParams(probe=6, topk=3, rerank=600, approx_select=False)
+
+    # Query at each memtable vector: its own id wins iff allowed & live.
+    dists, ids = search(idx, jnp.asarray(fresh), params, rf)
+    ids = np.asarray(ids)
+    assert ids[0, 0] == 600
+    assert not {601, 602, 603} & set(ids.ravel())
+    assert set(ids.ravel()) - {-1} <= set(allow.tolist())
+
+
+def test_filter_with_spilled_duplicates(rng):
+    """Spilled copies share their original id; a filtered id must never
+    surface through either copy, and dedup still holds under a filter."""
+    base, centers = make_clustered_dataset(rng, n=1000, dim=32, k=10)
+    idx = build_index(base, centers, key=jax.random.key(4), spill=0.3)
+    assert idx.dedup_ids
+    queries = base[:12]
+    allow = rng.choice(1000, size=250, replace=False)
+    rf = make_row_filter(idx, allow_ids=allow)
+    params = SearchParams(probe=10, topk=10, rerank=1300, approx_select=False)
+    _, ids = search(idx, jnp.asarray(queries), params, rf)
+    ids = np.asarray(ids)
+    assert set(ids.ravel()) - {-1} <= set(allow.tolist())
+    for row in ids:
+        live = row[row >= 0]
+        assert len(set(live.tolist())) == len(live)  # dedup under filter
+    tids, _ = _brute_force_allowed(base, queries, allow, 10)
+    np.testing.assert_array_equal(np.sort(ids, 1), np.sort(tids, 1))
+
+
+def test_make_row_filter_validates_args(rng):
+    base, centers = make_clustered_dataset(rng, n=200, dim=32, k=2)
+    idx = build_index(base, centers, key=jax.random.key(5))
+    try:
+        make_row_filter(idx)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+    try:
+        make_row_filter(idx, allow_ids=[1], deny_ids=[2])
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_filtered_partial_probe_subset_of_allowed(rng):
+    """At partial probe the filtered result need not be exhaustive-exact,
+    but every returned id must pass the predicate and approx selection
+    (the TPU default) must respect the penalty too."""
+    base, centers = make_clustered_dataset(rng, n=4000, dim=64, k=32)
+    idx = build_index(base, centers, key=jax.random.key(6))
+    queries = base[:32]
+    allow = rng.choice(4000, size=1000, replace=False)
+    rf = make_row_filter(idx, allow_ids=allow)
+    params = SearchParams(probe=8, topk=10, rerank=128)
+    _, ids = search(idx, jnp.asarray(queries), params, rf)
+    assert set(np.asarray(ids).ravel()) - {-1} <= set(allow.tolist())

@@ -632,3 +632,67 @@ def test_admin_reload_rejected_on_store_tier(tmp_path):
     finally:
         server.shutdown()
         engine.close()
+
+
+def _post_path(url, path, payload):
+    req = urllib.request.Request(
+        url + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_named_filter_round_trip(served):
+    """POST /filters registers a predicate; "filter" on /query restricts
+    results to it (beyond-reference feature, index/filter.py)."""
+    url, base = served
+    allow = list(range(0, 1500, 3))
+    status, body = _post_path(
+        url, "/filters", dict(name="tenant-a", allow_ids=allow)
+    )
+    assert status == 200 and body["ok"] and body["size"] == len(allow)
+
+    with urllib.request.urlopen(url + "/filters") as r:
+        listing = json.loads(r.read())
+    assert listing["tenant-a"] == dict(mode="allow", size=len(allow))
+
+    q = base[7].tolist()
+    status, body = _post(
+        url,
+        dict(query=q, top_k=10, probe=8, rerank=1500, filter="tenant-a"),
+    )
+    assert status == 200
+    assert body["ids"], "filtered query returned nothing"
+    assert set(body["ids"]) <= set(allow)
+
+    # Unfiltered control includes ids the filter must exclude.
+    status, full = _post(url, dict(query=q, top_k=10, probe=8))
+    assert status == 200
+    assert set(full["ids"]) - set(allow), "control should span both sides"
+
+
+def test_unknown_filter_is_a_404(served):
+    url, base = served
+    status, body = _post(
+        url, dict(query=base[0].tolist(), top_k=5, probe=8, filter="nope")
+    )
+    assert status == 404 and "unknown filter" in body["error"]
+
+
+def test_register_filter_validates(served):
+    url, _ = served
+    status, body = _post_path(url, "/filters", dict(name="bad"))
+    assert status == 400
+    status, body = _post_path(
+        url, "/filters", dict(name="bad", allow_ids=[1], deny_ids=[2])
+    )
+    assert status == 400
+    status, body = _post_path(
+        url, "/filters", dict(name="x", allow_ids=[1], index="ghost")
+    )
+    assert status == 404
