@@ -5,18 +5,21 @@ The reference has no filtering — every query visits all indexed rows
 production feature: multi-tenant visibility, soft-delete overlays,
 time-window or attribute predicates resolved to an id set upstream.
 
-TPU-first design. A filter is a dense ``[N + span]`` f32 *penalty*
-array in cluster-sorted row order (0 = allowed, +inf = filtered),
-built once per predicate host-side from ORIGINAL ids, uploaded once,
-and reused across every query batch that carries the predicate. The
-query pipeline ADDS the penalty to the rough-scan output window by
-window: each probed cluster's window is one ``dynamic_slice`` row off
-the penalty array (row slices, never ``[B, G]`` element gathers —
-element gathers cost ~10 ns/element on TPU while row gathers stream
-at ~56 GB/s, see DESIGN.md's glue cost model). Masked rows estimate
-to +inf and never survive candidate selection, so the rerank budget
-is spent entirely on rows that pass the predicate, and the exact
-rerank / top-k stages need no changes at all.
+TPU-first design. A filter is a lane-tiled ``[n_tiles, 128]`` f32
+*penalty* array in the scan blob's PADDED row order (0 = allowed,
++inf = filtered or cluster padding), built once per predicate
+host-side from ORIGINAL ids, uploaded once, and reused across every
+query batch that carries the predicate. The query pipeline ADDS the
+penalty to the rough-scan output window by window: each probed
+cluster's window is a run of whole 128-lane tiles at its lane-aligned
+padded start — a fast row gather (~56 GB/s, DESIGN.md's glue cost
+model). Never ``[B, G]`` element gathers (~10 ns/element) and never
+per-row ``dynamic_slice`` at arbitrary dense offsets (scalarizes on
+TPU — measured ~30 ms/batch vs ~2 ms for the tile gather at the
+200k x 128 shape). Masked rows estimate to +inf and never survive
+candidate selection, so the rerank budget is spent entirely on rows
+that pass the predicate, and the exact rerank / top-k stages need no
+changes at all.
 
 Two interactions worth knowing:
 
@@ -45,16 +48,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from rabitq_tpu.consts import LANES
-from rabitq_tpu.index.index import RaBitQIndex
+from rabitq_tpu.index.index import RaBitQIndex, padded_offsets
 
 
 class RowFilter(NamedTuple):
     """Device-resident predicate: pass to ``search(..., row_filter=)``.
 
-    ``penalty``: [n + span] f32, 0 where the row's original id passes
-    the predicate, +inf where it is filtered (span padding keeps every
-    probed window's ``dynamic_slice`` in bounds without clamping —
-    clamping would silently shift the last cluster's window).
+    ``penalty``: [n_tiles, 128] f32 in the blob's lane-tiled PADDED
+    layout (padded_offsets row order): 0 where the row's original id
+    passes the predicate, +inf where it is filtered or the slot is
+    cluster padding. The tiled layout makes a probed window's penalty
+    a run of whole 128-lane tiles at a lane-aligned offset — a fast
+    row gather; per-row dynamic slices at arbitrary dense offsets
+    scalarize on TPU (~15x slower, measured). Span-padded past the last
+    cluster so no window's tile run reads out of bounds.
     ``extra_penalty``: [M] f32 for the insert memtable, or None.
     """
 
@@ -82,9 +89,23 @@ def make_row_filter(
         allowed = np.isin(map_ids, np.asarray(allow_ids))
     else:
         allowed = ~np.isin(map_ids, np.asarray(deny_ids))
+    # Scatter dense rows into the PADDED (lane-aligned) position space:
+    # cluster c's rank-j row sits at padded_offsets[c] + j, matching the
+    # window slot decode on both scan paths. Cluster-padding slots stay
+    # +inf (they are +inf in the scan output too).
+    off = np.asarray(index.offsets).astype(np.int64)
+    opad = np.asarray(padded_offsets(index.offsets)).astype(np.int64)
+    sizes = off[1:] - off[:-1]
+    n = map_ids.shape[0]
+    ppos = np.repeat(opad[:-1], sizes) + (
+        np.arange(n) - np.repeat(off[:-1], sizes)
+    )
     span = ((index.capacity + LANES - 1) // LANES) * LANES
-    pen = np.full(map_ids.shape[0] + span, np.inf, dtype=np.float32)
-    pen[: map_ids.shape[0]][allowed] = 0.0
+    total = int(opad[-1]) + span
+    ntiles = (total + LANES - 1) // LANES
+    pen = np.full(ntiles * LANES, np.inf, dtype=np.float32)
+    pen[ppos] = np.where(allowed, 0.0, np.inf).astype(np.float32)
+    pen = pen.reshape(ntiles, LANES)
 
     extra = None
     if index.extra_ids is not None and index.extra_ids.shape[0] > 0:
