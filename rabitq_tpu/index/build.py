@@ -432,7 +432,12 @@ def _spill_admit(
         return empty, empty.copy(), None
     moved = cand_labels[:, 0] != labels
     sec_dist = np.where(moved, cand_dists[:, 0], cand_dists[:, 1])
-    ratio = sec_dist / np.maximum(cand_dists[:, 0], _MIN_NORMAL_F32)
+    # f64 division: an inf/huge runner-up distance over a subnormal-
+    # clamped denominator overflows f32 (RuntimeWarning); the ratio only
+    # RANKS picks, so the wider dtype changes nothing else.
+    ratio = sec_dist.astype(np.float64) / np.maximum(
+        cand_dists[:, 0].astype(np.float64), _MIN_NORMAL_F32
+    )
     pick = np.argpartition(ratio, n_spill - 1)[:n_spill].astype(np.int32)
     sizes0 = np.bincount(labels, minlength=k)
     cap_unspilled = max(LANES, round_up(int(sizes0.max(initial=1)), LANES))

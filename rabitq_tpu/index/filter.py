@@ -69,6 +69,48 @@ class RowFilter(NamedTuple):
     extra_penalty: Optional[jax.Array]
 
 
+def _allowed_mask(ids: np.ndarray, allow_ids, deny_ids) -> np.ndarray:
+    """Boolean pass/fail per id. ``allow_ids``/``deny_ids`` are sorted
+    once so membership is one np.isin(kind="sort") pass (O(n log m))."""
+    if allow_ids is not None:
+        return np.isin(ids, np.asarray(allow_ids))
+    return ~np.isin(ids, np.asarray(deny_ids))
+
+
+def penalty_from_mask(
+    offsets: np.ndarray,
+    capacity: int,
+    allowed: np.ndarray,
+    min_tiles: int | None = None,
+) -> np.ndarray:
+    """Scatter a per-dense-row pass mask into the lane-tiled PADDED
+    penalty layout: [ntiles, 128] f32, 0 = allowed, +inf = filtered or
+    cluster padding. ``allowed`` covers exactly the offsets[-1] dense
+    rows; ``min_tiles`` pads the result (with +inf) to a common tile
+    count (the sharded stacking needs uniform shapes). Shared by the
+    single-chip and per-shard filter builders.
+    """
+    off = np.asarray(offsets).astype(np.int64)
+    opad = np.asarray(padded_offsets(off)).astype(np.int64)
+    sizes = off[1:] - off[:-1]
+    n = int(off[-1])
+    assert allowed.shape[0] == n, (allowed.shape, n)
+    # Dense row i of cluster c sits at padded position opad[c] + rank,
+    # matching the window slot decode on both scan paths. Cluster-
+    # padding slots stay +inf (they are +inf in the scan output too).
+    ppos = np.repeat(opad[:-1], sizes) + (
+        np.arange(n) - np.repeat(off[:-1], sizes)
+    )
+    span = ((capacity + LANES - 1) // LANES) * LANES
+    total = int(opad[-1]) + span
+    ntiles = (total + LANES - 1) // LANES
+    if min_tiles is not None:
+        ntiles = max(ntiles, min_tiles)
+    pen = np.full(ntiles * LANES, np.inf, dtype=np.float32)
+    pen[ppos] = np.where(allowed, 0.0, np.inf).astype(np.float32)
+    return pen.reshape(ntiles, LANES)
+
+
 def make_row_filter(
     index: RaBitQIndex,
     allow_ids=None,
@@ -85,35 +127,15 @@ def make_row_filter(
     if (allow_ids is None) == (deny_ids is None):
         raise ValueError("pass exactly one of allow_ids / deny_ids")
     map_ids = np.asarray(index.map_ids)
-    if allow_ids is not None:
-        allowed = np.isin(map_ids, np.asarray(allow_ids))
-    else:
-        allowed = ~np.isin(map_ids, np.asarray(deny_ids))
-    # Scatter dense rows into the PADDED (lane-aligned) position space:
-    # cluster c's rank-j row sits at padded_offsets[c] + j, matching the
-    # window slot decode on both scan paths. Cluster-padding slots stay
-    # +inf (they are +inf in the scan output too).
-    off = np.asarray(index.offsets).astype(np.int64)
-    opad = np.asarray(padded_offsets(index.offsets)).astype(np.int64)
-    sizes = off[1:] - off[:-1]
-    n = map_ids.shape[0]
-    ppos = np.repeat(opad[:-1], sizes) + (
-        np.arange(n) - np.repeat(off[:-1], sizes)
+    allowed = _allowed_mask(map_ids, allow_ids, deny_ids)
+    pen = penalty_from_mask(
+        np.asarray(index.offsets), index.capacity, allowed
     )
-    span = ((index.capacity + LANES - 1) // LANES) * LANES
-    total = int(opad[-1]) + span
-    ntiles = (total + LANES - 1) // LANES
-    pen = np.full(ntiles * LANES, np.inf, dtype=np.float32)
-    pen[ppos] = np.where(allowed, 0.0, np.inf).astype(np.float32)
-    pen = pen.reshape(ntiles, LANES)
 
     extra = None
     if index.extra_ids is not None and index.extra_ids.shape[0] > 0:
         eids = np.asarray(index.extra_ids)
-        if allow_ids is not None:
-            eallow = np.isin(eids, np.asarray(allow_ids))
-        else:
-            eallow = ~np.isin(eids, np.asarray(deny_ids))
+        eallow = _allowed_mask(eids, allow_ids, deny_ids)
         extra = jnp.asarray(
             np.where(eallow, 0.0, np.inf).astype(np.float32)
         )

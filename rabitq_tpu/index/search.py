@@ -951,7 +951,10 @@ def search(
 
 @functools.partial(jax.jit, static_argnames=("params",))
 def search_many(
-    index: RaBitQIndex, queries: jax.Array, params: SearchParams
+    index: RaBitQIndex,
+    queries: jax.Array,
+    params: SearchParams,
+    row_filter: RowFilter | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Whole-queryset search in ONE device dispatch.
 
@@ -962,9 +965,12 @@ def search_many(
     for the whole set — the TPU analog of the reference CLI's full
     query-file loop (crates/cli/src/main.rs:69-82). For streaming
     arrivals use search() per batch (utils.pipelined_map overlaps the
-    dispatches).
+    dispatches). ``row_filter`` applies one predicate to every batch
+    (the filter rides device-resident across the whole lax.map).
     """
-    return jax.lax.map(lambda q: search(index, q, params), queries)
+    return jax.lax.map(
+        lambda q: search(index, q, params, row_filter), queries
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("params", "nbits"))
@@ -973,6 +979,7 @@ def search_many_packed(
     queries: jax.Array,
     params: SearchParams,
     nbits: int,
+    row_filter: RowFilter | None = None,
 ) -> jax.Array:
     """search_many returning bit-packed ids only (compact transport).
 
@@ -983,11 +990,12 @@ def search_many_packed(
     ``ops.idpack.unpack_ids(words, nbits, nb*batch*topk)``. Use when the
     device→host link, not the device, bounds e2e throughput (the fused
     bench path, remote serving over DCN); distances are dropped — recall
-    and id consumers don't need them.
+    and id consumers don't need them. Invalid slots (id -1 — filtered-
+    out or unreachable) pack as the all-ones nbits pattern.
     """
     from rabitq_tpu.ops.idpack import pack_ids
 
-    _, ids = search_many(index, queries, params)
+    _, ids = search_many(index, queries, params, row_filter)
     return pack_ids(ids, nbits)
 
 
@@ -1053,6 +1061,7 @@ def _adaptive_level(
     params: SearchParams,
     prev_dists: jax.Array,  # [B, topk] f32 (+inf on the first level)
     prev_pos: jax.Array,    # [B, topk] int32
+    row_filter: RowFilter | None = None,
 ):
     """One incremental escalation of search_adaptive.
 
@@ -1066,10 +1075,15 @@ def _adaptive_level(
     candidates, so anything it didn't place then never places later.
     Returns (dists, pos, safe).
     """
-    cand = estimate_candidates(index, queries, params)
+    cand = estimate_candidates(index, queries, params, row_filter)
     q_pad = _prep_queries(index, queries)
     exact, pos_all = _exact_rerank(
-        index, q_pad, cand, params, include_memtable=params.probe_lo == 0
+        index,
+        q_pad,
+        cand,
+        params,
+        include_memtable=params.probe_lo == 0,
+        row_filter=row_filter,
     )
     all_d = jnp.concatenate([prev_dists, exact], axis=1)
     all_p = jnp.concatenate([prev_pos, pos_all], axis=1)
@@ -1097,6 +1111,7 @@ def search_adaptive(
     *,
     max_probe: int | None = None,
     level_width: int = 256,
+    row_filter: RowFilter | None = None,
 ):
     """Early-stopping search: probe geometrically more clusters until every
     query's result is certified (no unprobed cluster can contain a closer
@@ -1117,6 +1132,12 @@ def search_adaptive(
     autotune is the throughput serving mode; adaptive is the
     certified/audit mode (its recall at equal final probe EXCEEDS the
     fixed run's, since each level reranks a fresh budget).
+
+    ``row_filter`` restricts results to rows passing an id predicate.
+    The early-stop certificate stays sound under a filter — it bounds
+    UNFILTERED member distances, and the filtered kth result is >= the
+    unfiltered kth, so the certificate only over-escalates (scans more
+    levels than a filter-aware bound would), never under.
 
     ``level_width`` caps the cluster-rank window of any single device
     call; wider escalations run as several fixed-width sub-calls. This
@@ -1142,7 +1163,7 @@ def search_adaptive(
             hi = min(lo + w, probe)
             p = params._replace(probe=hi, probe_lo=lo)
             dists, pos, safe = _adaptive_level(
-                index, queries, p, dists, pos
+                index, queries, p, dists, pos, row_filter
             )
             lo = hi
         if probe >= cap_probe or bool(safe.all()):

@@ -2,6 +2,7 @@ from rabitq_tpu.parallel.sharding import (
     build_index_sharded,
     init_distributed,
     make_mesh,
+    make_sharded_row_filter,
     shard_index,
     shard_global_positions,
     sharded_search,
@@ -14,6 +15,7 @@ __all__ = [
     "build_index_sharded",
     "init_distributed",
     "make_mesh",
+    "make_sharded_row_filter",
     "shard_index",
     "shard_global_positions",
     "sharded_search",

@@ -31,6 +31,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from rabitq_tpu.index.filter import (
+    RowFilter,
+    _allowed_mask,
+    penalty_from_mask,
+)
+from rabitq_tpu.consts import LANES
 from rabitq_tpu.index.index import RaBitQIndex, SearchParams
 from rabitq_tpu.index.search import estimate_candidates, search
 from rabitq_tpu.ops import pairwise_l2sq
@@ -247,7 +253,24 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
     sh_codes = np.stack([np.asarray(c) for c, _ in ops])
     sh_facs = np.stack([np.asarray(f) for _, f in ops])
 
-    return RaBitQIndex(
+    # Carry the rerank-kernel operand through sharding: when the input
+    # index has a lane-tiled base (with_tiled_base), derive each shard's
+    # own [rows_max, dt8, 128] copy from its base rows so
+    # SearchParams.rerank_kernel keeps working inside shard_map (r4
+    # verdict weak #2 — without this the kernel silently fell back to
+    # the XLA gather on sharded indexes).
+    sh_base_tiled = None
+    if index.base_tiled is not None and sh_base is not None:
+        dt = index.dim // LANES
+        dt8 = ((dt + 7) // 8) * 8
+        sh_base_tiled = np.zeros(
+            (s, rows_max, dt8, LANES), np.float32
+        )
+        sh_base_tiled[:, :, :dt] = sh_base.reshape(
+            s, rows_max, dt, LANES
+        )
+
+    out = RaBitQIndex(
         blob=put(sh_blob, None, None),
         codes_pm1=put(sh_codes, None, None),
         factors_tiled=put(sh_facs, None, None),
@@ -263,6 +286,11 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
             np.broadcast_to(np.asarray(index.rand_bias), (s, index.dim)), None
         ),
         base=None if sh_base is None else put(sh_base, None, None),
+        base_tiled=(
+            None
+            if sh_base_tiled is None
+            else put(sh_base_tiled, None, None, None)
+        ),
         extra_base=(
             None if sh_extra_base is None else put(sh_extra_base, None, None)
         ),
@@ -274,6 +302,66 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
         code_bits=index.code_bits,
         dedup_ids=index.dedup_ids,
     )
+    if index.base_bf16 is not None and out.base is not None:
+        import dataclasses
+
+        # Carry the bf16 rerank copy too (the elementwise cast preserves
+        # the shard-axis NamedSharding).
+        out = dataclasses.replace(
+            out, base_bf16=out.base.astype(jnp.bfloat16)
+        )
+    return out
+
+
+def make_sharded_row_filter(
+    sindex: RaBitQIndex,
+    mesh: Mesh,
+    allow_ids=None,
+    deny_ids=None,
+) -> RowFilter:
+    """Build a RowFilter for a SHARDED index (shard_index /
+    build_index_sharded / load_index_sharded output).
+
+    Same predicate semantics as index.filter.make_row_filter, but the
+    penalty is built per shard in that shard's own padded blob layout
+    and stacked [S, ntiles_max, 128] with NamedSharding on the shard
+    axis — inside shard_map each device sees its local [ntiles, 128]
+    penalty, exactly what the single-chip filter gather expects. Specs
+    are original-id based, so one spec produces consistent filters for
+    any shard count.
+    """
+    if (allow_ids is None) == (deny_ids is None):
+        raise ValueError("pass exactly one of allow_ids / deny_ids")
+    s = mesh.devices.size
+    offsets = np.asarray(sindex.offsets)
+    map_ids = np.asarray(sindex.map_ids)
+    assert offsets.ndim == 2 and offsets.shape[0] == s, (
+        "make_sharded_row_filter needs a sharded index (leading shard axis)"
+    )
+    pens = []
+    for si in range(s):
+        off = offsets[si]
+        n_real = int(off[-1])
+        allowed = _allowed_mask(map_ids[si][:n_real], allow_ids, deny_ids)
+        pens.append(penalty_from_mask(off, sindex.capacity, allowed))
+    nt = max(p.shape[0] for p in pens)
+    pen = np.full((s, nt, pens[0].shape[1]), np.inf, np.float32)
+    for si, p in enumerate(pens):
+        pen[si, : p.shape[0]] = p
+
+    def put(a, *trailing_none):
+        return jax.device_put(a, NamedSharding(mesh, P(AXIS, *trailing_none)))
+
+    extra = None
+    if sindex.extra_ids is not None and sindex.extra_ids.shape[-1] > 0:
+        eids = np.asarray(sindex.extra_ids)  # [S, M]; -1 = empty slot
+        eallow = _allowed_mask(eids, allow_ids, deny_ids)
+        # Empty slots (-1) are masked by extra_ids >= 0 in search either
+        # way; their penalty value is irrelevant.
+        extra = put(
+            np.where(eallow, 0.0, np.inf).astype(np.float32), None
+        )
+    return RowFilter(penalty=put(pen, None, None), extra_penalty=extra)
 
 
 def _local_params(
@@ -303,20 +391,30 @@ def _local_params(
 
 @functools.lru_cache(maxsize=64)
 def _make_sharded_fn(
-    mesh: Mesh, treedef, lp: SearchParams, topk: int, dedup: bool = False
+    mesh: Mesh,
+    treedef,
+    f_treedef,
+    lp: SearchParams,
+    topk: int,
+    dedup: bool = False,
 ):
     """Build (and cache) the jitted distributed-search executable for a
     given mesh / index structure / params — a fresh closure per call would
-    recompile every time."""
+    recompile every time. ``f_treedef`` is the row-filter pytree
+    structure (the treedef of None when unfiltered) so filtered and
+    unfiltered executables cache separately."""
     s = mesh.devices.size
     specs = jax.tree_util.tree_unflatten(
         treedef, [P(AXIS)] * treedef.num_leaves
+    )
+    f_specs = jax.tree_util.tree_unflatten(
+        f_treedef, [P(AXIS)] * f_treedef.num_leaves
     )
     local_fn = functools.partial(_local_shard_search, params=lp)
     f = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(specs, P(None, None)),
+        in_specs=(specs, P(None, None), f_specs),
         out_specs=(P(AXIS, None, None), P(AXIS, None, None)),
         # The Pallas scan kernel's out_shape carries no varying-mesh-axes
         # annotation; skip the vma check (outputs are explicitly sharded on
@@ -325,8 +423,8 @@ def _make_sharded_fn(
     )
 
     @jax.jit
-    def merged(si, q):
-        d_all, i_all = f(si, q)  # [S, B, topk_local]
+    def merged(si, q, rf):
+        d_all, i_all = f(si, q, rf)  # [S, B, topk_local]
         b = q.shape[0]
         d_flat = d_all.transpose(1, 0, 2).reshape(b, s * lp.topk)
         i_flat = i_all.transpose(1, 0, 2).reshape(b, s * lp.topk)
@@ -355,6 +453,7 @@ def sharded_search(
     mesh: Mesh,
     *,
     exact: bool = False,
+    row_filter: RowFilter | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Distributed search over an index produced by shard_index.
 
@@ -368,39 +467,56 @@ def sharded_search(
     probes min(probe, k_local) clusters on EVERY shard, making the probed
     set a superset of the unsharded one (recall >= single-chip) at ~S x
     the per-shard scan cost.
+
+    ``row_filter`` must come from make_sharded_row_filter over THIS
+    sharded index (per-shard penalty layouts); each shard applies its
+    local penalty before candidate selection, exactly like single-chip
+    filtered search.
     """
     s = mesh.devices.size
     k_local = sindex.offsets.shape[1] - 1
     lp = _local_params(params, s, k_local, exact)
     treedef = jax.tree_util.tree_structure(sindex)
+    f_treedef = jax.tree_util.tree_structure(row_filter)
     merged = _make_sharded_fn(
-        mesh, treedef, lp, params.topk, sindex.dedup_ids
+        mesh, treedef, f_treedef, lp, params.topk, sindex.dedup_ids
     )
-    return merged(sindex, queries)
+    return merged(sindex, queries, row_filter)
 
 
-def _local_shard_search(stacked: RaBitQIndex, q: jax.Array, *, params):
+def _local_shard_search(
+    stacked: RaBitQIndex, q: jax.Array, rf, *, params
+):
     local = jax.tree.map(lambda a: a[0], stacked)
-    d, i = search(local, q, params)
+    rf_local = jax.tree.map(lambda a: a[0], rf)
+    d, i = search(local, q, params, rf_local)
     return d[None], i[None]
 
 
-def _local_shard_estimate(stacked: RaBitQIndex, q: jax.Array, *, params):
+def _local_shard_estimate(
+    stacked: RaBitQIndex, q: jax.Array, rf, *, params
+):
     local = jax.tree.map(lambda a: a[0], stacked)
-    cand = estimate_candidates(local, q, params)
+    rf_local = jax.tree.map(lambda a: a[0], rf)
+    cand = estimate_candidates(local, q, params, rf_local)
     return cand.pos[None], cand.lower_bound[None], cand.n_scanned[None]
 
 
 @functools.lru_cache(maxsize=64)
-def _make_sharded_estimate_fn(mesh: Mesh, treedef, lp: SearchParams):
+def _make_sharded_estimate_fn(
+    mesh: Mesh, treedef, f_treedef, lp: SearchParams
+):
     specs = jax.tree_util.tree_unflatten(
         treedef, [P(AXIS)] * treedef.num_leaves
+    )
+    f_specs = jax.tree_util.tree_unflatten(
+        f_treedef, [P(AXIS)] * f_treedef.num_leaves
     )
     local_fn = functools.partial(_local_shard_estimate, params=lp)
     f = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(specs, P(None, None)),
+        in_specs=(specs, P(None, None), f_specs),
         out_specs=(
             P(AXIS, None, None),
             P(AXIS, None, None),
@@ -420,6 +536,7 @@ def sharded_search_with_store(
     global_pos: np.ndarray,
     *,
     exact: bool = False,
+    row_filter: RowFilter | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Distributed disk-tier search: sharded device estimator + ONE host
     store serving every shard's rerank.
@@ -444,10 +561,11 @@ def sharded_search_with_store(
     k_local = sindex.offsets.shape[1] - 1
     lp = _local_params(params, s, k_local, exact)
     treedef = jax.tree_util.tree_structure(sindex)
-    fn = _make_sharded_estimate_fn(mesh, treedef, lp)
+    f_treedef = jax.tree_util.tree_structure(row_filter)
+    fn = _make_sharded_estimate_fn(mesh, treedef, f_treedef, lp)
 
     queries = np.asarray(queries, dtype=np.float32)
-    pos, lb, n_scanned = fn(sindex, jnp.asarray(queries))
+    pos, lb, n_scanned = fn(sindex, jnp.asarray(queries), row_filter)
     pos = np.asarray(pos)  # [S, B, R] shard-local
     lb = np.asarray(lb)
     b, r = pos.shape[1], pos.shape[2]
@@ -483,6 +601,8 @@ def sharded_search_with_store(
         ex_ids = np.asarray(sindex.extra_ids)[0]
         ex_d = ((qpad[:, None, :] - ex_base[None, :, :]) ** 2).sum(-1)
         ex_d = np.where(ex_ids[None, :] >= 0, ex_d, np.inf)
+        if row_filter is not None and row_filter.extra_penalty is not None:
+            ex_d = ex_d + np.asarray(row_filter.extra_penalty)[0][None, :]
         exact = np.concatenate([exact, ex_d], axis=1)
         cand_ids = np.concatenate(
             [cand_ids, np.broadcast_to(ex_ids[None, :], ex_d.shape)],
@@ -524,18 +644,21 @@ def sharded_search_with_store(
     jax.jit,
     static_argnames=(
         "dim", "bits", "chunk", "n_cols", "words", "rows_max", "keep_base",
+        "tiled_base",
     ),
 )
 def _shard_build_local(
     x, lab, p, c_rot, src, *, dim, bits, chunk, n_cols, words, rows_max,
-    keep_base,
+    keep_base, tiled_base=False,
 ):
     """One shard's quantize + blob assembly, entirely on its device.
 
     x [rows_q, dim] cluster-sorted local rows (zero pad past the shard's
     row count), lab [rows_q] their PRE-split cluster labels, src [n_cols]
     dense source index per aligned blob column (-1 pad). Returns
-    (blob, codes_pm1, factors_tiled, base_local_or_None).
+    (blob, codes_pm1, factors_tiled, base_local_or_None,
+    base_tiled_local_or_None — the rerank-kernel operand, derived
+    on-device when ``tiled_base``).
     """
     from rabitq_tpu.index.build import _make_blob_device, _quantize_all
     from rabitq_tpu.index.index import derive_scan_operands
@@ -543,7 +666,15 @@ def _shard_build_local(
     _, codes, factors = _quantize_all(x, lab, p, c_rot, dim, bits, chunk)
     blob = _make_blob_device(codes, factors, src, n_cols)
     cpm1, facs = derive_scan_operands(blob, words, bits)
-    return blob, cpm1, facs, (x[:rows_max] if keep_base else None)
+    base_loc = x[:rows_max] if keep_base else None
+    bt = None
+    if keep_base and tiled_base:
+        dt = dim // LANES
+        dt8 = ((dt + 7) // 8) * 8
+        bt = base_loc.reshape(rows_max, dt, LANES)
+        if dt8 != dt:
+            bt = jnp.pad(bt, ((0, 0), (0, dt8 - dt), (0, 0)))
+    return blob, cpm1, facs, base_loc, bt
 
 
 def _stack_sharded(mesh, arrs, n_tail_axes):
@@ -567,6 +698,7 @@ def build_index_sharded(
     orthogonal: np.ndarray | None = None,
     chunk: int = 4096,
     keep_base: bool = True,
+    tiled_base: bool = False,
     metric: str = "l2",
     balance: float | None = 2.0,
     split: bool = True,
@@ -577,7 +709,10 @@ def build_index_sharded(
 ) -> RaBitQIndex:
     """Build a SHARDED index directly — result-identical to
     ``shard_index(build_index(...))`` with the same knobs/key, without
-    ever materializing the unsharded index.
+    ever materializing the unsharded index. ``tiled_base=True`` also
+    derives each shard's lane-tiled rerank-kernel base on its device
+    (mirrors with_tiled_base; enables SearchParams.rerank_kernel on the
+    sharded search path).
 
     Where build_index + shard_index needs the full unsharded device index
     plus stacked [S, rows_max, ...] numpy copies of codes/factors/base
@@ -837,6 +972,7 @@ def build_index_sharded(
                 words=words,
                 rows_max=rows_max,
                 keep_base=keep_base,
+                tiled_base=tiled_base,
             )
         )
     blob = _stack_sharded(mesh, [r[0] for r in results], 3)
@@ -845,6 +981,11 @@ def build_index_sharded(
     sh_base = (
         _stack_sharded(mesh, [r[3] for r in results], 2)
         if keep_base
+        else None
+    )
+    sh_base_tiled = (
+        _stack_sharded(mesh, [r[4] for r in results], 3)
+        if (keep_base and tiled_base)
         else None
     )
     del results
@@ -874,6 +1015,7 @@ def build_index_sharded(
             np.broadcast_to(np.asarray(rand_bias), (s, dim)), None
         ),
         base=sh_base,
+        base_tiled=sh_base_tiled,
         dim=dim,
         dim_orig=d_orig,
         capacity=capacity,

