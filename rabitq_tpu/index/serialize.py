@@ -63,13 +63,25 @@ def _codes_from_u64(words: np.ndarray, n: int, w32: int) -> np.ndarray:
     return np.ascontiguousarray(words).view(np.uint32).reshape(n, w32)
 
 
-def dump_to_dir(index: RaBitQIndex, path: str | Path) -> None:
-    """Write the reference-compatible directory format (+ meta.json)."""
+def dump_to_dir(
+    index: RaBitQIndex, path: str | Path, *, require_base: bool = True
+) -> None:
+    """Write the reference-compatible directory format (+ meta.json).
+
+    ``require_base=False`` permits dumping a base-less index (store-tier
+    / keep_base=False): every file except base.fvecs is written — the
+    sharded checkpoint uses this (raw vectors live in the store, not the
+    checkpoint). Such dirs load with ``load_from_dir(keep_base=False)``.
+    """
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
-    assert index.base is not None, "dump requires full-precision base"
+    assert index.base is not None or not require_base, (
+        "dump requires full-precision base (pass require_base=False for "
+        "store-tier indexes)"
+    )
 
-    write_matrix(path / "base.fvecs", np.asarray(index.base))
+    if index.base is not None:
+        write_matrix(path / "base.fvecs", np.asarray(index.base))
     write_matrix(path / "orthogonal.fvecs", np.asarray(index.orthogonal))
     write_matrix(path / "centroids.fvecs", np.asarray(index.centroids_rot).T)
     write_vecs(

@@ -1,3 +1,9 @@
+from rabitq_tpu.parallel.checkpoint import (
+    dump_index_sharded,
+    load_global_positions,
+    load_index_sharded,
+    load_shard_as_single,
+)
 from rabitq_tpu.parallel.sharding import (
     build_index_sharded,
     init_distributed,
@@ -13,6 +19,10 @@ from rabitq_tpu.parallel.sharding import (
 
 __all__ = [
     "build_index_sharded",
+    "dump_index_sharded",
+    "load_global_positions",
+    "load_index_sharded",
+    "load_shard_as_single",
     "init_distributed",
     "make_mesh",
     "make_sharded_row_filter",

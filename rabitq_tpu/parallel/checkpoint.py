@@ -1,0 +1,348 @@
+"""Sharded checkpoint: dump/load a SHARDED index without ever holding a
+host-stacked full-corpus copy.
+
+The single-chip serialization (index/serialize.py — the reference's
+6-file dir format, /root/reference/src/rabitq.rs:128-156) is the
+checkpoint story for one chip (SURVEY.md §5). It breaks exactly at the
+scale the sharded build exists for: a corpus sized for S x HBM would
+have to be re-built from raw vectors on every process start, and a
+full-index dump would stack every shard host-side first.
+
+This module checkpoints per shard:
+
+    <path>/meta.json            stacked-layout metadata (shard count,
+                                uniform padded shapes, static fields)
+    <path>/shard_00000/...      one reference-format directory PER SHARD
+                                (dense rows, byte-compatible files — each
+                                shard dir is independently loadable by
+                                load_from_dir as a single-chip index)
+    <path>/shard_*/global_pos.ivecs   optional: each local row's GLOBAL
+                                cluster-sorted position (the store-tier
+                                mapping, see shard_global_positions)
+
+``load_index_sharded`` reads each shard's files and places its arrays
+directly onto its mesh device (one per-shard host transient at a time,
+freed before the next shard); the MXU scan operands and the optional
+lane-tiled rerank base are derived ON the owning device. Under a
+multi-process runtime each process dumps/loads only its addressable
+shards — the checkpoint directory is shared (or mirrored) across hosts.
+
+Round-trip is bit-identical to shard_index/build_index_sharded output
+(tests/test_shard_checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rabitq_tpu.consts import LANES
+from rabitq_tpu.index.index import (
+    RaBitQIndex,
+    derive_scan_operands,
+    make_blob,
+)
+from rabitq_tpu.index.serialize import (
+    _codes_from_u64,
+    dump_to_dir,
+    load_from_dir,
+)
+from rabitq_tpu.io import read_matrix, read_u64_vecs, read_vecs, write_vecs
+from rabitq_tpu.parallel.sharding import AXIS, _stack_sharded
+
+logger = logging.getLogger(__name__)
+
+_META = "meta.json"
+
+
+def _shard_dir(path: Path, si: int) -> Path:
+    return path / f"shard_{si:05d}"
+
+
+def _local_sis(mesh) -> tuple[list, list[int]]:
+    """Mesh devices + the shard indices addressable by this process."""
+    devices = list(mesh.devices.flat)
+    proc = jax.process_index()
+    return devices, [
+        si for si, d in enumerate(devices) if d.process_index == proc
+    ]
+
+
+def _leaf_shard(a: jax.Array, si: int, device) -> np.ndarray:
+    """Shard ``si``'s slice of a [S, ...] array sharded on axis 0,
+    fetched from its (addressable) device — never materializes the
+    stacked host copy."""
+    for sh in a.addressable_shards:
+        if sh.device == device:
+            return np.asarray(sh.data)[0]
+    raise ValueError(f"shard {si} is not addressable from this process")
+
+
+def dump_index_sharded(
+    sindex: RaBitQIndex,
+    path: str | Path,
+    *,
+    global_pos: np.ndarray | None = None,
+) -> None:
+    """Write a sharded index (shard_index / build_index_sharded /
+    load_index_sharded output) as per-shard reference-format dirs.
+
+    Host memory stays one shard at a time. Base-less indexes
+    (keep_base=False) dump without base.fvecs — pass ``global_pos``
+    (shard_global_positions / build_index_sharded(return_global_pos=True))
+    so the store-tier mapping survives the round trip.
+    """
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    offsets = np.asarray(sindex.offsets.addressable_shards[0].data)
+    assert offsets.ndim >= 2, (
+        "dump_index_sharded needs a sharded index (leading shard axis)"
+    )
+    s = sindex.offsets.shape[0]
+    mesh = sindex.blob.sharding.mesh
+    devices, local_sis = _local_sis(mesh)
+    has_base = sindex.base is not None
+    has_extra = (
+        sindex.extra_base is not None and sindex.extra_base.shape[-2] > 0
+    )
+    (path / _META).write_text(
+        json.dumps(
+            dict(
+                format=1,
+                shards=s,
+                dim=sindex.dim,
+                dim_orig=sindex.dim_orig,
+                capacity=sindex.capacity,
+                metric=sindex.metric,
+                code_bits=sindex.code_bits,
+                dedup_ids=sindex.dedup_ids,
+                k_max=int(sindex.offsets.shape[1] - 1),
+                rows_max=int(sindex.map_ids.shape[1]),
+                tiles_max=int(sindex.blob.shape[1]),
+                memtable_slots=(
+                    int(sindex.extra_base.shape[-2]) if has_extra else 0
+                ),
+                has_base=has_base,
+                has_global_pos=global_pos is not None,
+            )
+        )
+    )
+    for si in local_sis:
+        dev = devices[si]
+
+        def leaf(name):
+            return _leaf_shard(getattr(sindex, name), si, dev)
+
+        off = leaf("offsets")
+        n_real = int(off[-1])
+        extra_base = extra_ids = None
+        if has_extra and si == 0:
+            extra_base = jnp.asarray(leaf("extra_base"))
+            extra_ids = jnp.asarray(leaf("extra_ids"))
+        local = RaBitQIndex(
+            blob=jnp.asarray(leaf("blob")),
+            offsets=jnp.asarray(off),
+            map_ids=jnp.asarray(leaf("map_ids")[:n_real]),
+            centroids_rot=jnp.asarray(leaf("centroids_rot")),
+            orthogonal=jnp.asarray(leaf("orthogonal")),
+            rand_bias=jnp.asarray(leaf("rand_bias")),
+            base=(
+                jnp.asarray(leaf("base")[:n_real]) if has_base else None
+            ),
+            extra_base=extra_base,
+            extra_ids=extra_ids,
+            dim=sindex.dim,
+            dim_orig=sindex.dim_orig,
+            capacity=sindex.capacity,
+            metric=sindex.metric,
+            code_bits=sindex.code_bits,
+            dedup_ids=sindex.dedup_ids,
+        )
+        sd = _shard_dir(path, si)
+        dump_to_dir(local, sd, require_base=False)
+        if global_pos is not None:
+            gp = np.asarray(global_pos[si][:n_real], np.int32)
+            write_vecs(sd / "global_pos.ivecs", [gp.astype(np.uint32)])
+        logger.info(
+            "checkpoint: dumped shard %d (%d rows) to %s", si, n_real, sd
+        )
+
+
+def load_index_sharded(
+    path: str | Path,
+    mesh,
+    *,
+    keep_base: bool = True,
+    tiled_base: bool = False,
+) -> RaBitQIndex:
+    """Load a dump_index_sharded checkpoint onto ``mesh``.
+
+    Each shard's arrays are read from its own directory and device_put
+    straight onto its mesh device (the [S, ...] stacked arrays are
+    assembled zero-copy via make_array_from_single_device_arrays); the
+    MXU scan operands — and, with ``tiled_base``, the rerank-kernel base
+    — are derived on the owning device. The shard count must equal the
+    mesh size (re-sharding = load each shard dir single-chip and
+    shard_index again, or rebuild).
+    """
+    path = Path(path)
+    meta = json.loads((path / _META).read_text())
+    s = int(meta["shards"])
+    assert mesh.devices.size == s, (
+        f"checkpoint has {s} shards, mesh has {mesh.devices.size} devices"
+    )
+    dim = int(meta["dim"])
+    capacity = int(meta["capacity"])
+    code_bits = int(meta["code_bits"])
+    k_max = int(meta["k_max"])
+    rows_max = int(meta["rows_max"])
+    tiles_max = int(meta["tiles_max"])
+    m_slots = int(meta.get("memtable_slots", 0))
+    has_base = bool(meta.get("has_base", True))
+    words = dim // 32
+    w32 = dim // 32
+    keep_base = keep_base and has_base
+
+    devices, local_sis = _local_sis(mesh)
+    blob_l, cpm1_l, facs_l = [], [], []
+    off_l, ids_l, cent_l, base_l, bt_l = [], [], [], [], []
+    exb_l, exi_l = [], []
+    orth = bias = None
+    for si in local_sis:
+        sd = _shard_dir(path, si)
+        smeta = json.loads((sd / _META).read_text())
+        if orth is None:
+            orth = read_matrix(sd / "orthogonal.fvecs")
+            bias = np.asarray(smeta["rand_bias"], np.float32)
+        cent = read_matrix(sd / "centroids.fvecs").T  # [k_max, dim]
+        assert cent.shape == (k_max, dim), cent.shape
+        offsets_ids = read_vecs(sd / "offsets_ids.ivecs", np.int32)
+        off, map_ids = offsets_ids[0], offsets_ids[-1]
+        assert off.shape[0] == k_max + 1, off.shape
+        n_real = int(off[-1])
+        factors = np.concatenate(
+            read_vecs(sd / "factors.fvecs")
+        ).reshape(n_real, 4)
+        word64 = np.concatenate(read_u64_vecs(sd / "x_binary_vec.u64vecs"))
+        codes = _codes_from_u64(word64, n_real, w32 * code_bits)
+        blob = make_blob(codes, factors, capacity, off)
+        assert blob.shape[0] <= tiles_max, (blob.shape, tiles_max)
+        if blob.shape[0] < tiles_max:
+            blob = np.concatenate(
+                [
+                    blob,
+                    np.zeros(
+                        (tiles_max - blob.shape[0],) + blob.shape[1:],
+                        blob.dtype,
+                    ),
+                ]
+            )
+        ids_pad = np.full(rows_max, -1, np.int32)
+        ids_pad[:n_real] = map_ids
+
+        dev = devices[si]
+        blob_d = jax.device_put(blob, dev)
+        cpm1, facs = derive_scan_operands(blob_d, words, code_bits)
+        blob_l.append(blob_d)
+        cpm1_l.append(cpm1)
+        facs_l.append(facs)
+        off_l.append(jax.device_put(off, dev))
+        ids_l.append(jax.device_put(ids_pad, dev))
+        cent_l.append(jax.device_put(cent, dev))
+        if keep_base:
+            base = read_matrix(sd / "base.fvecs")
+            assert base.shape == (n_real, dim), base.shape
+            bpad = np.zeros((rows_max, dim), np.float32)
+            bpad[:n_real] = base
+            base_d = jax.device_put(bpad, dev)
+            base_l.append(base_d)
+            if tiled_base:
+                bt_l.append(_tile_base_on_device(base_d))
+        if m_slots:
+            if si == 0 and (sd / "extra_base.fvecs").exists():
+                exb = read_matrix(sd / "extra_base.fvecs")
+                exi = read_vecs(sd / "extra_ids.ivecs", np.int32)[0]
+            else:
+                exb = np.zeros((m_slots, dim), np.float32)
+                exi = np.full(m_slots, -1, np.int32)
+            exb_l.append(jax.device_put(exb, dev))
+            exi_l.append(jax.device_put(exi, dev))
+        logger.info(
+            "checkpoint: loaded shard %d (%d rows) onto %s", si, n_real, dev
+        )
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(a, *trailing_none):
+        return jax.device_put(
+            a, NamedSharding(mesh, P(AXIS, *trailing_none))
+        )
+
+    return RaBitQIndex(
+        blob=_stack_sharded(mesh, blob_l, 3),
+        codes_pm1=_stack_sharded(mesh, cpm1_l, 3),
+        factors_tiled=_stack_sharded(mesh, facs_l, 3),
+        offsets=_stack_sharded(mesh, off_l, 1),
+        map_ids=_stack_sharded(mesh, ids_l, 1),
+        centroids_rot=_stack_sharded(mesh, cent_l, 2),
+        orthogonal=put(np.broadcast_to(orth, (s,) + orth.shape), None, None),
+        rand_bias=put(np.broadcast_to(bias, (s, dim)), None),
+        base=_stack_sharded(mesh, base_l, 2) if keep_base else None,
+        base_tiled=(
+            _stack_sharded(mesh, bt_l, 3)
+            if (keep_base and tiled_base)
+            else None
+        ),
+        extra_base=_stack_sharded(mesh, exb_l, 2) if m_slots else None,
+        extra_ids=_stack_sharded(mesh, exi_l, 1) if m_slots else None,
+        dim=dim,
+        dim_orig=int(meta["dim_orig"]),
+        capacity=capacity,
+        metric=meta["metric"],
+        code_bits=code_bits,
+        dedup_ids=bool(meta["dedup_ids"]),
+    )
+
+
+@jax.jit
+def _tile_base_on_device(base: jax.Array) -> jax.Array:
+    """[rows, dim] -> the lane-tiled rerank-kernel layout [rows, dt8,
+    128], derived on whatever device holds ``base`` (with_tiled_base's
+    layout; see index/index.py)."""
+    rows, dim = base.shape
+    dt = dim // LANES
+    dt8 = ((dt + 7) // 8) * 8
+    bt = base.reshape(rows, dt, LANES)
+    if dt8 != dt:
+        bt = jnp.pad(bt, ((0, 0), (0, dt8 - dt), (0, 0)))
+    return bt
+
+
+def load_global_positions(path: str | Path) -> np.ndarray | None:
+    """[S, rows_max] int32 global cluster-sorted positions (-1 pad) from
+    a checkpoint dumped with ``global_pos=...``; None when absent. The
+    store-tier mapping for sharded_search_with_store."""
+    path = Path(path)
+    meta = json.loads((path / _META).read_text())
+    if not meta.get("has_global_pos", False):
+        return None
+    s = int(meta["shards"])
+    rows_max = int(meta["rows_max"])
+    out = np.full((s, rows_max), -1, np.int32)
+    for si in range(s):
+        sd = _shard_dir(path, si)
+        gp = read_vecs(sd / "global_pos.ivecs", np.int32)[0]
+        out[si, : gp.shape[0]] = gp
+    return out
+
+
+def load_shard_as_single(path: str | Path, si: int, **kw) -> RaBitQIndex:
+    """Load ONE shard directory as a standalone single-chip index (each
+    shard dir is a complete reference-format dir) — debugging and
+    re-sharding workflows."""
+    return load_from_dir(_shard_dir(Path(path), si), **kw)

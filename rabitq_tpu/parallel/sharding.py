@@ -537,6 +537,7 @@ def sharded_search_with_store(
     *,
     exact: bool = False,
     row_filter: RowFilter | None = None,
+    count_queries: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Distributed disk-tier search: sharded device estimator + ONE host
     store serving every shard's rerank.
@@ -626,7 +627,7 @@ def sharded_search_with_store(
     dists = np.take_along_axis(exact, sel, axis=1)
     ids = np.take_along_axis(cand_ids, sel, axis=1)
     ids = np.where(np.isfinite(dists), ids, -1)
-    METRICS.add_query_count(b)
+    METRICS.add_query_count(b if count_queries is None else count_queries)
     return dists.astype(np.float32), ids.astype(np.int32)
 
 
@@ -706,6 +707,7 @@ def build_index_sharded(
     spill: float = 0.0,
     spill_mode: str = "dist",
     spill_soar_lambda: float = 1.0,
+    return_global_pos: bool = False,
 ) -> RaBitQIndex:
     """Build a SHARDED index directly — result-identical to
     ``shard_index(build_index(...))`` with the same knobs/key, without
@@ -939,6 +941,9 @@ def build_index_sharded(
     # concurrently (every process fills the host metadata for ALL
     # shards; only addressable shards get device arrays).
     results = []
+    gpos_all = (
+        np.full((s, rows_max), -1, np.int32) if return_global_pos else None
+    )
     for si, group in enumerate(groups):
         loc_ext = (
             np.concatenate(
@@ -950,6 +955,17 @@ def build_index_sharded(
         rows = loc_ext.shape[0]
         srcs = orig_of[loc_ext]
         sh_map_ids[si, :rows] = srcs
+        if gpos_all is not None and rows:
+            # Global cluster-sorted position of each local row: the rows
+            # of segment c occupy the global range [offsets[c],
+            # offsets[c+1]) — exactly shard_global_positions' mapping,
+            # available here without ever building the unsharded index.
+            gpos_all[si, :rows] = np.concatenate(
+                [
+                    np.arange(offsets[c], offsets[c + 1], dtype=np.int32)
+                    for c in group
+                ]
+            )
         if si not in p_dev:
             continue  # another process's shard
         x = np.zeros((rows_q, dim), np.float32)
@@ -1001,7 +1017,7 @@ def build_index_sharded(
             a, NamedSharding(mesh, P(AXIS, *trailing_none))
         )
 
-    return RaBitQIndex(
+    out = RaBitQIndex(
         blob=blob,
         codes_pm1=codes_pm1,
         factors_tiled=factors_tiled,
@@ -1023,6 +1039,9 @@ def build_index_sharded(
         code_bits=bits,
         dedup_ids=n_spill > 0,
     )
+    if return_global_pos:
+        return out, gpos_all
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -81,7 +81,30 @@ class BatchingEngine:
         default_rerank: int | None = None,
         rerank_bf16: bool = False,
         rerank_kernel: bool = False,
+        mesh=None,
+        global_pos=None,
+        sharded_exact: bool = False,
     ):
+        """``mesh`` switches the engine to MULTI-CHIP serving: ``index``
+        must then be a sharded index (shard_index / build_index_sharded /
+        load_index_sharded) and every batch dispatches sharded_search
+        over the mesh (sharded_search_with_store when a store is given —
+        ``global_pos`` required, see shard_global_positions). This is the
+        L4 x distribution composition the reference's service performs
+        for its scaled tier (main.rs:68-96 fronting DiskRaBitQ); here the
+        HTTP micro-batcher fronts the whole mesh. ``sharded_exact``
+        selects exact-mode budgets (recall >= single-chip, ~S x scan)."""
+        self._mesh = mesh
+        self._sharded_exact = sharded_exact
+        if mesh is not None:
+            assert index.offsets.ndim == 2, (
+                "mesh serving requires a sharded index "
+                "(shard_index / build_index_sharded / load_index_sharded)"
+            )
+            assert store is None or global_pos is not None, (
+                "sharded store-tier serving needs global_pos "
+                "(shard_global_positions / load_global_positions)"
+            )
         if default_rerank is None:
             # Multi-bit indexes rank candidates near-exactly, so the
             # default budget only covers fold/selection collisions
@@ -93,14 +116,26 @@ class BatchingEngine:
         if rerank_bf16 and store is None:
             from rabitq_tpu.index.index import with_bf16_base
 
-            index = with_bf16_base(index)
+            index = with_bf16_base(index)  # shape-agnostic: sharded too
         if rerank_kernel and store is None:
-            from rabitq_tpu.index.index import with_tiled_base
+            if mesh is not None:
+                # The tiled copy must arrive per shard (shard_index
+                # carries it; build/load take tiled_base=True) — it
+                # cannot be derived from the stacked array here without
+                # a host round-trip of the whole base.
+                assert index.base_tiled is not None, (
+                    "rerank_kernel on a mesh needs a sharded index with "
+                    "base_tiled (with_tiled_base before shard_index, or "
+                    "tiled_base=True on build/load)"
+                )
+            else:
+                from rabitq_tpu.index.index import with_tiled_base
 
-            index = with_tiled_base(index)
-        # (index, store) live in ONE attribute so a concurrent
-        # swap_index can never be observed torn by the dispatcher.
-        self._istate = (index, store, 0)
+                index = with_tiled_base(index)
+        # (index, store, generation, global_pos) live in ONE attribute so
+        # a concurrent swap_index can never be observed torn by the
+        # dispatcher.
+        self._istate = (index, store, 0, global_pos)
         # Named row filters: specs live as original-id sets (index-order
         # independent); built RowFilters are position-based and cached
         # per index generation — swap_index invalidates them. The lock
@@ -127,28 +162,52 @@ class BatchingEngine:
     def store(self):
         return self._istate[1]
 
-    def swap_index(self, index, store=None) -> None:
+    @property
+    def mesh(self):
+        return self._mesh
+
+    @property
+    def n_rows(self) -> int:
+        """Indexed row count (spill copies included, like index.n). On a
+        mesh engine the sharded map_ids' valid entries are counted (its
+        .n property would return the shard count)."""
+        idx = self.index
+        if self._mesh is not None:
+            return int((np.asarray(idx.map_ids) >= 0).sum())
+        return idx.n
+
+    def swap_index(self, index, store=None, global_pos=None) -> None:
         """Atomically replace the served index (online reindex: build or
         ``compact`` elsewhere, then swap — in-flight batches finish on
         the old index, later batches see the new one; no restart, no
         dropped requests). The store pairs with the index, so both move
-        in one assignment."""
+        in one assignment. On a mesh engine the replacement must be
+        sharded for the same mesh (with ``global_pos`` when store-tiered)."""
         assert index.dim_orig == self.index.dim_orig, (
             "swap_index requires the query dim to stay fixed "
             f"({index.dim_orig} != {self.index.dim_orig})"
         )
+        if self._mesh is not None:
+            assert index.offsets.ndim == 2, "mesh engine needs a sharded index"
+            assert store is None or global_pos is not None
         if self.rerank_bf16 and store is None:
             from rabitq_tpu.index.index import with_bf16_base
 
             index = with_bf16_base(index)
         if self.rerank_kernel and store is None:
-            from rabitq_tpu.index.index import with_tiled_base
+            if self._mesh is not None:
+                assert index.base_tiled is not None, (
+                    "rerank_kernel mesh swap needs base_tiled per shard"
+                )
+            else:
+                from rabitq_tpu.index.index import with_tiled_base
 
-            index = with_tiled_base(index)
+                index = with_tiled_base(index)
         # The generation rides in the same tuple as the index so the
         # dispatcher's snapshot can never pair an index with another
-        # generation's filter cache.
-        self._istate = (index, store, self._istate[2] + 1)
+        # generation's filter cache (nor a store with another index's
+        # global_pos).
+        self._istate = (index, store, self._istate[2] + 1, global_pos)
         # Built filters are position-based; the new index's row order
         # differs. Specs survive and rebuild lazily on next use.
         self._filters_built.clear()
@@ -201,14 +260,19 @@ class BatchingEngine:
         built = self._filters_built.get(name)
         if built is not None and built[0] == gen:
             return built[1]
-        from rabitq_tpu.index.filter import make_row_filter
-
         mode, ids = spec
-        rf = make_row_filter(
-            index,
+        kw = dict(
             allow_ids=ids if mode == "allow" else None,
             deny_ids=ids if mode == "deny" else None,
         )
+        if self._mesh is not None:
+            from rabitq_tpu.parallel import make_sharded_row_filter
+
+            rf = make_sharded_row_filter(index, self._mesh, **kw)
+        else:
+            from rabitq_tpu.index.filter import make_row_filter
+
+            rf = make_row_filter(index, **kw)
         with self._flock:
             # Cache only while the spec we built from is still current:
             # a concurrent re-register must not be shadowed by a stale
@@ -229,7 +293,14 @@ class BatchingEngine:
             raise ValueError("top_k and probe must be positive")
         if rerank is not None and rerank <= 0:
             raise ValueError("rerank must be positive")
-        k = self.index.offsets.shape[0] - 1
+        off = self.index.offsets
+        # Sharded offsets are [S, k_max+1]; the global cluster count is
+        # bounded by S*k_max (sharded_search clamps per-shard anyway).
+        k = (
+            (off.shape[1] - 1) * off.shape[0]
+            if self._mesh is not None
+            else off.shape[0] - 1
+        )
         top_k = min(int(top_k), MAX_TOPK)
         probe = min(int(probe), MAX_PROBE, k)
         rerank = (
@@ -354,8 +425,9 @@ class BatchingEngine:
 
             # One snapshot per group: a concurrent swap_index must not
             # split a batch across two indexes (or mismatch index/store
-            # — the filter-cache generation rides in the same tuple).
-            index, store, gen = self._istate
+            # — the filter-cache generation and the store's global_pos
+            # ride in the same tuple).
+            index, store, gen, gpos = self._istate
             row_filter = self._resolve_filter(
                 reqs[0].filter_name, index, gen
             )
@@ -371,7 +443,26 @@ class BatchingEngine:
             for r in reqs:
                 q[at : at + r.query.shape[0]] = r.query
                 at += r.query.shape[0]
-            if store is not None:
+            if self._mesh is not None:
+                from rabitq_tpu.parallel import (
+                    sharded_search,
+                    sharded_search_with_store,
+                )
+
+                if store is not None:
+                    scores, ids = sharded_search_with_store(
+                        index, q, params, self._mesh, store, gpos,
+                        exact=self._sharded_exact, row_filter=row_filter,
+                        count_queries=b,
+                    )
+                else:
+                    scores, ids = sharded_search(
+                        index, jnp.asarray(q), params, self._mesh,
+                        exact=self._sharded_exact, row_filter=row_filter,
+                    )
+                    scores, ids = np.asarray(scores), np.asarray(ids)
+                    METRICS.add_query_count(b)
+            elif store is not None:
                 scores, ids = search_with_store(
                     index, q, params, store, count_queries=b,
                     row_filter=row_filter,
@@ -462,9 +553,14 @@ def make_handler(
             elif self.path == "/indexes":
                 listing = {
                     name: dict(
-                        n=int(eng.index.n),
+                        n=int(eng.n_rows),
                         dim=int(eng.index.dim_orig),
                         code_bits=int(eng.index.code_bits),
+                        shards=(
+                            int(eng.mesh.devices.size)
+                            if eng.mesh is not None
+                            else 1
+                        ),
                     )
                     for name, eng in registry.items()
                 }
@@ -548,13 +644,25 @@ def make_handler(
                         error="reload unsupported on store-tier engines"
                     )), "application/json")
                     return
-                from rabitq_tpu.index.serialize import load_from_dir
+                if eng.mesh is not None:
+                    # Mesh engines reload from SHARDED checkpoints
+                    # (dump_index_sharded dirs) — each shard loads
+                    # straight onto its device, same as boot.
+                    from rabitq_tpu.parallel import load_index_sharded
 
-                new_index = load_from_dir(payload["dir"])
+                    new_index = load_index_sharded(
+                        payload["dir"],
+                        eng.mesh,
+                        tiled_base=eng.rerank_kernel,
+                    )
+                else:
+                    from rabitq_tpu.index.serialize import load_from_dir
+
+                    new_index = load_from_dir(payload["dir"])
                 eng.swap_index(new_index)
                 self._send(
                     200,
-                    json.dumps(dict(ok=True, n=int(new_index.n))),
+                    json.dumps(dict(ok=True, n=int(eng.n_rows))),
                     "application/json",
                 )
             except (KeyError, ValueError, json.JSONDecodeError) as e:
@@ -756,10 +864,18 @@ def serve(
     extra_indexes: dict[str, object] | None = None,
     default_name: str = "default",
     allow_reload: bool = False,
+    mesh=None,
+    global_pos=None,
+    sharded_exact=False,
 ):
     """Serve one default index (optionally store-tiered) plus any number
     of named device-resident extras (multi-index routing: POST
-    /index/<name>/query..., JSON "index" field, GET /indexes)."""
+    /index/<name>/query..., JSON "index" field, GET /indexes).
+
+    ``mesh``: multi-chip serving — the default index must be SHARDED
+    over it (shard_index / build_index_sharded / load_index_sharded);
+    every micro-batch then dispatches one distributed search across the
+    whole mesh. Extras stay single-chip."""
     engine = BatchingEngine(
         index,
         store,
@@ -767,6 +883,9 @@ def serve(
         window_ms=window_ms,
         rerank_bf16=rerank_bf16,
         rerank_kernel=rerank_kernel,
+        mesh=mesh,
+        global_pos=global_pos,
+        sharded_exact=sharded_exact,
     )
     engines = {default_name: engine}
     for name, idx in (extra_indexes or {}).items():
@@ -865,6 +984,23 @@ def main(argv=None):
     )
     ap.add_argument("--cache-db", default=None, help="sqlite block cache path")
     ap.add_argument(
+        "--shards",
+        type=int,
+        default=0,
+        help="serve the default index SHARDED over the first N devices "
+        "(multi-chip serving: one distributed search per micro-batch; "
+        "ICI merge). A --dir pointing at a dump_index_sharded "
+        "checkpoint is detected automatically and loads each shard "
+        "straight onto its device instead",
+    )
+    ap.add_argument(
+        "--sharded-exact",
+        action="store_true",
+        help="exact-mode per-shard budgets (recall >= single-chip at "
+        "~S x per-shard scan; default is the 2x-headroom heuristic "
+        "split)",
+    )
+    ap.add_argument(
         "--allow-reload",
         action="store_true",
         help="enable POST /admin/reload {dir[, index]}: hot-swap a newly "
@@ -928,7 +1064,54 @@ def main(argv=None):
 
     store = None
     keep_base = args.store == "device"
-    index = load_from_dir(default_dir, keep_base=keep_base)
+    # A dump_index_sharded checkpoint (top-level meta.json with a shard
+    # count) boots multi-chip directly: each shard loads onto its own
+    # device, no host-stacked corpus copy.
+    mesh = global_pos = None
+    ckpt_meta = Path(default_dir) / "meta.json"
+    is_sharded_ckpt = False
+    if ckpt_meta.exists():
+        try:
+            is_sharded_ckpt = "shards" in json.loads(ckpt_meta.read_text())
+        except (OSError, json.JSONDecodeError):
+            pass
+    if is_sharded_ckpt:
+        from rabitq_tpu.parallel import (
+            load_global_positions,
+            load_index_sharded,
+            make_mesh,
+        )
+
+        n_sh = json.loads(ckpt_meta.read_text())["shards"]
+        if args.shards and args.shards != n_sh:
+            ap.error(
+                f"checkpoint has {n_sh} shards; --shards {args.shards} "
+                "mismatch (re-shard offline)"
+            )
+        mesh = make_mesh(n_sh)
+        index = load_index_sharded(
+            default_dir,
+            mesh,
+            keep_base=keep_base,
+            tiled_base=args.rerank_kernel and keep_base,
+        )
+        global_pos = load_global_positions(default_dir)
+    else:
+        index = load_from_dir(default_dir, keep_base=keep_base)
+        if args.shards:
+            from rabitq_tpu.index.index import with_tiled_base
+            from rabitq_tpu.parallel import (
+                make_mesh,
+                shard_global_positions,
+                shard_index,
+            )
+
+            mesh = make_mesh(args.shards)
+            if not keep_base:
+                global_pos = shard_global_positions(index, args.shards)
+            if args.rerank_kernel and keep_base:
+                index = with_tiled_base(index)
+            index = shard_index(index, mesh)
     extra_indexes = {
         name: load_from_dir(path) for name, path in extra_specs.items()
     }
@@ -962,6 +1145,9 @@ def main(argv=None):
         extra_indexes=extra_indexes,
         default_name=default_name,
         allow_reload=args.allow_reload,
+        mesh=mesh,
+        global_pos=global_pos,
+        sharded_exact=args.sharded_exact,
     )
 
 

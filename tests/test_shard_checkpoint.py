@@ -1,0 +1,226 @@
+"""Sharded checkpoint round-trips (parallel/checkpoint.py).
+
+The single-chip dir format is the checkpoint for one chip (SURVEY.md §5,
+reference rabitq.rs:128-156); these tests pin the sharded analog: dump
+per shard, load placing each shard straight onto its mesh device, bit-
+identical round trip, keep_base=False + store tier, and a bounded host
+transient (no host-stacked full-corpus copy on load).
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import make_clustered_dataset
+from rabitq_tpu import SearchParams, build_index
+from rabitq_tpu.parallel import (
+    build_index_sharded,
+    dump_index_sharded,
+    load_global_positions,
+    load_index_sharded,
+    load_shard_as_single,
+    make_mesh,
+    shard_global_positions,
+    shard_index,
+    sharded_search,
+    sharded_search_with_store,
+)
+
+_ARRAY_FIELDS = [
+    "blob",
+    "codes_pm1",
+    "factors_tiled",
+    "offsets",
+    "map_ids",
+    "centroids_rot",
+    "orthogonal",
+    "rand_bias",
+    "base",
+]
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8
+    return make_mesh(8)
+
+
+def _assert_index_equal(a, b, fields=_ARRAY_FIELDS):
+    for f in ["dim", "dim_orig", "capacity", "metric", "code_bits",
+              "dedup_ids"]:
+        assert getattr(a, f) == getattr(b, f), f
+    for f in fields:
+        va, vb = getattr(a, f), getattr(b, f)
+        assert (va is None) == (vb is None), f
+        if va is not None:
+            np.testing.assert_array_equal(
+                np.asarray(va), np.asarray(vb), err_msg=f
+            )
+
+
+def test_roundtrip_bit_identical(rng, mesh, tmp_path):
+    base, centers = make_clustered_dataset(rng, n=3000, dim=48, k=24)
+    idx = build_index(
+        base, centers, key=jax.random.key(30), bits=4, spill=0.2
+    )
+    sidx = shard_index(idx, mesh)
+    dump_index_sharded(sidx, tmp_path / "ckpt")
+    loaded = load_index_sharded(tmp_path / "ckpt", mesh)
+    _assert_index_equal(sidx, loaded)
+
+    queries = jnp.asarray(base[rng.choice(3000, 12, replace=False)])
+    params = SearchParams(probe=12, topk=5, rerank=64)
+    d_a, i_a = sharded_search(sidx, queries, params, mesh)
+    d_b, i_b = sharded_search(loaded, queries, params, mesh)
+    np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
+    np.testing.assert_array_equal(np.asarray(d_a), np.asarray(d_b))
+
+
+def test_roundtrip_with_memtable(rng, mesh, tmp_path):
+    from rabitq_tpu import delete, insert
+
+    base, centers = make_clustered_dataset(rng, n=800, dim=32, k=8)
+    idx = build_index(base, centers, key=jax.random.key(31))
+    v = rng.standard_normal((2, 32)).astype(np.float32)
+    idx = insert(idx, v, ids=[9001, 9002])
+    idx = delete(idx, [0])
+    sidx = shard_index(idx, mesh)
+    dump_index_sharded(sidx, tmp_path / "ckpt")
+    loaded = load_index_sharded(tmp_path / "ckpt", mesh)
+    _assert_index_equal(
+        sidx, loaded, fields=_ARRAY_FIELDS + ["extra_base", "extra_ids"]
+    )
+    params = SearchParams(probe=8, topk=5, rerank=64)
+    _, ids = sharded_search(loaded, jnp.asarray(v), params, mesh)
+    ids = np.asarray(ids)
+    assert 9001 in ids[0].tolist() and 9002 in ids[1].tolist()
+    _, ids0 = sharded_search(
+        loaded, jnp.asarray(base[:1]), params, mesh
+    )
+    assert 0 not in np.asarray(ids0).tolist()[0]
+
+
+def test_roundtrip_keep_base_false_store_tier(rng, mesh, tmp_path):
+    """A corpus sized for S x HBM (keep_base=False) must round-trip:
+    build direct-to-shard, checkpoint WITHOUT base, reload, and serve
+    reranks from the one host store via the persisted global positions
+    — no rebuild from raw vectors on restart (r4 verdict missing #2)."""
+    from rabitq_tpu.index.serialize import dump_to_dir
+    from rabitq_tpu.store import MmapStore
+
+    base, centers = make_clustered_dataset(rng, n=3000, dim=48, k=24)
+    kw = dict(key=jax.random.key(32), bits=4)
+    # The store is the global cluster-sorted base dump (how a disk-tier
+    # deployment writes it).
+    full = build_index(base, centers, **kw)
+    dump_to_dir(full, tmp_path / "store_dir")
+    store = MmapStore(tmp_path / "store_dir" / "base.fvecs")
+
+    new, gpos = build_index_sharded(
+        base, centers, mesh, keep_base=False, return_global_pos=True, **kw
+    )
+    np.testing.assert_array_equal(gpos, shard_global_positions(full, 8))
+    dump_index_sharded(new, tmp_path / "ckpt", global_pos=gpos)
+    assert not (tmp_path / "ckpt" / "shard_00000" / "base.fvecs").exists()
+
+    loaded = load_index_sharded(tmp_path / "ckpt", mesh)
+    assert loaded.base is None
+    _assert_index_equal(new, loaded)
+    gpos2 = load_global_positions(tmp_path / "ckpt")
+    np.testing.assert_array_equal(gpos, gpos2)
+
+    queries = base[rng.choice(3000, 12, replace=False)]
+    params = SearchParams(probe=12, topk=5, rerank=48)
+    d_a, i_a = sharded_search_with_store(
+        new, queries, params, mesh, store, gpos
+    )
+    d_b, i_b = sharded_search_with_store(
+        loaded, queries, params, mesh, store, gpos2
+    )
+    np.testing.assert_array_equal(i_a, i_b)
+    np.testing.assert_array_equal(d_a, d_b)
+
+
+def test_load_tiled_base_enables_rerank_kernel(rng, mesh, tmp_path):
+    from rabitq_tpu.index.index import with_tiled_base
+
+    base, centers = make_clustered_dataset(rng, n=1024, dim=128, k=8)
+    idx = with_tiled_base(build_index(base, centers, key=jax.random.key(33)))
+    sidx = shard_index(idx, mesh)
+    dump_index_sharded(sidx, tmp_path / "ckpt")
+    loaded = load_index_sharded(tmp_path / "ckpt", mesh, tiled_base=True)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.base_tiled), np.asarray(sidx.base_tiled)
+    )
+    queries = jnp.asarray(base[:8])
+    pk = SearchParams(probe=8, topk=5, rerank=64, rerank_kernel=True)
+    pg = SearchParams(probe=8, topk=5, rerank=64)
+    d_k, i_k = sharded_search(loaded, queries, pk, mesh, exact=True)
+    d_g, i_g = sharded_search(loaded, queries, pg, mesh, exact=True)
+    np.testing.assert_array_equal(np.asarray(i_k), np.asarray(i_g))
+
+
+def test_shard_dir_loads_standalone(rng, mesh, tmp_path):
+    """Every shard dir is a complete reference-format dir: it loads as a
+    single-chip index over just that shard's rows."""
+    from rabitq_tpu import search
+
+    base, centers = make_clustered_dataset(rng, n=1500, dim=32, k=16)
+    idx = build_index(base, centers, key=jax.random.key(34))
+    sidx = shard_index(idx, mesh)
+    dump_index_sharded(sidx, tmp_path / "ckpt")
+    one = load_shard_as_single(tmp_path / "ckpt", 3)
+    shard_ids = set(np.asarray(one.map_ids).tolist())
+    assert 0 < len(shard_ids) < 1500
+    q = jnp.asarray(base[:4])
+    _, ids = search(one, q, SearchParams(probe=4, topk=3, rerank=32))
+    assert set(np.asarray(ids).ravel().tolist()) - {-1} <= shard_ids
+
+
+def test_load_host_transient_is_per_shard(rng, mesh, tmp_path):
+    """The load path must hold at most ~one shard of host memory at a
+    time, never a stacked full-corpus copy (r4 verdict missing #2's
+    'no host-stacked full-corpus copies'). tracemalloc tracks numpy's
+    allocations; peak must be well under the full stacked base size."""
+    import tracemalloc
+
+    base, centers = make_clustered_dataset(rng, n=16384, dim=128, k=32)
+    idx = build_index(base, centers, key=jax.random.key(35))
+    sidx = shard_index(idx, mesh)
+    dump_index_sharded(sidx, tmp_path / "ckpt")
+    rows_max = int(sidx.map_ids.shape[1])
+    per_shard_base = rows_max * 128 * 4  # f32 bytes
+    stacked_base = 8 * per_shard_base
+
+    tracemalloc.start()
+    loaded = load_index_sharded(tmp_path / "ckpt", mesh)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert loaded.base is not None
+    # One shard's transient set (base + blob + codes views) is a few x
+    # per-shard base; the stacked copy would be >= 8x. The bound sits
+    # between: generous for per-shard work, impossible for a stack.
+    assert peak < 0.75 * stacked_base, (
+        f"load peak {peak/1e6:.1f} MB vs stacked base "
+        f"{stacked_base/1e6:.1f} MB — host-stacked copy suspected"
+    )
+
+
+def test_checkpoint_meta_is_versioned(rng, mesh, tmp_path):
+    base, centers = make_clustered_dataset(rng, n=400, dim=32, k=4)
+    idx = build_index(base, centers, key=jax.random.key(36))
+    dump_index_sharded(shard_index(idx, mesh), tmp_path / "ckpt")
+    meta = json.loads((tmp_path / "ckpt" / "meta.json").read_text())
+    assert meta["format"] == 1 and meta["shards"] == 8
+    assert meta["rows_max"] >= 1 and meta["tiles_max"] >= 1
+
+
+def test_mesh_size_mismatch_rejected(rng, mesh, tmp_path):
+    base, centers = make_clustered_dataset(rng, n=400, dim=32, k=4)
+    idx = build_index(base, centers, key=jax.random.key(37))
+    dump_index_sharded(shard_index(idx, mesh), tmp_path / "ckpt")
+    with pytest.raises(AssertionError):
+        load_index_sharded(tmp_path / "ckpt", make_mesh(4))

@@ -1,0 +1,210 @@
+"""Row-filter A/B on the real TPU, within one process (r5 verdict #3a).
+
+Quantifies what a filter costs at the tuned operating points:
+
+- arm "base":    unfiltered, tuned defaults (lane-fold ON);
+- arm "nofold":  unfiltered, select_reduce=False — isolates the cost of
+                 the fold-off a present filter forces (the documented
+                 mechanism: the penalty must land on UNREDUCED
+                 estimates, index/filter.py);
+- arms "f50/f10/f1": allowlist filters at 50% / 10% / 1% selectivity —
+                 the fold-off cost plus the penalty window-gather adds.
+
+Also reports make_row_filter build time + penalty upload bytes (the
+per-(filter x generation) cost the service pays lazily) and a recall
+spot-check of each filtered arm against the device-exhaustive filtered
+search (probe=k, full rerank — exact over the allowed subset).
+
+Usage:
+  python tools/filter_ab.py            # SIFT shape (1M x 128)
+  python tools/filter_ab.py --gist     # GIST shape (1M x 960)
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument("--probe", type=int, default=28)
+    ap.add_argument("--rerank", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--bits", type=int, default=4)
+    ap.add_argument("--spill", type=float, default=0.2)
+    ap.add_argument("--balance", type=float, default=1.5)
+    ap.add_argument("--recall-q", type=int, default=256)
+    ap.add_argument(
+        "--selectivities", type=str, default="0.5,0.1,0.01"
+    )
+    ap.add_argument("--gist", action="store_true")
+    args = ap.parse_args()
+    if args.gist:
+        args.dim, args.topk, args.batch = 960, 100, 1024
+        args.probe, args.rerank = 80, 250
+
+    import jax
+    import jax.numpy as jnp
+
+    from rabitq_tpu import (
+        SearchParams,
+        build_index,
+        calculate_recall,
+        make_row_filter,
+    )
+    from rabitq_tpu.index.search import search
+    from rabitq_tpu.kmeans import kmeans
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    from bench import _cached, make_dataset
+
+    nq_ds = 4096 if args.gist else 16384
+    base, queries = _cached(
+        f"ds_make_dataset_{args.n}_{args.dim}_1024_{nq_ds}",
+        lambda: make_dataset(args.n, args.dim, 1024, nq_ds),
+    )
+    centroids = _cached(
+        f"filterab_cent_{args.n}_{args.dim}_{args.k}",
+        lambda: (
+            kmeans(
+                base[:260_000], args.k, iters=8, key=jax.random.key(1)
+            ),
+        ),
+    )[0]
+
+    t0 = time.time()
+    index = build_index(
+        base,
+        centroids,
+        key=jax.random.key(2),
+        bits=args.bits,
+        balance=args.balance,
+        spill=args.spill,
+    )
+    if args.gist:
+        from rabitq_tpu.index.index import with_tiled_base
+
+        index = with_tiled_base(index)
+    log(f"built in {time.time()-t0:.1f}s (capacity={index.capacity})")
+
+    kw = dict(probe=args.probe, topk=args.topk, rerank=args.rerank)
+    if args.gist:
+        kw.update(rerank_chunk=256, rank_precision="default",
+                  rerank_kernel=True)
+    p_base = SearchParams(**kw)
+    p_nofold = p_base._replace(select_reduce=False)
+
+    rng = np.random.default_rng(3)
+    sels = [float(s) for s in args.selectivities.split(",")]
+    filters, fstats = {}, {}
+    for s in sels:
+        m = max(1, int(round(s * args.n)))
+        ids = rng.choice(args.n, size=m, replace=False)
+        t0 = time.time()
+        rf = make_row_filter(index, allow_ids=ids)
+        build_s = time.time() - t0
+        t0 = time.time()
+        rf.penalty.block_until_ready()
+        nbytes = rf.penalty.nbytes
+        filters[s] = (rf, ids)
+        fstats[s] = (build_s, nbytes)
+        log(
+            f"filter {s:.2f}: make_row_filter {build_s*1e3:.0f} ms, "
+            f"penalty {nbytes/1e6:.1f} MB"
+        )
+
+    qb = queries[: args.batch].copy()
+
+    def run_arm(name, params, rf):
+        # Warm compile.
+        d, i = search(index, jnp.asarray(qb), params, rf)
+        np.asarray(d)
+        times = []
+        for it in range(args.iters):
+            q = qb + np.float32(1e-6 * (it + 1))  # defeat memoization
+            t0 = time.time()
+            d, i = search(index, jnp.asarray(q), params, rf)
+            d = np.asarray(d)
+            i = np.asarray(i)
+            times.append(time.time() - t0)
+        ms = 1e3 * np.median(times)
+        qps = args.batch / np.median(times)
+        log(f"{name}: {ms:.1f} ms/batch ({qps:,.0f} QPS)")
+        return ms, np.asarray(i)
+
+    results = {}
+    results["base"] = run_arm("base (fold on)", p_base, None)
+    results["nofold"] = run_arm("nofold", p_nofold, None)
+    for s in sels:
+        rf, ids = filters[s]
+        results[f"f{s}"] = run_arm(f"filtered {s:.2f}", p_base, rf)
+        leak = set(results[f"f{s}"][1].ravel().tolist()) - {-1} - set(
+            ids.tolist()
+        )
+        assert not leak, f"filter {s} leaked {len(leak)} ids"
+
+    # Recall spot-check vs exact brute force over the allowed subset
+    # (device-chunked top-k on the gathered allowed rows).
+    from bench import ground_truth
+
+    nrq = min(args.recall_q, args.batch)
+    for s in sels:
+        rf, ids = filters[s]
+        allowed = np.sort(ids)
+        truth = allowed[
+            ground_truth(base[allowed], qb[:nrq], args.topk)
+        ]
+        i_op = results[f"f{s}"][1][:nrq]
+        rec = float(
+            np.mean(
+                [
+                    calculate_recall(truth[b], i_op[b], args.topk)
+                    for b in range(nrq)
+                ]
+            )
+        )
+        log(f"filtered {s:.2f}: recall@{args.topk} vs allowed-exact {rec:.4f}")
+        results[f"f{s}"] = results[f"f{s}"] + (rec,)
+
+    shape = "gist" if args.gist else "sift"
+    print(
+        {
+            "shape": shape,
+            "probe": args.probe,
+            "rerank": args.rerank,
+            "batch": args.batch,
+            "ms_base": round(results["base"][0], 2),
+            "ms_nofold": round(results["nofold"][0], 2),
+            **{
+                f"ms_f{s}": round(results[f"f{s}"][0], 2) for s in sels
+            },
+            **{
+                f"recall_f{s}": round(results[f"f{s}"][2], 4)
+                for s in sels
+            },
+            "filter_build_ms": {
+                str(s): round(fstats[s][0] * 1e3) for s in sels
+            },
+            "penalty_mb": round(fstats[sels[0]][1] / 1e6, 1),
+        }
+    )
+
+
+if __name__ == "__main__":
+    main()

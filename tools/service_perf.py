@@ -1,0 +1,328 @@
+"""Round-5 service performance refresh on the real TPU (verdict #5).
+
+One process, in-thread HTTP server, real sockets. Measures the r4/r5
+feature set at serving-realistic operating points:
+
+  1. SIFT-shape default engine (1M x 128, bits=4, spill=0.2):
+     - concurrent single-query binary protocol: p50/p99 + QPS + recall
+     - batched binary protocol QPS
+     - JSON batched with a 10% allowlist filter vs unfiltered
+  2. GIST200k extra engine (200k x 960, rerank kernel on) routed via
+     /index/gist/...: concurrent p50/p99.
+  3. /admin/reload of the default index UNDER LOAD: zero failed
+     requests, reload wall time, and the worst in-flight latency around
+     the swap.
+
+Prints one JSON dict (stdout) for the BASELINE.md round-5 service table.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import tempfile
+import threading
+import time
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--workers", type=int, default=32)
+    ap.add_argument("--nq", type=int, default=512)
+    ap.add_argument("--probe", type=int, default=28)
+    ap.add_argument("--skip-gist", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from rabitq_tpu import build_index, calculate_recall
+    from rabitq_tpu.index.index import with_tiled_base
+    from rabitq_tpu.index.serialize import dump_to_dir
+    from rabitq_tpu.kmeans import kmeans
+    from rabitq_tpu.service.client import (
+        query_once,
+        run_batched,
+        run_concurrent,
+    )
+    from rabitq_tpu.service.server import BatchingEngine, make_handler
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    from bench import _cached, ground_truth, make_dataset
+
+    n, dim, k = args.n, 128, 4096
+    nq_ds = 16384
+    base, queries = _cached(
+        f"ds_make_dataset_{n}_{dim}_1024_{nq_ds}",
+        lambda: make_dataset(n, dim, 1024, nq_ds),
+    )
+    centroids = _cached(
+        f"filterab_cent_{n}_{dim}_{k}",
+        lambda: (
+            kmeans(base[:260_000], k, iters=8, key=jax.random.key(1)),
+        ),
+    )[0]
+    (truth,) = _cached(
+        f"svc_gt_{n}_{dim}_top10",
+        lambda: (ground_truth(base, queries[: args.nq], 10),),
+    )
+    t0 = time.time()
+    index = build_index(
+        base, centroids, key=jax.random.key(2), bits=4,
+        balance=1.5, spill=0.2,
+    )
+    log(f"sift index built in {time.time()-t0:.1f}s")
+
+    extra = {}
+    if not args.skip_gist:
+        n2, dim2, k2, nq2 = 200_000, 960, 1024, 4096
+        base2, queries2 = _cached(
+            f"ds_make_dataset_{n2}_{dim2}_512_512",
+            lambda: make_dataset(n2, dim2, 512, 512),
+        )
+        cent2 = _cached(
+            f"svcperf_cent_{n2}_{dim2}_{k2}",
+            lambda: (
+                kmeans(
+                    base2[:131_072], k2, iters=8, key=jax.random.key(3)
+                ),
+            ),
+        )[0]
+        t0 = time.time()
+        gist_idx = with_tiled_base(
+            build_index(
+                base2, cent2, key=jax.random.key(4), bits=4, balance=1.5
+            )
+        )
+        log(f"gist200k index built in {time.time()-t0:.1f}s")
+        extra["gist"] = (gist_idx, base2, queries2)
+
+    results = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        # Reload target: a fresh build of the same corpus (different
+        # key), dumped to disk like an offline reindex would be.
+        t0 = time.time()
+        dump_to_dir(
+            build_index(
+                base, centroids, key=jax.random.key(9), bits=4,
+                balance=1.5, spill=0.2,
+            ),
+            tmp + "/gen2",
+        )
+        log(f"gen2 dumped in {time.time()-t0:.1f}s")
+
+        engine = BatchingEngine(index, max_batch=64, window_ms=2.0)
+        engines = {"default": engine}
+        for name, (eidx, _, _) in extra.items():
+            engines[name] = BatchingEngine(
+                eidx, max_batch=64, window_ms=2.0, rerank_kernel=True
+            )
+        handler = make_handler(
+            engine, args.probe, 10, engines=engines, allow_reload=True
+        )
+        server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{server.server_port}"
+        try:
+            for eng in engines.values():
+                eng.submit(
+                    np.zeros(eng.index.dim_orig, np.float32), 10,
+                    args.probe, timeout_s=1800.0,
+                )
+            log("warm")
+
+            # 1a. Concurrent single-query binary.
+            qs = queries[: args.nq]
+            t0 = time.time()
+            recalls, lats = run_concurrent(
+                url, qs, truth, 10, args.probe,
+                workers=args.workers, binary=True,
+            )
+            wall = time.time() - t0
+            lat = np.asarray(lats) * 1e3
+            results["sift_single"] = dict(
+                qps=round(args.nq / wall, 1),
+                p50_ms=round(float(np.percentile(lat, 50)), 2),
+                p99_ms=round(float(np.percentile(lat, 99)), 2),
+                recall=round(float(np.mean(recalls)), 4),
+                workers=args.workers,
+            )
+            log(f"sift single: {results['sift_single']}")
+
+            # 1b. Batched binary protocol over 4096 queries.
+            nb = 4096
+            tr_b = _cached(
+                f"svc_gt_{n}_{dim}_top10_4096",
+                lambda: (ground_truth(base, queries[:nb], 10),),
+            )[0]
+            t0 = time.time()
+            recalls_b, _ = run_batched(
+                url, queries[:nb], tr_b, 10, args.probe, batch=64
+            )
+            wall_b = time.time() - t0
+            results["sift_batched"] = dict(
+                qps=round(nb / wall_b, 1),
+                recall=round(float(np.mean(recalls_b)), 4),
+            )
+            log(f"sift batched: {results['sift_batched']}")
+
+            # 1c. JSON batched, filtered vs not (10% allowlist).
+            rng = np.random.default_rng(5)
+            allow = rng.choice(n, size=n // 10, replace=False)
+            body = json.dumps(
+                dict(name="t10", allow_ids=allow.tolist())
+            ).encode()
+            import urllib.request
+
+            req = urllib.request.Request(
+                url + "/filters", data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            t0 = time.time()
+            with urllib.request.urlopen(req) as r:
+                assert json.loads(r.read())["ok"]
+            log(f"filter registered in {time.time()-t0:.1f}s")
+
+            def json_batch(fname=None, m=256, reps=4):
+                times = []
+                allow_set = set(allow.tolist())
+                for rep in range(reps):
+                    payload = dict(
+                        query=(
+                            queries[rep * m : (rep + 1) * m]
+                            + np.float32(1e-6)
+                        ).tolist(),
+                        top_k=10,
+                        probe=args.probe,
+                    )
+                    if fname:
+                        payload["filter"] = fname
+                    req = urllib.request.Request(
+                        url + "/query",
+                        data=json.dumps(payload).encode(),
+                        headers={"Content-Type": "application/json"},
+                    )
+                    t0 = time.time()
+                    with urllib.request.urlopen(req) as r:
+                        out = json.loads(r.read())
+                    times.append(time.time() - t0)
+                    if fname:
+                        for row in out["ids"]:
+                            assert set(row) <= allow_set
+                return m / np.median(times)
+
+            results["sift_json_unfiltered_qps"] = round(json_batch(), 1)
+            # First filtered call pays the lazy penalty build; warm it.
+            json_batch("t10", m=64, reps=1)
+            results["sift_json_filtered_qps"] = round(
+                json_batch("t10"), 1
+            )
+            log(
+                f"json batched: unfiltered {results['sift_json_unfiltered_qps']}"
+                f" vs filtered {results['sift_json_filtered_qps']} QPS"
+            )
+
+            # 2. GIST200k engine via multi-index routing.
+            if extra:
+                _, base2, queries2 = extra["gist"]
+                tr2 = _cached(
+                    "svcperf_gt_200k_960_top100",
+                    lambda: (ground_truth(base2, queries2[:256], 100),),
+                )[0]
+                lats2, recalls2 = [], []
+                from concurrent.futures import ThreadPoolExecutor
+
+                def one(i):
+                    t0 = time.time()
+                    ids, _ = query_once(
+                        url + "/index/gist", queries2[i], 100, 64
+                    )
+                    dt = time.time() - t0
+                    return dt, calculate_recall(tr2[i], np.asarray(ids), 100)
+
+                with ThreadPoolExecutor(max_workers=16) as ex:
+                    t0 = time.time()
+                    for dt, rec in ex.map(one, range(256)):
+                        lats2.append(dt)
+                        recalls2.append(rec)
+                    wall2 = time.time() - t0
+                lat2 = np.asarray(lats2) * 1e3
+                results["gist200k_routed"] = dict(
+                    qps=round(256 / wall2, 1),
+                    p50_ms=round(float(np.percentile(lat2, 50)), 2),
+                    p99_ms=round(float(np.percentile(lat2, 99)), 2),
+                    recall100=round(float(np.mean(recalls2)), 4),
+                    workers=16,
+                )
+                log(f"gist200k routed: {results['gist200k_routed']}")
+
+            # 3. Reload under load.
+            stop = threading.Event()
+            failures, inflight_lat = [], []
+
+            def loader():
+                i = 0
+                while not stop.is_set():
+                    t0 = time.time()
+                    try:
+                        ids, _ = query_once(
+                            url, queries[i % args.nq], 10, args.probe
+                        )
+                        if len(ids) == 0:
+                            failures.append("empty")
+                    except Exception as e:  # noqa: BLE001
+                        failures.append(repr(e))
+                    inflight_lat.append(time.time() - t0)
+                    i += 1
+
+            threads = [
+                threading.Thread(target=loader) for _ in range(8)
+            ]
+            for t in threads:
+                t.start()
+            time.sleep(2.0)
+            pre = len(inflight_lat)
+            t0 = time.time()
+            req = urllib.request.Request(
+                url + "/admin/reload",
+                data=json.dumps(dict(dir=tmp + "/gen2")).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                assert json.loads(r.read())["ok"]
+            reload_s = time.time() - t0
+            time.sleep(2.0)
+            stop.set()
+            for t in threads:
+                t.join()
+            around = np.asarray(inflight_lat[max(0, pre - 8):]) * 1e3
+            results["reload_under_load"] = dict(
+                reload_s=round(reload_s, 2),
+                failed_requests=len(failures),
+                requests_total=len(inflight_lat),
+                worst_inflight_ms=round(float(around.max()), 1),
+                p50_inflight_ms=round(float(np.percentile(around, 50)), 1),
+            )
+            log(f"reload: {results['reload_under_load']}")
+            assert not failures, failures[:3]
+        finally:
+            server.shutdown()
+            for eng in engines.values():
+                eng.close()
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -196,6 +196,34 @@ def main():
     log(f"fast-path overlap vs exact: {overlap:.4f}")
     assert overlap >= 0.95, overlap
 
+    # --- Filtered-path parity (r5): the kernel scan + penalty window
+    # gather must agree bit-for-bit with the jnp path under a filter
+    # (the fold is forced off on both; exact selection isolates the scan).
+    from rabitq_tpu import make_row_filter
+
+    rngf = np.random.default_rng(11)
+    allow = rngf.choice(args.n, size=max(1, args.n // 3), replace=False)
+    rf = make_row_filter(index, allow_ids=allow)
+    fk = search(index, qd, pk._replace(approx_select=False), rf)
+    fj = search(index, qd, pj._replace(approx_select=False), rf)
+    ids_fk = np.asarray(fk[1])
+    assert np.array_equal(ids_fk, np.asarray(fj[1])), "filtered ids differ"
+    allow_set = set(allow.tolist())
+    assert set(ids_fk.ravel().tolist()) - {-1} <= allow_set, "filter leak"
+    ids_ffast = np.asarray(search(index, qd, pk, rf)[1])
+    assert set(ids_ffast.ravel().tolist()) - {-1} <= allow_set
+    overlap_f = np.mean(
+        [
+            len(set(ids_ffast[i]) & set(ids_fk[i])) / ids_fk.shape[1]
+            for i in range(ids_fk.shape[0])
+        ]
+    )
+    log(
+        f"PARITY OK: filtered kernel ids == jnp; fast-path filtered "
+        f"overlap {overlap_f:.4f}"
+    )
+    assert overlap_f >= 0.95, overlap_f
+
     if args.skip_timing:
         return
 
