@@ -281,6 +281,91 @@ def bench_deep10m(args):
         search_with_store(index, qp, params, store)
         times.append(time.time() - t0)
     qps = nq / min(times)
+
+    # --- Block-cache arm under injected transients (r5: retry-enabled
+    # source + cache-miss metrics). A local HTTP server fronts the store
+    # file and returns one 500 for every 50th range request; the
+    # bounded-retry source must absorb every fault (identical ids) while
+    # METRICS counts the cold misses.
+    import threading
+    from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+    from rabitq_tpu.metrics import METRICS
+    from rabitq_tpu.store import BlockCachedStore, HttpRangeSource
+
+    faults = dict(n=0, injected=0)
+
+    class FaultyRanges(SimpleHTTPRequestHandler):
+        def translate_path(self, _):
+            return str(tmp / "base_sorted.fvecs")
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            faults["n"] += 1
+            if faults["n"] % 50 == 0:
+                faults["injected"] += 1
+                self.send_error(500, "injected transient")
+                return
+            super().do_GET()
+
+    hs = ThreadingHTTPServer(("127.0.0.1", 0), FaultyRanges)
+    threading.Thread(target=hs.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{hs.server_port}/base_sorted.fvecs"
+    cache_arm = {}
+    try:
+        cstore = BlockCachedStore(HttpRangeSource(url), index.dim)
+        METRICS.reset()
+        t0 = time.time()
+        _, ids_c = search_with_store(index, queries, params, cstore)
+        cold_s = time.time() - t0
+        misses_cold = METRICS.miss
+        assert np.array_equal(ids_c, ids), "block-cache ids != mmap ids"
+        t0 = time.time()
+        _, ids_w = search_with_store(
+            index, queries + np.float32(1e-5), params, cstore
+        )
+        warm_s = time.time() - t0
+        misses_warm = METRICS.miss - misses_cold
+        cache_arm = dict(
+            qps_blockcache_cold=round(nq / cold_s, 1),
+            qps_blockcache_warm=round(nq / warm_s, 1),
+            block_misses_cold=int(misses_cold),
+            block_misses_warm=int(misses_warm),
+            transients_injected=int(faults["injected"]),
+        )
+        log(f"block-cache arm: {cache_arm}")
+    finally:
+        hs.shutdown()
+
+    # --- Filter construction at the 10M scale (r5: 8 tenants, direct
+    # np.isin build vs the per-generation RowFilterContext fast path).
+    from rabitq_tpu.index.filter import RowFilterContext, make_row_filter
+
+    rngf = np.random.default_rng(7)
+    tenants = [
+        rngf.choice(n, size=m, replace=False)
+        for m in (n // 100,) * 4 + (n // 10,) * 4
+    ]
+    t0 = time.time()
+    rf_direct = make_row_filter(index, allow_ids=tenants[0])
+    direct_s = time.time() - t0
+    t0 = time.time()
+    fctx = RowFilterContext(index)
+    ctx_setup_s = time.time() - t0
+    t0 = time.time()
+    for ids_t in tenants:
+        make_row_filter(index, allow_ids=ids_t, ctx=fctx)
+    ctx_per_tenant_s = (time.time() - t0) / len(tenants)
+    del rf_direct
+    filter_stats = dict(
+        direct_build_s=round(direct_s, 2),
+        ctx_setup_s=round(ctx_setup_s, 2),
+        ctx_per_tenant_s=round(ctx_per_tenant_s, 3),
+        tenants=len(tenants),
+    )
+    log(f"filter construction at 10M: {filter_stats}")
     print(
         json.dumps(
             dict(
@@ -297,6 +382,8 @@ def bench_deep10m(args):
                     recall=round(recall, 4),
                     build_seconds=round(build_s, 1),
                     batch=nq,
+                    **cache_arm,
+                    filter_construction=filter_stats,
                 ),
             )
         )

