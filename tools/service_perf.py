@@ -136,10 +136,20 @@ def main():
         threading.Thread(target=server.serve_forever, daemon=True).start()
         url = f"http://127.0.0.1:{server.server_port}"
         try:
-            for eng in engines.values():
-                eng.submit(
-                    np.zeros(eng.index.dim_orig, np.float32), 10,
-                    args.probe, timeout_s=1800.0,
+            # Warm each engine at the MEASUREMENT params (top_k drives
+            # a distinct executable; an unwarmed one would bill its
+            # first request the full jit latency).
+            engine.submit(
+                np.zeros(dim, np.float32), 10, args.probe,
+                timeout_s=1800.0,
+            )
+            if extra:
+                engines["gist"].submit(
+                    np.zeros(960, np.float32), 100, 64, timeout_s=1800.0
+                )
+                engines["gist"].submit_many(
+                    np.zeros((16, 960), np.float32), 100, 64,
+                    timeout_s=1800.0,
                 )
             log("warm")
 
