@@ -62,3 +62,44 @@ d2, i2 = sharded_search_with_store(
 )
 assert np.array_equal(np.asarray(ids)[:, 0], i2[:, 0])
 print("sharded disk-tier ids:", i2)
+
+# Sharded CHECKPOINT (r5): dump one reference-format dir per shard;
+# load places each shard's arrays straight onto its own device — the
+# boot path of a multi-chip deployment (no rebuild from raw vectors).
+import tempfile
+
+from rabitq_tpu.parallel import dump_index_sharded, load_index_sharded
+
+with tempfile.TemporaryDirectory() as ckpt:
+    dump_index_sharded(sharded, ckpt)
+    reloaded = load_index_sharded(ckpt, mesh)
+    d3, i3 = sharded_search(
+        reloaded, jnp.asarray(queries),
+        rq.SearchParams(probe=16, topk=5, rerank=100), mesh,
+    )
+    assert np.array_equal(np.asarray(i3), np.asarray(ids))
+print("checkpoint round-trip: identical results")
+
+# Filtered sharded search (r5): an id predicate applied per shard.
+from rabitq_tpu.parallel import make_sharded_row_filter
+
+rf = make_sharded_row_filter(sharded, mesh, allow_ids=np.arange(0, 20_000, 2))
+_, i4 = sharded_search(
+    sharded, jnp.asarray(queries),
+    rq.SearchParams(probe=16, topk=5, rerank=100), mesh, row_filter=rf,
+)
+assert all(i % 2 == 0 for i in np.asarray(i4).ravel() if i >= 0)
+print("filtered sharded ids:", np.asarray(i4))
+
+# Multi-chip SERVING (r5): the HTTP micro-batching engine fronting the
+# mesh — each batch is one distributed search (serve(mesh=...) for the
+# full HTTP server; the engine alone shown here).
+from rabitq_tpu.service.server import BatchingEngine
+
+eng = BatchingEngine(sharded, mesh=mesh, max_batch=16)
+try:
+    scores, top = eng.submit(queries[0], 5, 16)
+    assert top[0] == np.asarray(ids)[0, 0]
+    print("mesh-served top hit:", top[0])
+finally:
+    eng.close()
