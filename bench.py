@@ -287,20 +287,31 @@ def bench_deep10m(args):
     # file and returns one 500 for every 50th range request; the
     # bounded-retry source must absorb every fault (identical ids) while
     # METRICS counts the cold misses.
+    import mmap
+    import re
     import threading
-    from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from rabitq_tpu.metrics import METRICS
     from rabitq_tpu.store import BlockCachedStore, HttpRangeSource
 
     faults = dict(n=0, injected=0)
+    store_file = open(tmp / "base_sorted.fvecs", "rb")
+    store_mm = mmap.mmap(store_file.fileno(), 0, access=mmap.ACCESS_READ)
 
-    class FaultyRanges(SimpleHTTPRequestHandler):
-        def translate_path(self, _):
-            return str(tmp / "base_sorted.fvecs")
+    class FaultyRanges(BaseHTTPRequestHandler):
+        """Real 206 range server (SimpleHTTPRequestHandler ignores Range
+        and 200s the whole 3.8 GB object) with a 500 injected every 50th
+        request — the retry-enabled source must absorb every fault."""
 
         def log_message(self, *a):
             pass
+
+        def do_HEAD(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(store_mm)))
+            self.send_header("Accept-Ranges", "bytes")
+            self.end_headers()
 
         def do_GET(self):
             faults["n"] += 1
@@ -308,14 +319,37 @@ def bench_deep10m(args):
                 faults["injected"] += 1
                 self.send_error(500, "injected transient")
                 return
-            super().do_GET()
+            m = re.match(
+                r"bytes=(\d+)-(\d+)", self.headers.get("Range", "")
+            )
+            if not m:
+                self.send_error(416, "range required")
+                return
+            a, b = int(m.group(1)), int(m.group(2))
+            b = min(b, len(store_mm) - 1)
+            chunk = store_mm[a : b + 1]
+            self.send_response(206)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header(
+                "Content-Range", f"bytes {a}-{b}/{len(store_mm)}"
+            )
+            self.send_header("Content-Length", str(len(chunk)))
+            self.end_headers()
+            self.wfile.write(chunk)
 
     hs = ThreadingHTTPServer(("127.0.0.1", 0), FaultyRanges)
     threading.Thread(target=hs.serve_forever, daemon=True).start()
     url = f"http://127.0.0.1:{hs.server_port}/base_sorted.fvecs"
     cache_arm = {}
     try:
-        cstore = BlockCachedStore(HttpRangeSource(url), index.dim)
+        # store.dim, not index.dim: base_sorted.fvecs holds RAW-dim
+        # records (96 here), while index.dim is lane-padded (128).
+        # Cache sized to the measured ~4.3k-block working set (the
+        # 1024-block default thrashed: warm misses == cold misses) —
+        # 8192 x 512 KiB = 4 GB host RAM, the realistic serving size.
+        cstore = BlockCachedStore(
+            HttpRangeSource(url), store.dim, max_cached_blocks=8192
+        )
         METRICS.reset()
         t0 = time.time()
         _, ids_c = search_with_store(index, queries, params, cstore)
@@ -338,6 +372,8 @@ def bench_deep10m(args):
         log(f"block-cache arm: {cache_arm}")
     finally:
         hs.shutdown()
+        store_mm.close()
+        store_file.close()
 
     # --- Filter construction at the 10M scale (r5: 8 tenants, direct
     # np.isin build vs the per-generation RowFilterContext fast path).
