@@ -25,6 +25,22 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_jit_state():
+    """Clear jit/executable caches between test MODULES.
+
+    The full suite accumulates hundreds of compiled executables on the
+    8-device CPU backend; past ~210 tests the XLA:CPU compiler was
+    observed to segfault on an otherwise-green test (reproducibly at the
+    same suite position, never standalone — an upstream compiler-state
+    issue, not a library bug). Bounding cache growth per module keeps
+    the suite's compiler state in the regime every module was developed
+    and verified in, at the cost of some cross-module recompiles.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
