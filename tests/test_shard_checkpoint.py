@@ -200,12 +200,15 @@ def test_load_host_transient_is_per_shard(rng, mesh, tmp_path):
     _, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
     assert loaded.base is not None
-    # One shard's transient set (base + blob + codes views) is a few x
-    # per-shard base; the stacked copy would be >= 8x. The bound sits
-    # between: generous for per-shard work, impossible for a stack.
-    assert peak < 0.75 * stacked_base, (
+    # On the CPU mesh device arrays ALIAS host memory (device_put is
+    # zero-copy), so the loaded shards' residency itself accounts for up
+    # to ~1x the stacked base in the traced peak — only an EXTRA
+    # host-stacked copy (np.stack-then-put, the regression this guards)
+    # would push the peak toward 2x. On real TPUs the same code path's
+    # host transient is genuinely one shard at a time.
+    assert peak < 1.5 * stacked_base, (
         f"load peak {peak/1e6:.1f} MB vs stacked base "
-        f"{stacked_base/1e6:.1f} MB — host-stacked copy suspected"
+        f"{stacked_base/1e6:.1f} MB — extra host-stacked copy suspected"
     )
 
 
